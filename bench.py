@@ -1,0 +1,67 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced with a count() action (materializes the full plan
+without driver-side collect). A warmup run of the flagship amortizes
+JVM/codegen startup out of the per-query numbers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from project_clinical_data_etl_pipeline_spark.queries import REGISTRY  # noqa: E402
+from project_clinical_data_etl_pipeline_spark.session import get_spark  # noqa: E402
+
+#: Headline set: scan+agg, join+topk, anti-join, window trend, dedup
+#: (exact + minhash), text stats, similarity topk.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_revenue_orders",
+    "op24_dim_enrichment",
+    "op29_care_gap_anti_join",
+    "op40_weekly_trend",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "text_stats",
+    "embed_topk_bruteforce",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
+    spark = get_spark(app_name="bench")
+
+    # warmup: JVM, codegen, parquet footer caches
+    REGISTRY["op09_filtered_search"].run(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        t0 = time.perf_counter()
+        REGISTRY[name].run(spark, sf_dir).count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": round(sum(timings.values()), 4),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

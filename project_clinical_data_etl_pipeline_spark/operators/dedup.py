@@ -1,0 +1,350 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup over a text
+column. All built from JVM-side expressions (md5 / xxhash64 / array
+higher-order functions) — no Python in the hot path.
+
+Determinism: hash functions are md5/xxhash64 with fixed seeds, so
+results are reproducible across runs and cluster sizes. Where an
+operator has a DuckDB oracle, the hash is md5 (identical hex output in
+both engines).
+
+Scale notes: every stage is a groupBy/join on a bounded-width key
+(hash or band signature). The 100 TB pattern is
+  shingle → per-doc signature (map-only) → band explode (×B)
+  → groupBy band bucket (shuffle of doc_id+signature only, NOT text)
+  → pairs within buckets → verify.
+Text never shuffles; only ids and fixed-width signatures do.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def normalize_text(col: Column) -> Column:
+    """Canonicalize text before hashing: lowercase, collapse whitespace,
+    strip non-alphanumerics. Deterministic and locale-independent."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup via content hash: one output row per distinct content,
+    with the kept (minimum) id and the duplicate count.
+
+    Hash-groupBy is a single shuffle of (hash, id) — 24 bytes/row at
+    100 TB, not the text itself, because md5 is computed map-side and
+    the text column is pruned from the shuffle.
+    """
+    h = F.md5(normalize_text(F.col(text_col))).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).cast("bigint").alias("keep_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_dups"),
+        )
+    )
+
+
+def _mix(x: int) -> int:
+    """Fixed 64-bit integer mix (splitmix64 finalizer) for deriving hash
+    constants at plan-build time. Plain Python — runs once on the driver."""
+    x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+    return x ^ (x >> 31)
+
+
+def word_shingles(col: Column, k: int = 3) -> Column:
+    """k-word shingles as an array<string>. Built with higher-order
+    functions only: split → transform over positions → slice+join."""
+    words = F.split(normalize_text(col), " ")
+    n = F.size(words)
+    # positions 1 .. n-k+1; each shingle = words[i .. i+k-1] joined
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1)))
+    return F.transform(
+        idx, lambda i: F.array_join(F.slice(words, i, k), " ")
+    )
+
+
+def minhash_signature(col: Column, num_hashes: int = 32, k: int = 3) -> Column:
+    """MinHash signature as array<bigint> of length ``num_hashes``.
+
+    hash_i(shingle) = xxhash64(shingle, seed=i); signature[i] =
+    min over shingles. Pure JVM expressions — per-row map work, no
+    shuffle. 32×8 bytes per doc regardless of doc size.
+    """
+    shingles = word_shingles(col, k)
+    # One string hash per shingle, then num_hashes multiply-shift
+    # transforms h_i(x) = ((h32 XOR c_i) * a_i) >> 13 — the XOR breaks
+    # monotonicity (an affine-only family would make every h_i share one
+    # argmin shingle), the multiply mixes. Constants sized so the
+    # arithmetic cannot overflow signed 64 ((2^32)·(2^30) < 2^63) — safe
+    # under ANSI mode, deterministic. Higher-order functions evaluate
+    # interpreted (no codegen), so the expensive part — string hashing —
+    # is done once per shingle, not num_hashes×.
+    # NB: lambdas must be single-arg — a second Python parameter binds
+    # to the element index, not to Python defaults.
+    a_consts = [(_mix(2 * i + 1) % ((1 << 30) - 1)) | 1 for i in range(num_hashes)]
+    c_consts = [_mix(3 * i + 7) % (1 << 32) for i in range(num_hashes)]
+    mask32 = F.lit(0xFFFFFFFF).cast("bigint")
+    base_hashes = F.transform(shingles, lambda s: F.xxhash64(s).bitwiseAND(mask32))
+    # two-level transform: the interpreted evaluator has no CSE, so the
+    # string hash must be bound to a lambda variable before fan-out ×32
+    hashes_per_shingle = F.transform(
+        base_hashes,
+        lambda h: F.array(
+            *[
+                F.shiftrightunsigned(
+                    h.bitwiseXOR(F.lit(c).cast("bigint")) * F.lit(a).cast("bigint"),
+                    13,
+                )
+                for a, c in zip(a_consts, c_consts)
+            ]
+        ),
+    )
+    init = F.array_repeat(F.lit((1 << 63) - 1).cast("bigint"), num_hashes)
+    return F.aggregate(
+        hashes_per_shingle,
+        init,
+        lambda acc, hs: F.zip_with(acc, hs, lambda a, b: F.least(a, b)),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash + LSH candidate pairs: docs sharing ≥1 band bucket.
+
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b, est_jaccard =
+    fraction of matching signature positions (computed post-join from
+    the full signatures — a cheap verify that prunes LSH false
+    positives).
+
+    Shuffle profile at scale: the band explode multiplies rows ×bands,
+    but each shuffled row is (band_key, id, signature) — fixed width.
+    The self-join happens per bucket; hot buckets (boilerplate text) are
+    the skew risk → AQE skew-join handles it, and a bucket-size cap can
+    be layered on top for adversarial data.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(F.col(text_col), num_hashes, k).alias("__sig"),
+    )
+    banded = sig.select(
+        "__id",
+        "__sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.array_join(
+                            F.transform(
+                                F.slice(F.col("__sig"), b * rows_per_band + 1, rows_per_band),
+                                lambda x: x.cast("string"),
+                            ),
+                            "_",
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("__pos", "__band"),
+    ).select(
+        "__id",
+        "__sig",
+        F.concat_ws(":", F.col("__band.band").cast("string"), F.col("__band.bucket")).alias(
+            "__bucket"
+        ),
+    )
+    # The self-join recomputes the signature pipeline for both sides;
+    # with the single-string-hash scheme that is sub-second per million
+    # docs/partition. At warehouse scale, write signatures to a table
+    # first ("sign once, join many") instead of checkpointing here —
+    # localCheckpoint measured 50× slower than the recompute.
+    left = banded.alias("l")
+    right = banded.alias("r")
+    pairs = (
+        left.join(right, on="__bucket")
+        .filter(F.col("l.__id") < F.col("r.__id"))
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            (
+                F.size(
+                    F.filter(
+                        F.zip_with(F.col("l.__sig"), F.col("r.__sig"), lambda a, b: a == b),
+                        lambda x: x,
+                    )
+                ).cast("double")
+                / F.lit(float(num_hashes))
+            ).alias("est_jaccard"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return pairs
+
+
+def simhash_votes(col: Column, k: int = 2) -> Column:
+    """Per-bit SimHash votes as array<int>(64): one pass over the shingle
+    hashes, +1/-1 per bit via zip_with — the shingle pipeline is
+    evaluated once, not per bit."""
+    shingles = word_shingles(col, k)
+    hashes = F.transform(shingles, lambda s: F.xxhash64(s, F.lit(7)))
+    bit_masks = F.array(
+        *[F.shiftleft(F.lit(1).cast("bigint"), b) for b in range(64)]
+    )
+    return F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            bit_masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+
+
+#: Packs a named array<int>(64) votes column into the signed-64 SimHash.
+#: SQL expr because shiftleft-by-a-lambda-variable has no Python binding.
+_PACK_VOTES_SQL = (
+    "aggregate(zip_with({votes}, sequence(0, 63),"
+    " (v, b) -> if(v > 0, shiftleft(1L, b), 0L)), 0L, (a, x) -> a + x)"
+)
+
+
+def with_simhash64(
+    df: DataFrame, text_col: str, out_col: str = "simhash", k: int = 2
+) -> DataFrame:
+    """Add a 64-bit SimHash (bigint) of ``text_col``. Classic bit-vote
+    construction; map-only, one shingle pass per row."""
+    return df.withColumn("__votes", simhash_votes(F.col(text_col), k)).withColumn(
+        out_col, F.expr(_PACK_VOTES_SQL.format(votes="__votes"))
+    ).drop("__votes")
+
+
+def simhash_near_dups(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-duplicate pairs via 4-block LSH (Hamming ≤ 3 ⇒ at
+    least one 16-bit block identical — pigeonhole). Returns
+    (id_a, id_b, hamming).
+
+    Blocks are join keys, so candidate generation is 4 equi-joins'
+    worth of explode, shuffling (block_key, id, simhash) only.
+    """
+    sh = with_simhash64(
+        df.select(F.col(id_col).alias("__id"), text_col), text_col, "__sh"
+    ).select("__id", "__sh")
+    blocked = sh.select(
+        "__id",
+        "__sh",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(i)),
+                        F.shiftrightunsigned(F.col("__sh"), 16 * i)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .cast("string"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("__block"),
+    )
+    l, r = blocked.alias("l"), blocked.alias("r")
+    hamming = F.bit_count(F.col("l.__sh").bitwiseXOR(F.col("r.__sh")))
+    return (
+        l.join(r, on="__block")
+        .filter(F.col("l.__id") < F.col("r.__id"))
+        .select(
+            F.col("l.__id").alias("id_a"),
+            F.col("r.__id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity for candidate pairs that share at
+    least one shingle. Returns (id_a, id_b, jaccard ≥ threshold).
+
+    Built as shingle-inverted-index self-join: explode distinct
+    shingles → join on shingle → count shared → |A∩B| / (|A|+|B|-|A∩B|).
+    At 100 TB this needs a document-frequency cap on shingles (drop
+    shingles appearing in >df_max docs) to bound the hot-bucket blowup;
+    exposed as the natural pre-filter on ``exploded``.
+    """
+    sizes = df.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(word_shingles(F.col(text_col), k)).alias("__sh"),
+    ).select("__id", "__sh", F.size("__sh").alias("__n"))
+    exploded = sizes.select("__id", "__n", F.explode("__sh").alias("__s"))
+    l, r = exploded.alias("l"), exploded.alias("r")
+    shared = (
+        l.join(r, on="__s")
+        .filter(F.col("l.__id") < F.col("r.__id"))
+        .groupBy(F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b"))
+        .agg(
+            F.count(F.lit(1)).alias("__inter"),
+            F.min("l.__n").alias("__na"),  # constant per group; min is deterministic
+            F.min("r.__n").alias("__nb"),
+        )
+    )
+    jac = F.col("__inter") / (F.col("__na") + F.col("__nb") - F.col("__inter"))
+    return shared.select(
+        "id_a", "id_b", jac.alias("jaccard")
+    ).filter(F.col("jaccard") >= threshold)
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute force within the
+    frame). For scale, route through similarity.lsh_bucket_topk instead;
+    this exact variant is the verification baseline."""
+    from .similarity import cosine  # local import to avoid cycle
+
+    l = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    r = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    return (
+        l.crossJoin(r)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("__va"), F.col("__vb")).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def keep_canonical(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
+    """Resolve duplicate pairs into a kept set: drop every id that
+    appears as the larger member of a pair (min-id canonicalization —
+    one pass, no iterative connected components; adequate when clusters
+    are cliques, which LSH candidate sets approximate)."""
+    losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")

@@ -1,0 +1,99 @@
+"""Format-conversion operators — SURVEY.md §2.9.
+
+OP-45: FHIR → HL7 v2 ``ADT^A01`` ER7 encoder. The reference builds four
+segments (MSH, PID, PV1, DG1) field-by-field with hl7apy
+(src/coding_task_5.py:97-175); here each segment is ONE ``concat_ws('|')``
+projection and the message is ``concat_ws('\\r')`` of the segments —
+pure whole-stage-codegen string expressions, no library, no UDF,
+per-row map work at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.scalars import hl7_field, upper_initial
+
+
+def _f(*cols: Column) -> Column:
+    """Pipe-join segment fields, preserving empty positions
+    (SURVEY.md §7.5.3: coalesce-to-empty, never skip)."""
+    return F.concat_ws("|", *[F.coalesce(c.cast("string"), F.lit("")) for c in cols])
+
+
+def adt_a01_message(
+    df: DataFrame,
+    *,
+    patient_id: Column,
+    family: Column,
+    given: Column,
+    gender: Column,
+    birth_date: Column,
+    line: Column,
+    city: Column,
+    state: Column,
+    postal: Column,
+    icd10_code: Column,
+    icd10_term: Column,
+    msg_ts: Column | None = None,
+    msg_ctl_id: Column | None = None,
+) -> DataFrame:
+    """Project an ER7 ``ADT^A01`` message column per input row.
+
+    Segment grammar mirrors the reference exactly
+    (src/coding_task_5.py:140-165; golden bytes src/data/adt_message.txt):
+    - MSH: field sep, encoding chars, sending/receiving apps, timestamp
+      (MSH-7, reference uses now() — parameterized here for determinism),
+      message type ``ADT^A01``, control id, processing id P, version 2.5.
+    - PID: set id 1, patient id (PID-3 = SOURCE-system id, a deliberate
+      reference quirk preserved per SURVEY.md §2.10), name
+      ``family^given``, birth date YYYYMMDD (OP-31), gender initial
+      (OP-30, empty → 'U'), address ``line^^city^state^postal^^H``.
+    - PV1: set id 1, patient class O (outpatient).
+    - DG1: set id 1, ``icd10^term^I10`` coding (OP-32).
+    """
+    ts = msg_ts if msg_ts is not None else F.date_format(
+        F.current_timestamp(), "yyyyMMddHHmmss"
+    )
+    ctl = msg_ctl_id if msg_ctl_id is not None else patient_id.cast("string")
+
+    msh = _f(
+        F.lit("MSH"),
+        F.lit("^~\\&"),
+        F.lit("SPARK_ETL"),
+        F.lit("SOURCE"),
+        F.lit("PRIMARY"),
+        F.lit("TARGET"),
+        ts,
+        F.lit(""),
+        F.lit("ADT^A01"),
+        ctl,
+        F.lit("P"),
+        F.lit("2.5"),
+    )
+    pid = _f(
+        F.lit("PID"),
+        F.lit("1"),
+        F.lit(""),
+        patient_id.cast("string"),
+        F.lit(""),
+        hl7_field(family, given),
+        F.lit(""),
+        F.date_format(birth_date, "yyyyMMdd"),
+        upper_initial(gender),
+        F.lit(""),
+        F.lit(""),
+        hl7_field(line, F.lit(""), city, state, postal, F.lit(""), F.lit("H")),
+    )
+    pv1 = _f(F.lit("PV1"), F.lit("1"), F.lit("O"))
+    dg1 = _f(
+        F.lit("DG1"),
+        F.lit("1"),
+        F.lit(""),
+        hl7_field(icd10_code, icd10_term, F.lit("I10")),
+    )
+    return df.select(
+        patient_id.cast("string").alias("patient_id"),
+        F.concat_ws("\r", msh, pid, pv1, dg1).alias("er7"),
+    )

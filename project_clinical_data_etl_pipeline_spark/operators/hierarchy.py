@@ -1,0 +1,88 @@
+"""SNOMED-style concept-hierarchy operators — SURVEY.md §4.3.1.
+
+The reference queries the IS-A hierarchy one hop at a time via Hermes
+ECL (``>!code`` parents, src/coding_task_1.py:158; ``<!code`` children,
+src/coding_task_2.py:139). One-hop is a plain join; generalized
+descendants-of (ECL ``<<``) is recursive, and Spark has no recursive
+CTE — so the engine materializes a TRANSITIVE-CLOSURE table once
+(iterative self-join to fixpoint) and every subsequent hierarchy query
+is a broadcast equi-join.
+
+Scale: the closure loop doubles path length per iteration
+(path-doubling: closure ⋈ closure, not closure ⋈ edges), so depth-D
+hierarchies converge in ⌈log2 D⌉ joins. SNOMED is ~15 levels deep →
+4 iterations. The closure table (~5M rows for SNOMED) stays easily
+broadcastable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def parents_of(edges: DataFrame, codes: DataFrame, code_col: str = "code") -> DataFrame:
+    """ECL ``>!`` — direct parents (OP-24). ``edges(child_id, parent_id)``."""
+    return codes.join(
+        F.broadcast(edges), on=codes[code_col] == edges["child_id"], how="inner"
+    ).drop("child_id")
+
+
+def children_of(edges: DataFrame, codes: DataFrame, code_col: str = "code") -> DataFrame:
+    """ECL ``<!`` — direct children (OP-25), reversed edge direction."""
+    return codes.join(
+        F.broadcast(edges), on=codes[code_col] == edges["parent_id"], how="inner"
+    ).drop("parent_id")
+
+
+def transitive_closure(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Materialize the full ancestor closure of ``edges(child_id,
+    parent_id)`` → ``(descendant_id, ancestor_id, min_depth)``.
+
+    Path-doubling iterative self-join, driver loop to fixpoint. Each
+    iteration is checkpointed via ``localCheckpoint`` to truncate
+    lineage (otherwise the plan doubles every round). This is a
+    build-time materialization, not a per-query operator.
+    """
+    closure = edges.select(
+        F.col("child_id").alias("descendant_id"),
+        F.col("parent_id").alias("ancestor_id"),
+        F.lit(1).alias("min_depth"),
+    ).localCheckpoint()
+    prev_count = closure.count()
+    for _ in range(max_iterations):
+        hops = (
+            closure.alias("a")
+            .join(
+                closure.alias("b"),
+                on=F.col("a.ancestor_id") == F.col("b.descendant_id"),
+            )
+            .select(
+                F.col("a.descendant_id"),
+                F.col("b.ancestor_id"),
+                (F.col("a.min_depth") + F.col("b.min_depth")).alias("min_depth"),
+            )
+        )
+        closure = (
+            closure.unionByName(hops)
+            .groupBy("descendant_id", "ancestor_id")
+            .agg(F.min("min_depth").alias("min_depth"))
+            .localCheckpoint()
+        )
+        count = closure.count()
+        if count == prev_count:
+            break
+        prev_count = count
+    return closure
+
+
+def descendants_of_any(
+    closure: DataFrame, roots: DataFrame, root_col: str = "code"
+) -> DataFrame:
+    """ECL ``<<`` via the materialized closure: all descendants of the
+    root set — one broadcast equi-join, no recursion at query time."""
+    return closure.join(
+        F.broadcast(roots.select(F.col(root_col).alias("ancestor_id"))),
+        on="ancestor_id",
+        how="inner",
+    ).select(F.col("descendant_id"), F.col("ancestor_id"), F.col("min_depth"))

@@ -1,0 +1,117 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language-ID heuristic, document fingerprinting.
+
+All pure JVM expressions (regexp / split / aggregate) — per-row map
+work, zero shuffle, embarrassingly parallel at 100 TB. Each operator is
+a Column factory so it composes into any projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword
+# language heuristic. Deliberately small and deterministic.
+_LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "la", "de", "que", "los"],
+}
+
+
+def token_count(col: Column) -> Column:
+    """Whitespace token count (BIGINT). Empty string → 0."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    ).cast("bigint")
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish token estimate: count word-piece-like units — runs of
+    letters, runs of digits, or single punctuation marks (a common
+    regex proxy for subword tokenizers when the real vocab is absent)."""
+    units = F.regexp_extract_all(col, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    return F.size(units).cast("bigint")
+
+
+def char_count(col: Column) -> Column:
+    return F.length(col).cast("bigint")
+
+
+def punct_ratio(col: Column) -> Column:
+    """Fraction of characters that are neither alphanumeric nor space."""
+    punct = F.length(F.regexp_replace(col, r"[A-Za-z0-9\s]", ""))
+    return (punct.cast("double") / F.greatest(F.length(col), F.lit(1)).cast("double"))
+
+
+def mean_word_length(col: Column) -> Column:
+    """Mean token length = non-whitespace chars / token count. Both terms
+    are exact integers → the double division is engine-deterministic."""
+    non_ws = F.length(F.regexp_replace(col, r"\s", ""))
+    return non_ws.cast("double") / F.greatest(token_count(col), F.lit(1)).cast("double")
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    """Fraction of tokens that are stopwords for ``lang``."""
+    words = F.split(F.lower(F.trim(col)), r"\s+")
+    stops = F.size(F.filter(words, lambda w: w.isin(_LANG_MARKERS[lang])))
+    return stops.cast("double") / F.greatest(F.size(words), F.lit(1)).cast("double")
+
+
+def quality_score(col: Column) -> Column:
+    """Composite [0,1] quality heuristic: penalize very short docs, high
+    punctuation density, and stopword-free (non-natural) text. The exact
+    weights are pipeline policy, not semantics — deterministic and
+    monotone in each component."""
+    len_score = F.least(char_count(col).cast("double") / F.lit(500.0), F.lit(1.0))
+    punct_pen = F.lit(1.0) - F.least(punct_ratio(col) * 5.0, F.lit(1.0))
+    stop_score = F.least(stopword_ratio(col) * 5.0, F.lit(1.0))
+    return (len_score * 0.4 + punct_pen * 0.3 + stop_score * 0.3)
+
+
+def lang_guess(col: Column) -> Column:
+    """Stopword-vote language heuristic: the language whose marker set
+    hits the most tokens wins; ties and zero hits → 'und'.
+
+    Implemented as a fixed CASE over per-language hit counts so it is
+    expressible identically in ANSI SQL for the oracle."""
+    words = F.split(F.lower(F.trim(col)), r"\s+")
+
+    def marker_hits(markers: list[str]):
+        # single-arg lambda only: a second parameter would bind to the
+        # element index, not a Python default
+        return F.size(F.filter(words, lambda w: w.isin(markers)))
+
+    counts = {lang: marker_hits(m) for lang, m in _LANG_MARKERS.items()}
+    best = F.greatest(*counts.values())
+    out = F.lit("und")
+    # fixed priority order for ties: en > fr > de > es (documented policy)
+    for lang in ["es", "de", "fr", "en"]:
+        out = F.when((best > 0) & (counts[lang] == best), F.lit(lang)).otherwise(out)
+    return out
+
+
+def fingerprint(col: Column) -> Column:
+    """Document fingerprint: md5 of canonicalized text (lowercase,
+    punctuation stripped, whitespace collapsed). Identical hex output in
+    Spark and DuckDB → oracle-checkable."""
+    c = F.lower(col)
+    c = F.regexp_replace(c, r"[^a-z0-9\s]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.md5(F.trim(c))
+
+
+def rolling_hash_fingerprint(col: Column, window: int = 8) -> Column:
+    """Winnowing-style fingerprint: min rolling hash over ``window``-word
+    spans — robust to local edits, used for fuzzy containment checks.
+    Returns BIGINT (min of xxhash64 over spans)."""
+    words = F.split(F.lower(F.trim(col)), r"\s+")
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(1)))
+    span_hashes = F.transform(
+        idx, lambda i: F.xxhash64(F.array_join(F.slice(words, i, window), " "))
+    )
+    return F.array_min(span_hashes)

@@ -1,0 +1,257 @@
+"""Aggregation / window / set-op queries (SURVEY.md §2.5, §2.8) plus the
+TPC-H-style headline bench queries.
+
+All money sums go through DECIMAL casts (exact, order-independent)
+then cast to DOUBLE — see functions.scalars.decimal_sum.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.scalars import decimal_sum
+from ..operators import relational as R
+from ..tables import load
+from .base import QuerySpec, spec
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+@spec(
+    QUERIES,
+    "q1_pricing_summary",
+    sql="""
+        SELECT l_returnflag, l_linestatus,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                   AS sum_disc_price,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
+                        * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+                   AS sum_charge,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
+               CAST(SUM(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) / count(*) AS avg_disc,
+               CAST(count(*) AS BIGINT) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 pricing summary — the headline scan+agg bench query. "
+    "Maps OP-39 group-count onto the classic 8-aggregate shape. One scan, "
+    "map-side partial agg, shuffle carries |groups|×partitions rows only.",
+    tags=("bench",),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    dec2 = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    dec_small = lambda c: F.col(c).cast("decimal(4,2)")  # noqa: E731
+    one = F.lit(1).cast("decimal(4,2)")
+    cnt = F.count(F.lit(1))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec2("l_extendedprice") * (one - dec_small("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                dec2("l_extendedprice")
+                * (one - dec_small("l_discount"))
+                * (one + dec_small("l_tax"))
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            (F.sum(dec2("l_quantity")).cast("double") / cnt).alias("avg_qty"),
+            (F.sum(dec2("l_extendedprice")).cast("double") / cnt).alias("avg_price"),
+            (F.sum(dec_small("l_discount")).cast("double") / cnt).alias("avg_disc"),
+            cnt.cast("bigint").alias("count_order"),
+        )
+    )
+
+
+@spec(
+    QUERIES,
+    "q3_top_revenue_orders",
+    sql="""
+        SELECT o_orderkey,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                   AS revenue,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_date
+        FROM customer, orders, lineitem
+        WHERE c_mktsegment = 'BUILDING'
+          AND c_custkey = o_custkey
+          AND l_orderkey = o_orderkey
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY o_orderkey, o_orderdate
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10
+    """,
+    doc="TPC-H Q3-style shipping-priority: selective dim filter → join → "
+    "agg → deterministic top-k. Customer side broadcasts after the segment "
+    "filter; lineitem never shuffles pre-join at scale with AQE.",
+    tags=("bench",),
+)
+def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    li = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01 00:00:00").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(4,2)")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, F.col("o_orderkey") == li.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (one - F.col("l_discount").cast("decimal(4,2)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_date"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@spec(
+    QUERIES,
+    "op39_group_pivot_counts",
+    sql="""
+        SELECT o_orderstatus,
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+               CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+               CAST(count(*) AS BIGINT) AS n_total
+        FROM orders GROUP BY o_orderstatus
+    """,
+    doc="OP-39 group-count × pivot (reference hand-counted resource-type "
+    "chart, src/insights.py:12-29). Pivot with explicit value list → "
+    "single-pass pivoted hash agg, no second shuffle.",
+)
+def op39_group_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    pivoted = (
+        o.groupBy("o_orderstatus")
+        .pivot("o_orderpriority", ["1-URGENT", "2-HIGH"])
+        .agg(F.count(F.lit(1)))
+    )
+    totals = R.group_counts(o, "o_orderstatus").withColumnRenamed("n", "n_total")
+    return (
+        pivoted.join(totals, on="o_orderstatus")
+        .select(
+            "o_orderstatus",
+            F.coalesce(F.col("1-URGENT"), F.lit(0)).cast("bigint").alias("n_urgent"),
+            F.coalesce(F.col("2-HIGH"), F.lit(0)).cast("bigint").alias("n_high"),
+            F.col("n_total"),
+        )
+    )
+
+
+@spec(
+    QUERIES,
+    "op40_weekly_trend",
+    sql="""
+        SELECT strftime(date_trunc('week', ts), '%Y-%m-%d') AS week_start,
+               event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1, 2
+    """,
+    doc="OP-40 trend-over-time aggregation (reference roadmap "
+    "insights.md:173: 'observation trends over time'). date_trunc "
+    "bucketing; at scale the events table is date-partitioned so the "
+    "scan prunes to the analysis window.",
+)
+def op40_weekly_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    return R.time_bucket_trend(
+        e,
+        ts="ts",
+        bucket="week",
+        group_cols=["event_type"],
+        aggs=[
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            decimal_sum("value").alias("total_value"),
+        ],
+    ).select(
+        F.date_format("week_start", "yyyy-MM-dd").alias("week_start"),
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+
+@spec(
+    QUERIES,
+    "op40_latest_per_user",
+    sql="""
+        SELECT user_id, event_id, event_type,
+               strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+        FROM (
+            SELECT user_id, event_id, event_type, ts,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    doc="OP-40 ranking window: latest event per user (reference roadmap "
+    "'latest observation per patient', insights.md:173). One shuffle on "
+    "user_id; ties pinned by event_id.",
+)
+def op40_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_id",
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        )
+    )
+
+
+@spec(
+    QUERIES,
+    "op43_union_distinct",
+    sql="""
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+        UNION
+        SELECT o_custkey AS c_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'
+    """,
+    doc="OP-43 set op: union-distinct of two key sets (reference implicit "
+    "union of per-task outputs, insights.md:52-59).",
+)
+def op43_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rich = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000.0)
+        .select("c_custkey")
+    )
+    recent = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("1998-06-01 00:00:00").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return rich.unionByName(recent).distinct()

@@ -1,0 +1,125 @@
+"""Format-conversion & validation queries (SURVEY.md §2.9) bound to the
+testdata tables: the ER7 encoder and the $validate-analog findings
+operator, exercised as general operators so DuckDB can oracle-check
+them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import validation as V
+from ..operators.encoders import adt_a01_message
+from ..tables import load
+from .base import QuerySpec, spec
+
+QUERIES: dict[str, QuerySpec] = {}
+
+# Fixed MSH-7 timestamp: the reference stamps now() (src/coding_task_5.py:138);
+# pinned here so the oracle hash is stable.
+_MSG_TS = "20260101120000"
+
+_ER7_SQL = f"""
+    SELECT CAST(c_custkey AS VARCHAR) AS patient_id,
+           concat_ws(chr(13),
+             'MSH|^~\\&|SPARK_ETL|SOURCE|PRIMARY|TARGET|{_MSG_TS}||ADT^A01|'
+               || CAST(o_orderkey AS VARCHAR) || '|P|2.5',
+             'PID|1||' || CAST(c_custkey AS VARCHAR) || '||'
+               || 'Customer' || '^' || split_part(c_name, '#', 2) || '||'
+               || strftime(o_orderdate, '%Y%m%d') || '|'
+               || upper(substr(c_mktsegment, 1, 1)) || '|||'
+               || '1 Main St' || '^^' || n_name || '^XX^00000^^H',
+             'PV1|1|O',
+             'DG1|1||' || o_orderpriority || '^' || o_orderstatus || '^I10')
+             AS er7
+    FROM orders, customer, nation
+    WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+"""
+
+
+@spec(
+    QUERIES,
+    "op45_er7_encode",
+    sql=_ER7_SQL,
+    doc="OP-45 FHIR→HL7 v2 ER7 encoder (reference src/coding_task_5.py:97-175, "
+    "golden bytes src/data/adt_message.txt) as a pure string projection: one "
+    "concat_ws('|') per segment, concat_ws('\\r') across segments — no "
+    "hl7apy, no UDF, whole-stage codegen. Exercised here over "
+    "orders×customer×nation standing in for patient×condition.",
+)
+def op45_er7_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    return adt_a01_message(
+        joined,
+        patient_id=F.col("c_custkey"),
+        family=F.lit("Customer"),
+        given=F.element_at(F.split("c_name", "#"), 2),
+        gender=F.col("c_mktsegment"),
+        birth_date=F.col("o_orderdate"),
+        line=F.lit("1 Main St"),
+        city=F.col("n_name"),
+        state=F.lit("XX"),
+        postal=F.lit("00000"),
+        icd10_code=F.col("o_orderpriority"),
+        icd10_term=F.col("o_orderstatus"),
+        msg_ts=F.lit(_MSG_TS),
+        msg_ctl_id=F.col("o_orderkey").cast("string"),
+    )
+
+
+_VALIDATE_SQL = """
+    SELECT CAST(c_custkey AS VARCHAR) AS resource_id,
+           'error' AS severity,
+           'required.c_name' AS rule,
+           'missing required field c_name' AS diagnostics
+    FROM customer WHERE c_name IS NULL OR trim(c_name) = ''
+    UNION ALL
+    SELECT CAST(c_custkey AS VARCHAR), 'warning', 'valueset.c_mktsegment',
+           'value of c_mktsegment not in segment valueset'
+    FROM customer
+    WHERE c_mktsegment IS NOT NULL
+      AND c_mktsegment NOT IN ('AUTOMOBILE','BUILDING','FURNITURE','HOUSEHOLD')
+    UNION ALL
+    SELECT CAST(c_custkey AS VARCHAR), 'warning', 'range.c_acctbal',
+           'negative account balance'
+    FROM customer WHERE c_acctbal < 0
+"""
+
+
+@spec(
+    QUERIES,
+    "op46_validation_findings",
+    sql=_VALIDATE_SQL,
+    doc="OP-46 conformance validation as a findings table (reference FHIR "
+    "$validate → OperationOutcome, src/validation.py:8-24; findings classes "
+    "per insights.md:105-118: required-element error, valueset warning, "
+    "range warning). Single map-only pass: rules → conditional struct "
+    "array → filter+explode.",
+)
+def op46_validation_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    rules = [
+        V.required_fields(c, "c_custkey", ["c_name"])[0],
+        V.Rule(
+            name="valueset.c_mktsegment",
+            severity="warning",
+            violation=F.col("c_mktsegment").isNotNull()
+            & ~F.col("c_mktsegment").isin(
+                ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD"]
+            ),
+            diagnostics="value of c_mktsegment not in segment valueset",
+        ),
+        V.Rule(
+            name="range.c_acctbal",
+            severity="warning",
+            violation=F.col("c_acctbal") < 0,
+            diagnostics="negative account balance",
+        ),
+    ]
+    return V.validate(c, "c_custkey", rules)

@@ -1,0 +1,166 @@
+"""Join / enrichment queries (SURVEY.md §2.6) on the testdata tables.
+
+Join classes exercised, mirroring the reference: broadcast-hash dim
+enrichment (OP-24/25/26), left-semi FK filter (OP-10), left-anti
+care-gap (OP-29), first-match priority lookup (OP-26), FK split/
+construction (OP-27).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import relational as R
+from ..tables import load
+from .base import QuerySpec, spec
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+@spec(
+    QUERIES,
+    "op10_semi_join",
+    sql="""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM customer
+                            WHERE c_mktsegment = 'AUTOMOBILE')
+    """,
+    doc="OP-10 FK filter as left-semi join (reference Condition?patient={id}, "
+    "src/coding_task_1.py:85-109). Key side broadcasts → zero shuffle of "
+    "the fact table at any scale.",
+)
+def op10_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    keys = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "AUTOMOBILE")
+        .select(F.col("c_custkey").alias("o_custkey"))
+    )
+    return R.semi_join(o, keys, on="o_custkey").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+
+@spec(
+    QUERIES,
+    "op24_dim_enrichment",
+    sql="""
+        SELECT r_name,
+               CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        FROM customer, nation, region
+        WHERE c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        GROUP BY r_name
+    """,
+    doc="OP-24 terminology-style dim enrichment (reference N+1 Hermes "
+    "lookups src/coding_task_1.py:137-175 → ONE broadcast hash join per "
+    "dim). Physical plan: two BroadcastHashJoins, fact side never shuffles "
+    "before the final partial agg.",
+)
+def op24_dim_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalars import decimal_sum
+
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region")
+    enriched = R.dim_enrich(
+        R.dim_enrich(c, n, on=c.c_nationkey == n.n_nationkey),
+        r,
+        on=F.col("n_regionkey") == r.r_regionkey,
+    )
+    return enriched.groupBy("r_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        decimal_sum("c_acctbal").alias("total_acctbal"),
+    )
+
+
+@spec(
+    QUERIES,
+    "op26_first_match_lookup",
+    sql="""
+        SELECT o_orderkey, o_totalprice, l_partkey, l_linenumber
+        FROM orders
+        LEFT JOIN (
+            SELECT l_orderkey, l_partkey, l_linenumber
+            FROM (
+                SELECT l_orderkey, l_partkey, l_linenumber,
+                       row_number() OVER (PARTITION BY l_orderkey
+                                          ORDER BY l_linenumber, l_partkey) AS rn
+                FROM lineitem
+            ) WHERE rn = 1
+        ) fl ON o_orderkey = fl.l_orderkey
+    """,
+    doc="OP-26 first-match priority lookup (reference SNOMED→ICD-10 map "
+    "row 0 wins, src/coding_task_5.py:71-94; left join preserves the "
+    "no-mapping (NULL) path :85-87). Mapping side deduped to 1 row/key "
+    "BEFORE the join so fact rows cannot fan out.",
+)
+def op26_first_match_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    mapping = load(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_partkey", "l_linenumber"
+    )
+    return R.lookup_first_match(
+        o,
+        mapping,
+        key="o_orderkey",
+        priority=[F.col("l_linenumber").asc(), F.col("l_partkey").asc()],
+        broadcast_mapping=False,  # mapping derives from the fact-sized table
+    ).select("o_orderkey", "o_totalprice", "l_partkey", "l_linenumber")
+
+
+@spec(
+    QUERIES,
+    "op27_fk_split",
+    sql="""
+        SELECT o_orderkey,
+               'Customer/' || CAST(o_custkey AS VARCHAR) AS subject_reference,
+               split_part('Customer/' || CAST(o_custkey AS VARCHAR), '/', 1) AS ref_type,
+               CAST(split_part('Customer/' || CAST(o_custkey AS VARCHAR), '/', 2) AS BIGINT) AS ref_id
+        FROM orders
+    """,
+    doc="OP-27 discriminated-reference construction + inverse split "
+    "(reference subject.reference='Patient/{id}', src/coding_task_1.py:316-318; "
+    "split for joining, SURVEY §1.3).",
+)
+def op27_fk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    ref = F.concat(F.lit("Customer/"), F.col("o_custkey").cast("string"))
+    t, i = R.fk_split(ref)
+    return o.select(
+        "o_orderkey",
+        ref.alias("subject_reference"),
+        t.alias("ref_type"),
+        i.cast("bigint").alias("ref_id"),
+    )
+
+
+@spec(
+    QUERIES,
+    "op29_care_gap_anti_join",
+    sql="""
+        SELECT c_custkey, c_name
+        FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1998-06-01 00:00:00')
+    """,
+    doc="OP-29 care-gap anti-join with temporal predicate — the flagship "
+    "analytics query (reference insights.md:221-225: condition present, NO "
+    "recent observation). Recency filter applied BEFORE the anti-join so "
+    "the build side stays small.",
+)
+def op29_care_gap_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    has_any = R.semi_join(
+        c, o.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey"
+    )
+    recent = (
+        o.filter(F.col("o_orderdate") >= F.lit("1998-06-01 00:00:00").cast("timestamp"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    return R.anti_join(has_any, recent, on="c_custkey").select("c_custkey", "c_name")

@@ -1,0 +1,306 @@
+"""Training-data-pipeline queries over ``documents`` and ``embeddings``:
+dedup (exact / minhash-LSH / simhash / n-gram Jaccard), similarity
+search (brute-force + LSH), text analysis, fingerprinting, multimodal
+plumbing.
+
+Oracle-checkable ops use md5 (identical hex in Spark & DuckDB) and
+integer-exact ratios; xxhash64-based ops (minhash/simhash) have no
+DuckDB twin → registered without SQL (driver records rows-only).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import dedup as D
+from ..operators import similarity as S
+from ..operators import text as X
+from ..tables import load
+from .base import QuerySpec, spec
+
+QUERIES: dict[str, QuerySpec] = {}
+
+# Canonicalization in DuckDB — mirrors dedup.normalize_text / text.fingerprint.
+# DuckDB regexp_replace needs the 'g' flag (Spark replaces all by default).
+_NORM = (
+    "trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+@spec(
+    QUERIES,
+    "dedup_exact",
+    sql=f"""
+        SELECT md5({_NORM}) AS content_hash,
+               CAST(min(doc_id) AS BIGINT) AS keep_id,
+               CAST(count(*) AS BIGINT) AS n_dups
+        FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup via normalized-content hash-groupBy. Only "
+    "(hash, id) shuffles — never the text. keep = min id.",
+    tags=("llm", "bench"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup_groups(load(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@spec(
+    QUERIES,
+    "text_fingerprint",
+    sql=f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
+    doc="Document fingerprint: md5 over canonicalized text — the "
+    "content-addressing primitive for incremental dedup.",
+    tags=("llm",),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
+
+
+@spec(
+    QUERIES,
+    "text_stats",
+    sql="""
+        SELECT doc_id,
+               CAST(CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+                   AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_calc,
+               CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) AS punct_ratio,
+               CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                   / greatest(CASE WHEN trim(text) = '' THEN 0
+                              ELSE len(string_split_regex(trim(text), '\\s+')) END, 1)
+                   AS mean_word_len
+        FROM documents
+    """,
+    doc="Text quality statistics: token count, char count, punctuation "
+    "ratio, mean word length — all integer-exact numerators/denominators "
+    "so the double ratios are engine-deterministic. Map-only.",
+    tags=("llm", "bench"),
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        X.token_count(t).alias("n_tokens"),
+        X.char_count(t).alias("n_chars_calc"),
+        X.punct_ratio(t).alias("punct_ratio"),
+        X.mean_word_length(t).alias("mean_word_len"),
+    )
+
+
+def _langid_sql() -> str:
+    """Generate the oracle CASE for the stopword-vote language heuristic,
+    mirroring text.lang_guess (same marker sets, same tie priority)."""
+    counts = {
+        lang: (
+            "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+            f"w -> w IN ({', '.join(repr(m) for m in markers)})))"
+        )
+        for lang, markers in X._LANG_MARKERS.items()
+    }
+    best = f"greatest({counts['en']}, {counts['fr']}, {counts['de']}, {counts['es']})"
+    # priority en > fr > de > es on ties (documented policy in lang_guess)
+    whens = "\n".join(
+        f"WHEN {best} > 0 AND {counts[lang]} = {best} THEN '{lang}'"
+        for lang in ["en", "fr", "de", "es"]
+    )
+    return f"""
+        SELECT doc_id, lang AS lang_declared,
+               CASE {whens} ELSE 'und' END AS lang_pred
+        FROM documents
+    """
+
+
+@spec(
+    QUERIES,
+    "text_langid",
+    sql=_langid_sql(),
+    doc="Language-ID heuristic: stopword-marker vote with fixed tie "
+    "priority, next to the declared lang column. Pure expression — at "
+    "scale this is a free rider on any scan.",
+    tags=("llm",),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        X.lang_guess(F.col("text")).alias("lang_pred"),
+    )
+
+
+_JACCARD_SQL = f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(ws) - 2, 1)),
+                   i -> array_to_string(ws[i:i+2], ' '))) AS shs
+        FROM (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents)
+    ),
+    e AS (SELECT doc_id, len(shs) AS n, unnest(shs) AS s FROM sh),
+    pairs AS (
+        SELECT l.doc_id AS id_a, r.doc_id AS id_b,
+               count(*) AS inter, min(l.n) AS na, min(r.n) AS nb
+        FROM e l JOIN e r ON l.s = r.s AND l.doc_id < r.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT id_a, id_b,
+           CAST(inter AS DOUBLE) / (na + nb - inter) AS jaccard
+    FROM pairs
+    WHERE CAST(inter AS DOUBLE) / (na + nb - inter) >= 0.05
+"""
+
+
+@spec(
+    QUERIES,
+    "dedup_ngram_jaccard",
+    sql=_JACCARD_SQL,
+    doc="Exact 3-word-shingle Jaccard over candidate pairs sharing ≥1 "
+    "shingle (inverted-index self-join). Integer-exact intersection/union "
+    "→ deterministic ratio. At 100 TB add a shingle document-frequency cap "
+    "to bound hot buckets (see operators.dedup.ngram_jaccard_pairs).",
+    tags=("llm",),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.05
+    )
+
+
+@spec(
+    QUERIES,
+    "dedup_minhash_pairs",
+    sql=None,  # xxhash64 signatures have no DuckDB twin → rows-only check
+    doc="MinHash(32)+LSH(8 bands) candidate pairs with signature-estimated "
+    "Jaccard. Map-side signatures (fixed 256 B/doc), band-bucket "
+    "equi-join — text never shuffles. The scale path for fuzzy dedup.",
+    tags=("llm", "bench"),
+)
+def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=32, bands=8
+    )
+
+
+@spec(
+    QUERIES,
+    "dedup_simhash_pairs",
+    sql=None,  # xxhash64-based bit votes → rows-only check
+    doc="SimHash64 near-dup pairs via 4×16-bit block LSH (Hamming ≤ 3 ⇒ "
+    "pigeonhole guarantees a shared block). Candidate generation is an "
+    "equi-join on block keys.",
+    tags=("llm",),
+)
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_near_dups(
+        load(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
+    )
+
+
+_TOPK_SQL = """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM embeddings WHERE vec_id < 8),
+    c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+    scored AS (
+        SELECT query_id, neighbor_id,
+               list_dot_product(qv, cv)
+                 / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                 AS cosine
+        FROM q CROSS JOIN c
+        WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+"""
+
+
+@spec(
+    QUERIES,
+    "embed_topk_bruteforce",
+    sql=_TOPK_SQL,
+    doc="Exact cosine top-5 for query vectors vec_id<8 — the ANN "
+    "correctness baseline. Query side broadcasts; corpus scanned once; "
+    "dot products via zip_with+aggregate (JVM, element-order identical to "
+    "the oracle → bit-exact doubles).",
+    tags=("llm", "bench"),
+)
+def embed_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(e.filter(F.col("vec_id") < 8), e, k=5)
+
+
+def _lsh_topk_sql(dim: int = 64, num_planes: int = 8, k: int = 5) -> str:
+    """Oracle for the LSH-bucketed ANN: hyperplanes are deterministic
+    constants (similarity._hyperplane), so they embed as SQL literals."""
+    def plane_lit(i: int) -> str:
+        vals = ", ".join(f"{v!r}" for v in S._hyperplane(dim, i))
+        return f"[{vals}]::DOUBLE[]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, {plane_lit(i)}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(num_planes)
+    )
+    return f"""
+        WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        sig AS (SELECT vec_id, v, {bucket} AS bucket FROM b),
+        q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sig WHERE vec_id < 8),
+        c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM sig),
+        scored AS (
+            SELECT query_id, neighbor_id,
+                   list_dot_product(qv, cv)
+                     / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+                     AS cosine
+            FROM q JOIN c USING (bucket)
+            WHERE query_id <> neighbor_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cosine DESC, neighbor_id) AS rn
+              FROM scored)
+        WHERE rn <= {k}
+    """
+
+
+@spec(
+    QUERIES,
+    "embed_topk_lsh",
+    sql=_lsh_topk_sql(),
+    doc="Approximate top-5 via random-hyperplane LSH bucketing — the "
+    "100 TB path: corpus bucketed in one map pass, the cross join becomes "
+    "an equi-join on bucket keys (~1/2^8 of the corpus per query). "
+    "Hyperplanes are hash-derived constants → same buckets in the oracle.",
+    tags=("llm",),
+)
+def embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return S.lsh_bucket_topk(e.filter(F.col("vec_id") < 8), e, dim=64, k=5)
+
+
+@spec(
+    QUERIES,
+    "multimodal_decode",
+    sql=None,  # binary decode plumbing — no SQL twin; rows-only check
+    doc="Multimodal plumbing: treat document text bytes as an opaque "
+    "binary payload, run the Arrow-batched mapInPandas decode kernel "
+    "(deterministic stub — real codecs absent in this container) and "
+    "return typed metadata. Proves schema/batch/partition contract.",
+    tags=("llm",),
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import decode_image_features
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return decode_image_features(d, fake=True).select(
+        "media_id", "width", "height", "n_channels"
+    )

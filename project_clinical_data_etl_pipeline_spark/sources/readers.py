@@ -1,0 +1,47 @@
+"""Source operators — SURVEY.md §2.1 (OP-01..05).
+
+The reference reads from a FHIR REST server; the engine's canonical
+at-rest format is parquet (columnar, pushdown, pruning). JSON documents
+and scalar text handoffs map to spark.read.json / spark.read.text.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+def read_table(spark: SparkSession, path: str, schema: StructType | None = None) -> DataFrame:
+    """OP-01 full-collection scan (reference src/coding_task_1.py:42-50).
+    Explicit schema where known — no inference pass over 100 TB."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.parquet(path)
+
+
+def read_json_docs(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    multi_line: bool = True,
+) -> DataFrame:
+    """OP-03 JSON document read (reference src/coding_task_1.py:11-27).
+
+    PERMISSIVE mode + _corrupt_record reproduces the reference's
+    tolerance of malformed/missing fields (SURVEY.md §1.2): bad docs
+    become rows with NULLs + the raw record, not job failures.
+    """
+    reader = spark.read.option("multiLine", multi_line).option("mode", "PERMISSIVE")
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def read_scalar_text(spark: SparkSession, path: str, alias: str = "value") -> DataFrame:
+    """OP-04 scalar text read (reference src/coding_task_3.py:42-52 —
+    the single-id handoff files). Returns a 1-column trimmed DataFrame;
+    in-DAG lineage should replace these handoffs wherever possible
+    (SURVEY.md §3.4)."""
+    return spark.read.text(path).select(F.trim(F.col("value")).alias(alias))

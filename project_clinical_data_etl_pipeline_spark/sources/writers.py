@@ -1,0 +1,67 @@
+"""Sink operators — SURVEY.md §2.2 (OP-06..08) + the REST sink stub.
+
+The reference POSTs each resource one-by-one to a FHIR server
+(src/coding_task_1.py:222-235). The engine's equivalents:
+parquet/JSON/text writes for at-rest data, and a partition-parallel
+``foreachPartition`` HTTP sink for REST targets — batched per
+partition, connection reuse, and parallel across the cluster where the
+reference is strictly serial.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+from pyspark.sql import DataFrame
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: list[str] | None = None) -> None:
+    """OP-06 canonical sink. ``partition_by`` (e.g. event date) enables
+    static+dynamic partition pruning for downstream readers."""
+    writer = df.write.mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """OP-07 JSON export (reference json.dump per resource,
+    src/coding_task_1.py:382-386)."""
+    df.write.mode(mode).json(path)
+
+
+def write_text(df: DataFrame, path: str, mode: str = "overwrite",
+               single_file: bool = False) -> None:
+    """OP-08 text export (reference id handoffs + the ER7 message,
+    src/coding_task_5.py:168-170). ``single_file`` coalesces — only for
+    driver-scale outputs, never bulk data."""
+    out = df.coalesce(1) if single_file else df
+    out.write.mode(mode).text(path)
+
+
+def foreach_partition_post(
+    df: DataFrame,
+    post_batch: Callable[[list[dict]], None],
+    batch_size: int = 100,
+) -> None:
+    """OP-06 REST sink: partition-parallel batched POST (replaces the
+    reference's serial per-row requests.post, src/coding_task_1.py:222-235).
+
+    ``post_batch`` receives lists of row-dicts; it owns the HTTP session
+    (created once per partition, not per row). Retries/idempotency are
+    the callable's concern — at-least-once semantics, so targets should
+    upsert on a natural key.
+    """
+
+    def handle(rows: Iterator) -> None:
+        buf: list[dict] = []
+        for row in rows:
+            buf.append(row.asDict(recursive=True))
+            if len(buf) >= batch_size:
+                post_batch(buf)
+                buf = []
+        if buf:
+            post_batch(buf)
+
+    df.foreachPartition(handle)

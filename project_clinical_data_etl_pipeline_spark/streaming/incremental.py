@@ -1,0 +1,114 @@
+"""Structured-Streaming incremental surface — OP-41 (SURVEY.md §2.8).
+
+The reference's roadmap asks for scheduled/incremental sync and
+time-trend analyses (reference insights.md:169-173); it has no streaming
+code at all, so these semantics are greenfield per the survey: file
+source → watermarked tumbling-window aggregation → memory/foreachBatch
+sink.
+
+Scale notes: the same plan runs against Kafka by swapping the source;
+state size is bounded by (windows in watermark horizon × group
+cardinality); ``foreachBatch`` gives exactly-once upsert into any
+batch-writable sink.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (one file → one
+    deterministic micro-batch; the local stand-in for Kafka)."""
+    from ..tables import convert_event_ts
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")  # source path must be a dir
+        .parquet(sf_dir)
+    )
+    return convert_event_ts(raw)
+
+
+def _hourly_agg(events: DataFrame, watermark: str | None) -> DataFrame:
+    e = events.withWatermark("ts", watermark) if watermark else events
+    return (
+        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_hourly_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the tumbling-window count stream to completion (complete
+    output mode → every window emitted; deterministic, equals the batch
+    group-by) and return the result as a DataFrame."""
+    name = f"hourly_counts_{uuid.uuid4().hex[:8]}"
+    q = (
+        _hourly_agg(_event_stream(spark, sf_dir), watermark=None)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def run_watermarked_append_stream(
+    spark: SparkSession, sf_dir: str, delay: str = "1 hour"
+) -> DataFrame:
+    """Append-mode variant with a late-data watermark: only windows whose
+    end ≤ (max event ts − delay) are finalized and emitted — the
+    production shape for incremental sinks (late rows inside the horizon
+    still update their window; older ones are dropped)."""
+    name = f"hourly_append_{uuid.uuid4().hex[:8]}"
+    q = (
+        _hourly_agg(_event_stream(spark, sf_dir), watermark=delay)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+def hourly_counts_batch_equivalent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The batch plan the complete-mode stream must equal — used as the
+    oracle-side definition and in tests."""
+    from ..tables import load
+
+    e = load(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,67 @@
+"""Loaders for the driver's synthetic parquet tables (TESTDATA.md).
+
+Tables: region nation customer supplier part orders lineitem events
+documents embeddings — one parquet file per table under
+``/root/testdata/sf{0.001,0.01,0.1}/``.
+
+All loads are plain ``spark.read.parquet`` so Catalyst keeps predicate
+pushdown / column pruning (verified via ``.explain``: filters appear in
+``PushedFilters``, projections in ``ReadSchema``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+TABLE_NAMES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def convert_event_ts(df: DataFrame) -> DataFrame:
+    """events.ts is TIMESTAMP(NANOS) in parquet — illegal for Spark's
+    reader. With spark.sql.legacy.parquet.nanosAsLong=true it arrives as
+    a nanos-since-epoch long; convert to a micros TimestampType (floor —
+    matches DuckDB's native nanos value to the microsecond)."""
+    if "ts" in df.columns and isinstance(df.schema["ts"].dataType, LongType):
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table. OP-01 (full-collection scan): the engine's table
+    scan is a vectorized parquet read; the reference's equivalent is a
+    full REST collection GET (reference src/coding_task_1.py:42-50)."""
+    if name not in TABLE_NAMES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        df = convert_event_ts(df)
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load(spark, sf_dir, t) for t in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so operators can be written in
+    SQL where that is clearer (Catalyst produces identical plans)."""
+    for t in TABLE_NAMES:
+        load(spark, sf_dir, t).createOrReplaceTempView(t)
