@@ -32,6 +32,26 @@ def normalize_text(col: Column) -> Column:
     return F.trim(c)
 
 
+def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Round-robin repartition iff the input is narrower than the session's
+    shuffle parallelism. Expensive per-row map stages (signatures,
+    shingling) otherwise run on however few partitions the scan produced
+    — a single small parquet file = ONE task = serial execution.
+
+    At 100 TB this is a no-op (the scan already yields thousands of
+    partitions); it only pays the shuffle when the input is pathologically
+    narrow relative to the cluster."""
+    try:
+        n = min_partitions or int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    except Exception:
+        n = min_partitions or 32
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
+
+
 def exact_dedup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Exact dedup via content hash: one output row per distinct content,
     with the kept (minimum) id and the duplicate count.
@@ -62,7 +82,15 @@ def _mix(x: int) -> int:
 
 def word_shingles(col: Column, k: int = 3) -> Column:
     """k-word shingles as an array<string>. Built with higher-order
-    functions only: split → transform over positions → slice+join."""
+    functions only: split → transform over positions → slice+join.
+
+    PERF: ``col`` should be a plain attribute (or cheap) — the words
+    expression is embedded inside the position lambda, and interpreted
+    HOFs have NO common-subexpression elimination, so an expensive
+    ``col`` re-evaluates once per shingle position. For DataFrame-level
+    use go through :func:`with_shingles`, which materializes the words
+    array in its own projection first (measured 4× on the bench corpus).
+    """
     words = F.split(normalize_text(col), " ")
     n = F.size(words)
     # positions 1 .. n-k+1; each shingle = words[i .. i+k-1] joined
@@ -72,14 +100,44 @@ def word_shingles(col: Column, k: int = 3) -> Column:
     )
 
 
+def _shingles_from_words(words: Column, k: int) -> Column:
+    """Shingle array from an already-materialized words attribute."""
+    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(k - 1), F.lit(1)))
+    return F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
+
+
+def with_shingles(
+    df: DataFrame, text_col: str, k: int = 3, out: str = "__shingles"
+) -> DataFrame:
+    """Add a k-word-shingle array column via a two-step projection.
+
+    Step 1 materializes the normalized words array as its own column;
+    step 2 builds shingles referencing that attribute. The split keeps
+    the regex-normalize pipeline out of the per-position lambda (no CSE
+    in interpreted HOF evaluation), and CollapseProject leaves the two
+    projections alone because the words column is non-cheap and
+    referenced more than once."""
+    w = df.withColumn("__words", F.split(normalize_text(F.col(text_col)), " "))
+    return w.withColumn(out, _shingles_from_words(F.col("__words"), k)).drop("__words")
+
+
 def minhash_signature(col: Column, num_hashes: int = 32, k: int = 3) -> Column:
     """MinHash signature as array<bigint> of length ``num_hashes``.
 
     hash_i(shingle) = xxhash64(shingle, seed=i); signature[i] =
     min over shingles. Pure JVM expressions — per-row map work, no
     shuffle. 32×8 bytes per doc regardless of doc size.
+
+    PERF: prefer :func:`minhash_signature_from_shingles` over a
+    materialized shingle attribute (see :func:`with_shingles`).
     """
-    shingles = word_shingles(col, k)
+    return minhash_signature_from_shingles(word_shingles(col, k), num_hashes)
+
+
+def minhash_signature_from_shingles(
+    shingles: Column, num_hashes: int = 32
+) -> Column:
+    """MinHash signature from an existing shingle-array column."""
     # One string hash per shingle, then num_hashes multiply-shift
     # transforms h_i(x) = ((h32 XOR c_i) * a_i) >> 13 — the XOR breaks
     # monotonicity (an affine-only family would make every h_i share one
@@ -138,9 +196,9 @@ def minhash_lsh_pairs(
     be layered on top for adversarial data.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
+    sig = with_shingles(fan_out(df), text_col, k).select(
         F.col(id_col).alias("__id"),
-        minhash_signature(F.col(text_col), num_hashes, k).alias("__sig"),
+        minhash_signature_from_shingles(F.col("__shingles"), num_hashes).alias("__sig"),
     )
     banded = sig.select(
         "__id",
@@ -197,11 +255,10 @@ def minhash_lsh_pairs(
     return pairs
 
 
-def simhash_votes(col: Column, k: int = 2) -> Column:
-    """Per-bit SimHash votes as array<int>(64): one pass over the shingle
-    hashes, +1/-1 per bit via zip_with — the shingle pipeline is
-    evaluated once, not per bit."""
-    shingles = word_shingles(col, k)
+def simhash_votes(shingles: Column, k: int = 2) -> Column:
+    """Per-bit SimHash votes as array<int>(64) from a shingle-array
+    column: one pass over the shingle hashes, +1/-1 per bit via
+    zip_with — the shingle pipeline is evaluated once, not per bit."""
     hashes = F.transform(shingles, lambda s: F.xxhash64(s, F.lit(7)))
     bit_masks = F.array(
         *[F.shiftleft(F.lit(1).cast("bigint"), b) for b in range(64)]
@@ -231,9 +288,12 @@ def with_simhash64(
 ) -> DataFrame:
     """Add a 64-bit SimHash (bigint) of ``text_col``. Classic bit-vote
     construction; map-only, one shingle pass per row."""
-    return df.withColumn("__votes", simhash_votes(F.col(text_col), k)).withColumn(
-        out_col, F.expr(_PACK_VOTES_SQL.format(votes="__votes"))
-    ).drop("__votes")
+    return (
+        with_shingles(df, text_col, k)
+        .withColumn("__votes", simhash_votes(F.col("__shingles"), k))
+        .withColumn(out_col, F.expr(_PACK_VOTES_SQL.format(votes="__votes")))
+        .drop("__votes", "__shingles")
+    )
 
 
 def simhash_near_dups(
@@ -247,7 +307,7 @@ def simhash_near_dups(
     worth of explode, shuffling (block_key, id, simhash) only.
     """
     sh = with_simhash64(
-        df.select(F.col(id_col).alias("__id"), text_col), text_col, "__sh"
+        fan_out(df.select(F.col(id_col).alias("__id"), text_col)), text_col, "__sh"
     ).select("__id", "__sh")
     blocked = sh.select(
         "__id",
@@ -298,9 +358,9 @@ def ngram_jaccard_pairs(
     shingles appearing in >df_max docs) to bound the hot-bucket blowup;
     exposed as the natural pre-filter on ``exploded``.
     """
-    sizes = df.select(
+    sizes = with_shingles(fan_out(df), text_col, k).select(
         F.col(id_col).alias("__id"),
-        F.array_distinct(word_shingles(F.col(text_col), k)).alias("__sh"),
+        F.array_distinct(F.col("__shingles")).alias("__sh"),
     ).select("__id", "__sh", F.size("__sh").alias("__n"))
     exploded = sizes.select("__id", "__n", F.explode("__sh").alias("__s"))
     l, r = exploded.alias("l"), exploded.alias("r")
