@@ -107,11 +107,30 @@ def fingerprint(col: Column) -> Column:
 def rolling_hash_fingerprint(col: Column, window: int = 8) -> Column:
     """Winnowing-style fingerprint: min rolling hash over ``window``-word
     spans — robust to local edits, used for fuzzy containment checks.
-    Returns BIGINT (min of xxhash64 over spans)."""
+    Returns BIGINT (min of xxhash64 over spans).
+
+    PERF: ``col`` should be a materialized words array attribute when
+    called per-DataFrame (see :func:`with_rolling_fingerprint`) — the
+    words expression is otherwise re-evaluated per span position
+    (interpreted HOFs have no CSE)."""
     words = F.split(F.lower(F.trim(col)), r"\s+")
+    return _rolling_from_words(words, window)
+
+
+def _rolling_from_words(words: Column, window: int) -> Column:
     n = F.size(words)
     idx = F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(1)))
     span_hashes = F.transform(
         idx, lambda i: F.xxhash64(F.array_join(F.slice(words, i, window), " "))
     )
     return F.array_min(span_hashes)
+
+
+def with_rolling_fingerprint(df, text_col: str, out: str, window: int = 8):
+    """DataFrame-level rolling fingerprint with the words array
+    materialized in its own projection (evaluated once per row, not once
+    per span)."""
+    w = df.withColumn("__words", F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+    return w.withColumn(out, _rolling_from_words(F.col("__words"), window)).drop(
+        "__words"
+    )

@@ -1,0 +1,397 @@
+"""Remaining SURVEY.md §2 operators as driver-checkable queries:
+nested-array predicates (OP-11), projection/construction (OP-15/16/17/20),
+child expansion (OP-25), quality flags (OP-42), the Arrow-vectorized UDF
+surface (OP-44), source/sink round-trips (OP-03/04/07/08), the §4.3.1
+transitive-closure materialization, and a second TPC-H-style headline
+join-agg (Q5 shape).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators import hierarchy as H
+from ..tables import load
+from .base import QuerySpec, spec
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+@spec(
+    QUERIES,
+    "op11_nested_array_exists",
+    sql="""
+        SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items
+        FROM lineitem
+        GROUP BY l_orderkey
+        HAVING bool_or(l_returnflag = 'R' AND l_quantity > 45.0)
+    """,
+    doc="OP-11 filter on an element of a nested array — the reference's "
+    "code=system|coding search (src/coding_task_3.py:54-87, LOINC 85354-9 "
+    "panel). Lineitems are collected to array<struct> per order and the "
+    "predicate is a higher-order exists() over it — no explode round-trip.",
+)
+def op11_nested_array_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    grouped = li.groupBy("l_orderkey").agg(
+        F.collect_list(F.struct("l_returnflag", "l_quantity")).alias("items"),
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+    )
+    has_match = F.exists(
+        F.col("items"),
+        lambda it: (it["l_returnflag"] == "R") & (it["l_quantity"] > 45.0),
+    )
+    return grouped.filter(has_match).select("l_orderkey", "n_items")
+
+
+@spec(
+    QUERIES,
+    "op15_column_drop",
+    sql="SELECT c_custkey, c_name, c_mktsegment FROM customer",
+    doc="OP-15 column drop (reference data.pop('id'/'meta'/'extension'), "
+    "src/coding_task_1.py:193-196). Catalyst column pruning pushes the "
+    "narrowed ReadSchema into the parquet scan.",
+)
+def op15_column_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load(spark, sf_dir, "customer").drop("c_nationkey", "c_acctbal")
+
+
+@spec(
+    QUERIES,
+    "op16_struct_construction",
+    sql="""
+        SELECT o_orderkey,
+               to_json(struct_pack(
+                   clinicalStatus := struct_pack(coding := [struct_pack(
+                       system := 'http://terminology.hl7.org/CodeSystem/condition-clinical',
+                       code := o_orderpriority)]),
+                   subject := struct_pack(
+                       reference := 'Customer/' || CAST(o_custkey AS VARCHAR)),
+                   onsetDateTime := strftime(o_orderdate, '%Y-%m-%d')))
+                 AS resource_json
+        FROM orders
+    """,
+    doc="OP-16 literal struct/row construction (reference Condition builder "
+    "src/coding_task_1.py:238-319: nested clinicalStatus/category/subject "
+    "literals parameterized by joined columns). Emitted as canonical JSON "
+    "so the oracle compares the full nested value.",
+)
+def op16_struct_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders")
+    resource = F.struct(
+        F.struct(
+            F.array(
+                F.struct(
+                    F.lit(
+                        "http://terminology.hl7.org/CodeSystem/condition-clinical"
+                    ).alias("system"),
+                    F.col("o_orderpriority").alias("code"),
+                )
+            ).alias("coding")
+        ).alias("clinicalStatus"),
+        F.struct(
+            F.concat(F.lit("Customer/"), F.col("o_custkey").cast("string")).alias(
+                "reference"
+            )
+        ).alias("subject"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("onsetDateTime"),
+    )
+    return o.select("o_orderkey", F.to_json(resource).alias("resource_json"))
+
+
+@spec(
+    QUERIES,
+    "op17_nested_field_upsert",
+    sql="""
+        SELECT c_custkey,
+               n_name AS city,
+               CASE WHEN c_mktsegment IS NULL OR trim(c_mktsegment) = ''
+                    THEN 'Not found' ELSE c_mktsegment END AS district,
+               'http://example.org/StructureDefinition/patient' AS profile0
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+    doc="OP-17 nested field upsert via withField (reference meta.profile "
+    "attach + conditional clinicalStatus ensure + category overwrite, "
+    "src/coding_task_1.py:351-354,404-430). Struct is built, mutated with "
+    "withField, then flattened for the oracle.",
+)
+def op17_nested_field_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    base = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "c_custkey",
+        F.struct(
+            F.col("n_name").alias("city"),
+            F.col("c_mktsegment").alias("district"),
+        ).alias("address"),
+        F.struct(F.array().cast("array<string>").alias("profile")).alias("meta"),
+    )
+    district = F.col("address.district")
+    upserted = base.withColumn(
+        "address",
+        F.col("address").withField(
+            "district",
+            F.when(
+                district.isNull() | (F.trim(district) == ""), F.lit("Not found")
+            ).otherwise(district),
+        ),
+    ).withColumn(
+        "meta",
+        F.col("meta").withField(
+            "profile",
+            F.array(F.lit("http://example.org/StructureDefinition/patient")),
+        ),
+    )
+    return upserted.select(
+        "c_custkey",
+        F.col("address.city").alias("city"),
+        F.col("address.district").alias("district"),
+        F.element_at(F.col("meta.profile"), 1).alias("profile0"),
+    )
+
+
+@spec(
+    QUERIES,
+    "op20_html_narrative",
+    sql="""
+        SELECT c_custkey,
+               printf('<div xmlns="http://www.w3.org/1999/xhtml"><p>%s</p></div>',
+                      c_name) AS narrative
+        FROM customer
+    """,
+    doc="OP-20 HTML narrative generation (reference text.div builder, "
+    "src/coding_task_1.py:246-253). Pure format_string projection.",
+)
+def op20_html_narrative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.format_string(
+            '<div xmlns="http://www.w3.org/1999/xhtml"><p>%s</p></div>',
+            F.col("c_name"),
+        ).alias("narrative"),
+    )
+
+
+@spec(
+    QUERIES,
+    "op25_child_expansion",
+    sql="""
+        SELECT r_name, n_name
+        FROM region JOIN nation ON n_regionkey = r_regionkey
+        WHERE r_name IN ('ASIA', 'EUROPE')
+    """,
+    doc="OP-25 child-concept lookup — 1-hop DOWN the hierarchy (reference "
+    "ECL <!code, src/coding_task_2.py:115-153), the reversed-edge variant "
+    "of OP-24. Edge table broadcast; roots filtered first.",
+)
+def op25_child_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    roots = (
+        load(spark, sf_dir, "region")
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .select(F.col("r_regionkey").alias("parent_id"), "r_name")
+    )
+    edges = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("child_id"),
+        F.col("n_regionkey").alias("parent_id"),
+        "n_name",
+    )
+    return H.children_of(edges, roots, code_col="parent_id").select("r_name", "n_name")
+
+
+@spec(
+    QUERIES,
+    "op42_quality_flags",
+    sql="""
+        SELECT CAST(c_custkey AS VARCHAR) AS entity_id,
+               'customer_without_orders' AS flag
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        UNION ALL
+        SELECT CAST(o_orderkey AS VARCHAR), 'order_without_lineitems'
+        FROM orders
+        WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+    """,
+    doc="OP-42 data-quality flag table (reference roadmap 'flagging missing "
+    "vitals for patients with certain diagnoses', insights.md:171) — the "
+    "OP-29 anti-join pattern materialized as a findings table across two "
+    "entity types via unionByName.",
+)
+def op42_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    no_orders = c.join(
+        o.select(F.col("o_custkey").alias("c_custkey")), on="c_custkey", how="left_anti"
+    ).select(
+        F.col("c_custkey").cast("string").alias("entity_id"),
+        F.lit("customer_without_orders").alias("flag"),
+    )
+    no_items = o.join(
+        li.select(F.col("l_orderkey").alias("o_orderkey")), on="o_orderkey", how="left_anti"
+    ).select(
+        F.col("o_orderkey").cast("string").alias("entity_id"),
+        F.lit("order_without_lineitems").alias("flag"),
+    )
+    return no_orders.unionByName(no_items)
+
+
+@spec(
+    QUERIES,
+    "op44_vectorized_udf",
+    sql="""
+        SELECT c_custkey,
+               CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_cents
+        FROM customer
+    """,
+    doc="OP-44 UDF surface (reference: arbitrary Python over rows — SURVEY "
+    "§2.8). Residual custom logic runs as an Arrow-batched pandas_udf "
+    "(vectorized, ~10-100x row-at-a-time Python); semantics chosen "
+    "integer-exact so the oracle matches bit-for-bit. The kernel is "
+    "self-contained (numpy only) → cloudpickled by value.",
+)
+def op44_vectorized_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.udfs import to_cents_udf
+
+    c = load(spark, sf_dir, "customer")
+    return c.select("c_custkey", to_cents_udf()("c_acctbal").alias("acctbal_cents"))
+
+
+@spec(
+    QUERIES,
+    "op03_07_json_roundtrip",
+    sql="""
+        SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey <= 100
+    """,
+    doc="OP-03 JSON document read + OP-07 JSON file write (reference "
+    "json.dump exports src/coding_task_1.py:382-386 and json.load reads "
+    ":21-23) as a real write→read round-trip through a temp dir with an "
+    "explicit schema on re-read (schema-on-read, PERMISSIVE).",
+)
+def op03_07_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = os.path.join(tempfile.mkdtemp(prefix="etl_json_"), "customers")
+    subset = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") <= 100)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    subset.write.mode("overwrite").json(out)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_name", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]
+    )
+    return spark.read.schema(schema).json(out).select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+
+
+@spec(
+    QUERIES,
+    "op04_08_text_handoff",
+    sql="SELECT CAST(max(o_orderkey) AS VARCHAR) AS handoff FROM orders",
+    doc="OP-04 scalar text read + OP-08 scalar text write (reference "
+    "primary_patient_id.txt handoff, src/coding_task_1.py:451-452 → "
+    "src/coding_task_3.py:42-52): a single-value cross-task checkpoint "
+    "written with coalesce(1).write.text and re-read + trimmed.",
+)
+def op04_08_text_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = os.path.join(tempfile.mkdtemp(prefix="etl_txt_"), "handoff")
+    o = load(spark, sf_dir, "orders")
+    o.agg(F.max("o_orderkey").cast("string").alias("value")).coalesce(
+        1
+    ).write.mode("overwrite").text(out)
+    return spark.read.text(out).select(F.trim(F.col("value")).alias("handoff"))
+
+
+@spec(
+    QUERIES,
+    "hierarchy_transitive_closure",
+    sql="""
+        WITH RECURSIVE e AS (
+            SELECT c_custkey AS child_id, c_custkey // 2 AS parent_id
+            FROM customer WHERE c_custkey >= 2
+        ),
+        cl AS (
+            SELECT child_id AS descendant_id, parent_id AS ancestor_id, 1 AS min_depth
+            FROM e
+            UNION ALL
+            SELECT cl.descendant_id, e.parent_id, cl.min_depth + 1
+            FROM cl JOIN e ON cl.ancestor_id = e.child_id
+        )
+        SELECT descendant_id, ancestor_id, CAST(min(min_depth) AS INT) AS min_depth
+        FROM cl GROUP BY 1, 2
+    """,
+    doc="SURVEY §4.3.1 SNOMED-style transitive closure (generalized ECL << "
+    "over the one-hop edges of src/coding_task_1.py:158): path-doubling "
+    "iterative self-join to fixpoint (⌈log2 depth⌉ shuffles, not depth), "
+    "checked against DuckDB's recursive CTE on a ~11-level synthetic "
+    "binary-tree hierarchy derived from customer keys.",
+)
+def hierarchy_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load(spark, sf_dir, "customer")
+    edges = c.filter(F.col("c_custkey") >= 2).select(
+        F.col("c_custkey").alias("child_id"),
+        (F.col("c_custkey") / 2).cast("bigint").alias("parent_id"),
+    )
+    closure = H.transitive_closure(edges)
+    return closure.select(
+        "descendant_id", "ancestor_id", F.col("min_depth").cast("int").alias("min_depth")
+    )
+
+
+@spec(
+    QUERIES,
+    "q5_regional_revenue",
+    sql="""
+        SELECT n_name,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+                   AS revenue
+        FROM lineitem, orders, customer, nation, region
+        WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+          AND c_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        GROUP BY n_name
+    """,
+    doc="TPC-H Q5-style regional revenue: selective dim chain "
+    "(region→nation broadcast) into the fact join, decimal-exact revenue. "
+    "At scale the only fact shuffle is the orderkey join; dims broadcast.",
+    tags=("bench",),
+)
+def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    c = load(spark, sf_dir, "customer")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    one = F.lit(1).cast("decimal(4,2)")
+    return (
+        # customer is fact-sized at 100 TB — joined normally (AQE may still
+        # broadcast it at small SF); only the true dims are broadcast hints
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * (one - F.col("l_discount").cast("decimal(4,2)"))
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )

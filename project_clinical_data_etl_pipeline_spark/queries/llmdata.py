@@ -286,6 +286,144 @@ def embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @spec(
     QUERIES,
+    "dedup_keep_canonical",
+    sql=f"""
+        SELECT doc_id, lang, source FROM documents
+        WHERE doc_id IN (
+            SELECT min(doc_id) FROM documents GROUP BY md5({_NORM})
+        )
+    """,
+    doc="End-to-end exact dedup: resolve duplicate groups to the kept "
+    "min-id canonical rows (reference for the full dedup→filter loop of a "
+    "training-data pipeline). Anti-join of losers against the corpus — "
+    "text never shuffles, only (hash, id).",
+    tags=("llm",),
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    groups = D.exact_dedup_groups(d, "doc_id", "text")
+    keep = groups.select(F.col("keep_id").alias("doc_id"))
+    return d.join(keep, on="doc_id", how="left_semi").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@spec(
+    QUERIES,
+    "embed_near_dup_pairs",
+    sql="""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
+        SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+               list_dot_product(l.e, r.e)
+                 / (sqrt(list_dot_product(l.e, l.e)) * sqrt(list_dot_product(r.e, r.e)))
+                 AS cosine
+        FROM v l JOIN v r ON l.vec_id < r.vec_id
+        WHERE list_dot_product(l.e, r.e)
+                 / (sqrt(list_dot_product(l.e, l.e)) * sqrt(list_dot_product(r.e, r.e)))
+              >= 0.99
+    """,
+    doc="Embedding-cosine near-duplicate pairs (threshold 0.99), the exact "
+    "verification baseline for semantic dedup. At 100 TB route through the "
+    "LSH-bucketed variant (embed_topk_lsh path); this brute-force form is "
+    "the correctness oracle.",
+    tags=("llm",),
+)
+def embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return D.embedding_near_dups(e, "vec_id", "embedding", threshold=0.99)
+
+
+_QUALITY_SQL = """
+    WITH t AS (
+        SELECT doc_id, text,
+               CAST(length(text) AS BIGINT) AS n_chars_calc,
+               CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) AS punct_ratio,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+               len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                   w -> w IN ('the', 'and', 'of', 'to', 'is'))) AS n_stops
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+               AS n_bpeish_tokens,
+           CAST(n_stops AS DOUBLE) / greatest(n_tokens, 1) AS stopword_ratio,
+           least(CAST(n_chars_calc AS DOUBLE) / 500.0, 1.0) * 0.4
+             + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
+             + least((CAST(n_stops AS DOUBLE) / greatest(n_tokens, 1)) * 5.0, 1.0) * 0.3
+               AS quality_score
+    FROM t
+"""
+
+
+@spec(
+    QUERIES,
+    "text_quality_score",
+    sql=_QUALITY_SQL,
+    doc="Composite text-quality scoring: BPE-ish subword token estimate, "
+    "stopword ratio, and the weighted [0,1] quality heuristic (length / "
+    "punctuation / naturalness) used to filter training corpora. All "
+    "components are exact-integer ratios combined in a fixed operation "
+    "order → engine-deterministic doubles. Map-only.",
+    tags=("llm",),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        X.bpe_ish_token_count(t).alias("n_bpeish_tokens"),
+        X.stopword_ratio(t).alias("stopword_ratio"),
+        X.quality_score(t).alias("quality_score"),
+    )
+
+
+@spec(
+    QUERIES,
+    "text_rolling_fingerprint",
+    sql=None,  # xxhash64 rolling hash — no DuckDB twin; rows-only check
+    doc="Winnowing-style rolling-hash fingerprint (min xxhash64 over "
+    "8-word spans) for fuzzy containment — robust to local edits where "
+    "md5 content-addressing is not. Map-only; words materialized once "
+    "per row.",
+    tags=("llm",),
+)
+def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    return X.with_rolling_fingerprint(d, "text", "rolling_fp").select(
+        "doc_id", "rolling_fp"
+    )
+
+
+@spec(
+    QUERIES,
+    "multimodal_frame_sample",
+    sql="""
+        SELECT doc_id AS media_id,
+               CAST(unnest(generate_series(0,
+                   greatest(CAST(n_chars // 100 AS INT), 1) - 1)) AS DOUBLE)
+                 AS frame_ts
+        FROM documents
+    """,
+    doc="Multimodal frame-sampling plan at 1 fps: each video row (duration "
+    "synthesized from n_chars) expands to (media_id, frame_ts) rows via "
+    "sequence+explode — pure JVM, no codec; each sampled frame then flows "
+    "through the mapInPandas decode kernel (multimodal_decode).",
+    tags=("llm",),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import frame_sample_plan
+
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") / 100).cast("int").cast("double").alias("duration_s"),
+    )
+    return frame_sample_plan(d, fps=1.0)
+
+
+@spec(
+    QUERIES,
     "multimodal_decode",
     sql=None,  # binary decode plumbing — no SQL twin; rows-only check
     doc="Multimodal plumbing: treat document text bytes as an opaque "
