@@ -56,15 +56,17 @@ def adt_a01_message(
     ts = msg_ts if msg_ts is not None else F.date_format(
         F.current_timestamp(), "yyyyMMddHHmmss"
     )
-    ctl = msg_ctl_id if msg_ctl_id is not None else patient_id.cast("string")
+    ctl = msg_ctl_id if msg_ctl_id is not None else F.lit("MSG00001")
 
+    # Sending/receiving apps fixed to the reference's values
+    # (src/coding_task_5.py:140-146; golden src/data/adt_message.txt).
     msh = _f(
         F.lit("MSH"),
         F.lit("^~\\&"),
-        F.lit("SPARK_ETL"),
-        F.lit("SOURCE"),
-        F.lit("PRIMARY"),
-        F.lit("TARGET"),
+        F.lit("MyApp"),
+        F.lit("OpenEMR"),
+        F.lit("PrimaryCareEHR"),
+        F.lit("PrimaryFacility"),
         ts,
         F.lit(""),
         F.lit("ADT^A01"),
@@ -84,14 +86,19 @@ def adt_a01_message(
         upper_initial(gender),
         F.lit(""),
         F.lit(""),
-        hl7_field(line, F.lit(""), city, state, postal, F.lit(""), F.lit("H")),
+        # PID-11 per the reference f-string "{line}^{city}^{state}^{postal}^^H"
+        # (src/coding_task_5.py:156; golden bytes confirm the single carets)
+        hl7_field(line, city, state, postal, F.lit(""), F.lit("H")),
     )
     pv1 = _f(F.lit("PV1"), F.lit("1"), F.lit("O"))
+    # DG1-4 repeats the term as the free-text description (golden bytes:
+    # "DG1|1||J30.4^Allergic rhinitis^I10|Allergic rhinitis").
     dg1 = _f(
         F.lit("DG1"),
         F.lit("1"),
         F.lit(""),
         hl7_field(icd10_code, icd10_term, F.lit("I10")),
+        icd10_term,
     )
     return df.select(
         patient_id.cast("string").alias("patient_id"),

@@ -23,15 +23,16 @@ _MSG_TS = "20260101120000"
 _ER7_SQL = f"""
     SELECT CAST(c_custkey AS VARCHAR) AS patient_id,
            concat_ws(chr(13),
-             'MSH|^~\\&|SPARK_ETL|SOURCE|PRIMARY|TARGET|{_MSG_TS}||ADT^A01|'
+             'MSH|^~\\&|MyApp|OpenEMR|PrimaryCareEHR|PrimaryFacility|{_MSG_TS}||ADT^A01|'
                || CAST(o_orderkey AS VARCHAR) || '|P|2.5',
              'PID|1||' || CAST(c_custkey AS VARCHAR) || '||'
                || 'Customer' || '^' || split_part(c_name, '#', 2) || '||'
                || strftime(o_orderdate, '%Y%m%d') || '|'
                || upper(substr(c_mktsegment, 1, 1)) || '|||'
-               || '1 Main St' || '^^' || n_name || '^XX^00000^^H',
+               || '1 Main St' || '^' || n_name || '^XX^00000^^H',
              'PV1|1|O',
-             'DG1|1||' || o_orderpriority || '^' || o_orderstatus || '^I10')
+             'DG1|1||' || o_orderpriority || '^' || o_orderstatus || '^I10|'
+               || o_orderstatus)
              AS er7
     FROM orders, customer, nation
     WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
