@@ -26,6 +26,7 @@ from project_clinical_data_etl_pipeline_spark.session import get_spark  # noqa: 
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
+    "q5_regional_revenue",
     "op24_dim_enrichment",
     "op29_care_gap_anti_join",
     "op40_weekly_trend",

@@ -1,0 +1,145 @@
+"""Custom stateful streaming operator: gap-based sessionization via
+``applyInPandasWithState`` (SURVEY.md §2.8 OP-41 family — the shape the
+reference's roadmap items need once sync is incremental).
+
+Semantics: events per user are folded into sessions; a gap of more than
+``gap`` seconds between consecutive events closes the session. Closed
+sessions are emitted; the open session rides in GroupState and is
+flushed by timeout when the watermark passes it.
+
+Scale: state per key is O(1) (five scalars), keys partition across the
+cluster by user_id; the watermark bounds total state. The identical
+kernel also runs in batch via ``applyInPandas`` (sessionize_batch) —
+one code path, two execution modes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+SESSION_SCHEMA = (
+    "user_id bigint, session_start timestamp, session_end timestamp, "
+    "n_events bigint, total_value double"
+)
+
+_STATE_SCHEMA = "start long, last long, n long, total double"
+
+
+def _make_stateful_fn(gap_s: int):
+    """Build the per-group stateful kernel. Self-contained (pandas only,
+    closure-captured gap) → cloudpickled by value."""
+    import pandas as pd
+
+    gap_us = gap_s * 1_000_000
+
+    # All time arithmetic in integer MICROSECONDS (Timestamp.value is ns;
+    # Spark timestamps are µs) — float seconds would fabricate spurious
+    # ns precision that Arrow refuses to cast back to µs.
+    def emit(rows):
+        return pd.DataFrame(
+            {
+                "user_id": [r[0] for r in rows],
+                "session_start": [pd.Timestamp(r[1], unit="us") for r in rows],
+                "session_end": [pd.Timestamp(r[2], unit="us") for r in rows],
+                "n_events": [r[3] for r in rows],
+                "total_value": [r[4] for r in rows],
+            }
+        )
+
+    def fn(key, pdf_iter, state):
+        user_id = key[0]
+        if state.hasTimedOut:
+            if state.exists:
+                start, last, n, total = state.get
+                state.remove()
+                yield emit([(user_id, start, last, n, total)])
+            return
+
+        if state.exists:
+            start, last, n, total = state.get
+        else:
+            start = last = None
+            n, total = 0, 0.0
+
+        out = []
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values("ts")
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                t = ts.value // 1000  # ns → µs
+                if start is None:
+                    start = last = t
+                    n, total = 1, float(value)
+                elif t - last > gap_us:
+                    out.append((user_id, start, last, n, total))
+                    start = last = t
+                    n, total = 1, float(value)
+                else:
+                    last = max(last, t)
+                    n += 1
+                    total += float(value)
+
+        if start is not None:
+            state.update((int(start), int(last), int(n), float(total)))
+            state.setTimeoutTimestamp(last // 1000 + gap_s * 1000)  # µs → ms
+
+        if out:
+            yield emit(out)
+
+    return fn
+
+
+def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Streaming sessionization: watermarked event-time state with
+    per-key timeout. ``events`` must be a streaming DataFrame with
+    (user_id, ts, value)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", f"{gap_s * 2} seconds")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _make_stateful_fn(gap_s),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
+def sessionize_batch(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Batch twin of the streaming sessionizer — pure DataFrame ops (no
+    Python state): a session boundary is a gap > gap_s from the previous
+    event of the same user (lag window), session id = running count of
+    boundaries, then one groupBy. Two shuffles on user_id, JVM-only.
+
+    Used as the oracle for the streaming variant in tests."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts")
+    with_gap = events.select(
+        "user_id",
+        "ts",
+        "value",
+        (
+            F.col("ts").cast("long")
+            - F.lag(F.col("ts").cast("long"), 1).over(w)
+        ).alias("__gap"),
+    )
+    sessioned = with_gap.withColumn(
+        "__session",
+        F.sum(
+            F.when(F.col("__gap").isNull() | (F.col("__gap") > gap_s), 1).otherwise(0)
+        ).over(w),
+    )
+    return (
+        sessioned.groupBy("user_id", "__session")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("double")).alias("total_value"),
+        )
+        .drop("__session")
+    )

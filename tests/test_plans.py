@@ -1,0 +1,96 @@
+"""Physical-plan shape regression tests (SURVEY.md §4): the plan you'd
+WANT at 100 TB, not just the one that passes. Asserts pushdown, dim
+broadcasts, top-k physical operators, and — critically — that no query
+except the two declared Python-kernel ops ever drops out of the JVM.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from project_clinical_data_etl_pipeline_spark.queries import REGISTRY
+from project_clinical_data_etl_pipeline_spark.tables import load
+
+#: ops whose WHOLE POINT is a Python kernel (Arrow-batched)
+PYTHON_KERNEL_OPS = {"op44_vectorized_udf", "multimodal_decode"}
+#: ops that run a stream or write side effects — explain separately
+NON_PLAIN_OPS = {"op41_streaming_hourly_counts", "op03_07_json_roundtrip",
+                 "op04_08_text_handoff"}
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_point_lookup_pushes_filter_to_scan(spark, sf_dir):
+    plan = _plan(REGISTRY["op02_point_lookup"].run(spark, sf_dir))
+    assert "PushedFilters" in plan
+    assert "EqualTo(c_custkey,42)" in plan.replace(" ", "").replace("42L", "42") or (
+        "c_custkey" in plan and "PushedFilters: []" not in plan
+    )
+
+
+def test_scan_prunes_columns(spark, sf_dir):
+    plan = _plan(REGISTRY["op01_full_scan"].run(spark, sf_dir))
+    # region has 2 columns; both projected — but lineitem-based op13 must
+    # NOT read all 11 columns
+    plan13 = _plan(REGISTRY["op13_array_element_removal"].run(spark, sf_dir))
+    assert "l_extendedprice" not in plan13
+    assert "l_shipdate" not in plan13
+
+
+def test_dim_enrichment_broadcasts(spark, sf_dir):
+    plan = _plan(REGISTRY["op24_dim_enrichment"].run(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "SortMergeJoin" not in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    for name in ("op21_first_row_deterministic", "q3_top_revenue_orders"):
+        plan = _plan(REGISTRY[name].run(spark, sf_dir))
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_semi_and_anti_joins_are_joins_not_subquery_loops(spark, sf_dir):
+    plan = _plan(REGISTRY["op29_care_gap_anti_join"].run(spark, sf_dir))
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+
+
+def test_no_python_in_jvm_only_queries(spark, sf_dir):
+    """Every registered query except the declared Python-kernel ops must
+    stay entirely JVM-side: no row-at-a-time or Arrow Python eval nodes."""
+    offenders = {}
+    for name, spec in REGISTRY.items():
+        if name in PYTHON_KERNEL_OPS | NON_PLAIN_OPS:
+            continue
+        plan = _plan(spec.run(spark, sf_dir))
+        for marker in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas",
+                       "FlatMapGroupsInPandas"):
+            if marker in plan:
+                offenders[name] = marker
+    assert not offenders, f"Python eval leaked into JVM-only queries: {offenders}"
+
+
+def test_exact_dedup_shuffles_hash_not_text(spark, sf_dir):
+    """The dedup shuffle must carry (hash, id), never the text column."""
+    plan = _plan(REGISTRY["dedup_exact"].run(spark, sf_dir))
+    ex = plan.split("Exchange")[1] if "Exchange" in plan else ""
+    assert "text" not in ex.split("+- ")[0]
+
+
+def test_q1_whole_stage_codegen(spark, sf_dir):
+    df = REGISTRY["q1_pricing_summary"].run(spark, sf_dir)
+    df.collect()  # AQE: codegen markers only appear in the FINAL plan
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan
+    # '*(N)' prefixes mark WholeStageCodegen stages in the compact form;
+    # both the partial and final aggregate must be inside codegen spans
+    assert "*(1) HashAggregate" in plan or "*(2) HashAggregate" in plan
+
+
+def test_filtered_search_prunes_partitions_after_pushdown(spark, sf_dir):
+    plan = _plan(REGISTRY["op09_filtered_search"].run(spark, sf_dir))
+    assert "PushedFilters" in plan
+    # all three predicates evaluated: equality + range reach the scan
+    assert "c_mktsegment" in plan and "c_acctbal" in plan

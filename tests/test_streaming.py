@@ -1,0 +1,101 @@
+"""Structured-Streaming coverage (SURVEY.md §2.8 / M6): complete-mode
+equivalence to batch, watermarked append finalization, and the custom
+stateful sessionizer vs its batch twin.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from project_clinical_data_etl_pipeline_spark.streaming import incremental as I
+from project_clinical_data_etl_pipeline_spark.streaming import sessions as S
+from project_clinical_data_etl_pipeline_spark.tables import load
+
+
+def _rowset(df, cols):
+    return {tuple(r[c] for c in cols) for r in df.collect()}
+
+
+COLS = ["window_start", "event_type", "n_events", "total_value"]
+
+
+def test_complete_stream_equals_batch(spark, sf_dir):
+    stream = I.run_hourly_counts_stream(spark, sf_dir)
+    batch = I.hourly_counts_batch_equivalent(spark, sf_dir)
+    assert _rowset(stream, COLS) == _rowset(batch, COLS)
+
+
+def test_watermarked_append_emits_finalized_subset(spark, sf_dir):
+    appended = I.run_watermarked_append_stream(spark, sf_dir, delay="1 hour")
+    complete = I.hourly_counts_batch_equivalent(spark, sf_dir)
+    app_rows = _rowset(appended, COLS)
+    all_rows = _rowset(complete, COLS)
+    assert app_rows, "append stream emitted nothing"
+    assert app_rows <= all_rows
+    # the last (unfinalized) window must be withheld by the watermark
+    last_window = max(r[0] for r in all_rows)
+    assert all(r[0] != last_window for r in app_rows)
+
+
+def test_batch_sessionize_properties(spark, sf_dir):
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    sessions = S.sessionize_batch(e, gap_s=600)
+    agg = sessions.agg(
+        F.sum("n_events").alias("n"),
+        F.min(F.col("session_end") >= F.col("session_start")).alias("ordered"),
+    ).collect()[0]
+    assert agg["n"] == e.count()  # every event lands in exactly one session
+    assert agg["ordered"] is True
+    # session bounds never overlap per user: starts sorted == starts
+    per_user = (
+        sessions.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.min("session_start").alias("first_start"),
+        )
+        .collect()
+    )
+    assert all(r["n_sessions"] >= 1 for r in per_user)
+
+
+def test_stream_sessionize_matches_batch_for_closed_sessions(spark, sf_dir):
+    e_batch = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    batch_sessions = _rowset(
+        S.sessionize_batch(e_batch, gap_s=600),
+        ["user_id", "session_start", "session_end", "n_events"],
+    )
+
+    schema = "user_id bigint, ts timestamp, value double"
+    stream_src = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{sf_dir}/events.parquet").schema
+        )
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    from project_clinical_data_etl_pipeline_spark.tables import convert_event_ts
+
+    stream_events = convert_event_ts(stream_src).select("user_id", "ts", "value")
+    import uuid
+
+    name = f"sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        S.sessionize_stream(stream_events, gap_s=600)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    stream_sessions = _rowset(
+        spark.table(name),
+        ["user_id", "session_start", "session_end", "n_events"],
+    )
+    # every emitted (closed) streaming session is exactly a batch session;
+    # only tail sessions (open at watermark) may be withheld
+    assert stream_sessions, "no sessions emitted"
+    assert stream_sessions <= batch_sessions
+    assert len(stream_sessions) >= len(batch_sessions) // 2
