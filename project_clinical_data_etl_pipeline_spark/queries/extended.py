@@ -349,6 +349,67 @@ def hierarchy_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @spec(
     QUERIES,
+    "supplier_nation_balance",
+    sql="""
+        SELECT n_name,
+               CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        GROUP BY n_name
+    """,
+    doc="Supplier-side dim enrichment + rollup (OP-24/39 shape on the "
+    "supplier table): broadcast nation join, decimal-exact balance sum.",
+)
+def supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.scalars import decimal_sum
+
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+            decimal_sum("s_acctbal").alias("total_balance"),
+        )
+    )
+
+
+@spec(
+    QUERIES,
+    "part_brand_stats",
+    sql="""
+        SELECT p_brand,
+               CAST(count(*) AS BIGINT) AS n_parts,
+               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                   / count(*) AS avg_retail,
+               CAST(max(p_size) AS INT) AS max_size
+        FROM part GROUP BY p_brand
+        ORDER BY n_parts DESC, p_brand ASC
+        LIMIT 10
+    """,
+    doc="Part-catalog rollup with deterministic top-k (OP-39/OP-21 shape "
+    "on the part table): group, decimal-exact average, TakeOrderedAndProject.",
+)
+def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load(spark, sf_dir, "part")
+    return (
+        p.groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            (
+                F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_retail"),
+            F.max("p_size").cast("int").alias("max_size"),
+        )
+        .orderBy(F.col("n_parts").desc(), F.col("p_brand").asc())
+        .limit(10)
+    )
+
+
+@spec(
+    QUERIES,
     "q5_regional_revenue",
     sql="""
         SELECT n_name,
