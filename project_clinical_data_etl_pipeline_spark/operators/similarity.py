@@ -108,6 +108,88 @@ def lsh_signature(vec: Column, dim: int, num_planes: int = 8) -> Column:
     return bucket
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k: the corpus is partitioned into
+    ``n_centroids`` Voronoi cells; each query probes only its
+    ``n_probe`` nearest cells.
+
+    Centroid seeding is deterministic (the ``n_centroids`` corpus
+    vectors with the smallest ids) — at warehouse scale replace with a
+    k-means pass and persist the (vector → cell) assignment as a
+    bucketed table so queries are pure cell-key equi-joins. Shape at
+    100 TB: assignment is one map pass over the corpus vs the broadcast
+    centroid set; each query scores ~n_probe/n_centroids of the corpus.
+
+    Determinism: cell assignment and probe order break cosine ties by
+    centroid id; final top-k by (cosine desc, neighbor id) — identical
+    in the SQL oracle.
+    """
+    cent = corpus.orderBy(F.col(id_col).asc()).limit(n_centroids).select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__center")
+    )
+    w_assign = Window.partitionBy("neighbor_id").orderBy(
+        F.col("__sim").desc(), F.col("centroid_id").asc()
+    )
+    assigned = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "neighbor_id",
+            "__cv",
+            "centroid_id",
+            cosine(F.col("__cv"), F.col("__center")).alias("__sim"),
+        )
+        .withColumn("__rn", F.row_number().over(w_assign))
+        .filter(F.col("__rn") == 1)
+        .select("neighbor_id", "__cv", F.col("centroid_id").alias("cell"))
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "__qv",
+            "centroid_id",
+            cosine(F.col("__qv"), F.col("__center")).alias("__sim"),
+        )
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "__qv", F.col("centroid_id").alias("cell"))
+    )
+    scored = (
+        F.broadcast(probes)
+        .join(assigned, on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("__qv"), F.col("__cv")).alias("cosine"),
+        )
+        # no dedup needed: every neighbor lives in exactly one cell
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+        )
+    )
+
+
 def lsh_bucket_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -422,6 +422,64 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(d, fps=1.0)
 
 
+_COS = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+    "* sqrt(list_dot_product({b}, {b})))"
+)
+
+_IVF_SQL = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT vec_id AS centroid_id, e AS c FROM v
+             ORDER BY vec_id LIMIT 16),
+    assigned AS (
+        SELECT neighbor_id, cv, centroid_id AS cell FROM (
+            SELECT v.vec_id AS neighbor_id, v.e AS cv, cent.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_COS.format(a='v.e', b='cent.c')} DESC,
+                                cent.centroid_id ASC) AS rn
+            FROM v CROSS JOIN cent
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT query_id, qv, centroid_id AS cell FROM (
+            SELECT v.vec_id AS query_id, v.e AS qv, cent.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_COS.format(a='v.e', b='cent.c')} DESC,
+                                cent.centroid_id ASC) AS rn
+            FROM v CROSS JOIN cent WHERE v.vec_id < 8
+        ) WHERE rn <= 4
+    ),
+    scored AS (
+        SELECT query_id, neighbor_id, {_COS.format(a='qv', b='cv')} AS cosine
+        FROM probes JOIN assigned USING (cell)
+        WHERE query_id <> neighbor_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+"""
+
+
+@spec(
+    QUERIES,
+    "embed_topk_ivf",
+    sql=_IVF_SQL,
+    doc="IVF-style approximate top-5: corpus partitioned into 16 Voronoi "
+    "cells (deterministic min-id centroid seed — k-means at warehouse "
+    "scale), queries probe their 4 nearest cells. Assignment is one map "
+    "pass vs broadcast centroids; each query scores ~n_probe/n_centroids "
+    "of the corpus. Complements the hyperplane-LSH variant.",
+    tags=("llm",),
+)
+def embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    return S.ivf_topk(e.filter(F.col("vec_id") < 8), e, k=5)
+
+
 @spec(
     QUERIES,
     "multimodal_decode",

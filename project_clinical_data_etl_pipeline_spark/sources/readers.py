@@ -45,3 +45,29 @@ def read_scalar_text(spark: SparkSession, path: str, alias: str = "value") -> Da
     in-DAG lineage should replace these handoffs wherever possible
     (SURVEY.md §3.4)."""
     return spark.read.text(path).select(F.trim(F.col("value")).alias(alias))
+
+
+def fetch_rest_table(
+    spark: SparkSession,
+    fetch_page,
+    schema: StructType | str,
+    max_pages: int = 10_000,
+) -> DataFrame:
+    """OP-05 authenticated REST-backed source (reference bearer-token FHIR
+    search, src/coding_task_1.py:30-39 + OAuth2 refresh
+    src/refresh_token.py:22-57).
+
+    ``fetch_page(page_idx) -> list[dict] | None`` owns transport and
+    auth (session headers, token refresh, retry); ``None``/empty ends
+    pagination. The fetch is driver-side — correct for the reference's
+    bundle-sized results; for large collections prefer exporting to
+    parquet/bulk-FHIR and scanning, or shard page ranges over executors
+    with ``mapInPandas``. Returns a DataFrame with the explicit
+    ``schema`` (never inferred — SURVEY.md §1.2)."""
+    rows: list[dict] = []
+    for page in range(max_pages):
+        batch = fetch_page(page)
+        if not batch:
+            break
+        rows.extend(batch)
+    return spark.createDataFrame(rows, schema=schema)

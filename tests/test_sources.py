@@ -1,0 +1,39 @@
+"""Source/sink unit coverage: the OP-05 REST-backed source with an
+injected transport, and the batched foreachPartition REST sink."""
+
+from __future__ import annotations
+
+from project_clinical_data_etl_pipeline_spark.sources.readers import fetch_rest_table
+from project_clinical_data_etl_pipeline_spark.sources.writers import (
+    foreach_partition_post,
+)
+
+
+def test_fetch_rest_table_paginates_until_empty(spark):
+    pages = {0: [{"id": "1", "g": "male"}, {"id": "2", "g": "female"}],
+             1: [{"id": "3", "g": "male"}]}
+
+    calls = []
+
+    def fetch(page):
+        calls.append(page)
+        return pages.get(page)
+
+    df = fetch_rest_table(spark, fetch, schema="id string, g string")
+    assert sorted(r["id"] for r in df.collect()) == ["1", "2", "3"]
+    assert calls == [0, 1, 2]  # stopped on the first empty page
+
+
+def test_foreach_partition_post_batches(spark, tmp_path):
+    df = spark.range(250).selectExpr("id", "CAST(id AS STRING) AS s").coalesce(1)
+    out = tmp_path / "batches.txt"
+
+    # executor-side writes land in a shared file (local mode, 1 partition)
+    def post_batch(rows):
+        with open(out, "a") as f:
+            f.write(f"{len(rows)}\n")
+
+    foreach_partition_post(df, post_batch, batch_size=100)
+    sizes = [int(x) for x in out.read_text().split()]
+    assert sum(sizes) == 250
+    assert all(s <= 100 for s in sizes)
