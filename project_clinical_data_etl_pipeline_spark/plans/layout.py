@@ -1,0 +1,90 @@
+"""Physical-layout strategies for 100 TB (SURVEY.md §4 scale notes):
+bucketed co-located joins and salt-based skew mitigation.
+
+These are the two levers Catalyst can't pull by itself:
+- **Bucketing** is a write-time contract: both fact tables hashed into
+  the same bucket count on the join key mean every subsequent join/agg
+  on that key runs with ZERO exchange — the dominant cost of repeated
+  big-big joins amortized to one write.
+- **Salting** splits a pathologically hot key across ``salt`` synthetic
+  sub-keys (AQE's skew-join split handles moderate skew; salting is the
+  explicit fallback for adversarial distributions, e.g. a null-heavy FK
+  or one customer with 10% of all orders).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    num_buckets: int = 32,
+    sort_cols: list[str] | None = None,
+) -> None:
+    """Persist ``df`` as a bucketed (and optionally sorted) managed
+    table. Bucket count should divide evenly into total cores; sorted
+    buckets additionally enable exchange-AND-sort-free sort-merge
+    joins."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
+def colocated_join(
+    spark: SparkSession, left_table: str, right_table: str, on: list[str], how: str = "inner"
+) -> DataFrame:
+    """Join two identically-bucketed tables on their bucket key. With
+    matching bucket specs the plan contains NO Exchange on either side
+    (verified by tests/test_layout.py)."""
+    return spark.table(left_table).join(spark.table(right_table), on=on, how=how)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    salt: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with the LEFT side's hot keys split across ``salt``
+    sub-keys and the RIGHT side replicated ``salt``× (explode of a
+    literal range — cheap when right is the smaller/mapping side).
+
+    Result is identical to ``left.join(right, key)``; the difference is
+    the shuffle key (key, salt_i), which spreads a hot key over
+    ``salt`` reducers instead of one straggler."""
+    salted_l = left.withColumn(
+        "__salt", (F.rand(seed=42) * salt).cast("int")
+    )
+    salted_r = right.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
+    )
+    return salted_l.join(salted_r, on=[key, "__salt"], how=how).drop("__salt")
+
+
+def salted_group_count(df: DataFrame, key: str, salt: int = 8) -> DataFrame:
+    """Two-phase aggregation for skewed group keys: partial count on
+    (key, salt) then final on key. Spark's partial aggregation already
+    does this map-side; the explicit form matters for high-cardinality
+    combiners (collect_list/distinct) where map-side combine is
+    ineffective."""
+    phase1 = (
+        df.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+        .groupBy(key, "__salt")
+        .agg(F.count(F.lit(1)).alias("__partial"))
+    )
+    return phase1.groupBy(key).agg(F.sum("__partial").cast("bigint").alias("n"))
+
+
+def repartition_by_range_for_write(
+    df: DataFrame, cols: list[Column | str], target_partitions: int
+) -> DataFrame:
+    """Range-partition before a sorted write: produces globally ordered,
+    evenly-sized files (sampled range bounds), the layout that makes
+    min/max row-group skipping effective for time-series scans."""
+    return df.repartitionByRange(target_partitions, *cols)
