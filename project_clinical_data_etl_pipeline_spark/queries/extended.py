@@ -313,6 +313,38 @@ def op04_08_text_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @spec(
     QUERIES,
+    "op37_json_extract",
+    sql="""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                   AS total_k
+        FROM events
+        WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+        GROUP BY event_type
+    """,
+    doc="OP-37 JSON deserialize (reference json.load throughout, e.g. "
+    "src/coding_task_1.py:21-23): from_json with an explicit schema over "
+    "the open-content props column, then filter+aggregate on the parsed "
+    "field — schema-on-read for semi-structured payloads.",
+)
+def op37_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "events")
+    parsed = e.withColumn(
+        "__p", F.from_json(F.col("props"), "k bigint")
+    ).withColumn("k", F.col("__p.k"))
+    return (
+        parsed.filter(F.col("k") >= 50)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("k").cast("bigint").alias("total_k"),
+        )
+    )
+
+
+@spec(
+    QUERIES,
     "hierarchy_transitive_closure",
     sql="""
         WITH RECURSIVE e AS (

@@ -93,6 +93,48 @@ def run_watermarked_append_stream(
     return spark.table(name)
 
 
+def run_upsert_stream(
+    spark: SparkSession, sf_dir: str, target_dir: str, delay: str = "1 hour"
+) -> DataFrame:
+    """The reference's nightly-sync roadmap item (insights.md:169) as a
+    streaming upsert: watermarked windowed aggregates land in a
+    ``foreachBatch`` sink that MERGES each micro-batch into a parquet
+    target keyed on (window_start, event_type) — newer batch rows
+    replace older target rows, unseen keys append. Exactly-once per
+    batch id; at warehouse scale the same callback targets Delta/Iceberg
+    MERGE or a JDBC upsert instead of read-modify-write parquet."""
+    keys = ["window_start", "event_type"]
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        try:
+            existing = s.read.parquet(target_dir)
+        except Exception:  # first batch: nothing to merge yet
+            batch.write.mode("overwrite").parquet(target_dir)
+            return
+        merged = existing.join(
+            batch.select(keys), on=keys, how="left_anti"
+        ).unionByName(batch)
+        # parquet has no transactional MERGE: stage then swap
+        staging = target_dir + ".staging"
+        merged.write.mode("overwrite").parquet(staging)
+        s.read.parquet(staging).write.mode("overwrite").parquet(target_dir)
+
+    name = f"hourly_upsert_{uuid.uuid4().hex[:8]}"
+    q = (
+        _hourly_agg(_event_stream(spark, sf_dir), watermark=delay)
+        .writeStream.outputMode("append")
+        .foreachBatch(upsert)
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(target_dir)
+
+
 def hourly_counts_batch_equivalent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batch plan the complete-mode stream must equal — used as the
     oracle-side definition and in tests."""

@@ -37,6 +37,21 @@ def test_watermarked_append_emits_finalized_subset(spark, sf_dir):
     assert all(r[0] != last_window for r in app_rows)
 
 
+def test_foreach_batch_upsert_lands_finalized_windows(spark, sf_dir, tmp_path):
+    target = str(tmp_path / "upsert_target")
+    result = I.run_upsert_stream(spark, sf_dir, target, delay="1 hour")
+    rows = _rowset(result, COLS)
+    assert rows
+    # upsert target equals the append-mode emission set (single run)
+    appended = _rowset(I.run_watermarked_append_stream(spark, sf_dir, "1 hour"), COLS)
+    assert rows == appended
+    # idempotent: running the stream again over the same data must not
+    # duplicate keys in the target
+    again = I.run_upsert_stream(spark, sf_dir, target, delay="1 hour")
+    keys = [(r["window_start"], r["event_type"]) for r in again.collect()]
+    assert len(keys) == len(set(keys))
+
+
 def test_batch_sessionize_properties(spark, sf_dir):
     e = load(spark, sf_dir, "events").select("user_id", "ts", "value")
     sessions = S.sessionize_batch(e, gap_s=600)
