@@ -18,8 +18,18 @@ from ..functions.scalars import hl7_field, upper_initial
 
 def _f(*cols: Column) -> Column:
     """Pipe-join segment fields, preserving empty positions
-    (SURVEY.md §7.5.3: coalesce-to-empty, never skip)."""
-    return F.concat_ws("|", *[F.coalesce(c.cast("string"), F.lit("")) for c in cols])
+    (SURVEY.md §7.5.3: coalesce-to-empty, never skip).
+
+    Field CONTENT is sanitized: literal ``|`` becomes the HL7 escape
+    ``\\F\\`` and stray CR/LF are dropped, so data can never corrupt
+    segment/field framing. (The reference performs no escaping — its
+    golden data contains no delimiters, so this is byte-compatible.)"""
+    def clean(c: Column) -> Column:
+        s = F.coalesce(c.cast("string"), F.lit(""))
+        s = F.replace(s, F.lit("|"), F.lit("\\F\\"))
+        return F.regexp_replace(s, "[\r\n]", "")
+
+    return F.concat_ws("|", *[clean(c) for c in cols])
 
 
 def adt_a01_message(

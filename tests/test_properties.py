@@ -1,0 +1,152 @@
+"""Property-based tests (hypothesis): engine expressions vs plain-Python
+reference semantics on adversarial inputs. Each test folds every
+generated case into ONE DataFrame pass — Spark jobs are expensive,
+examples are not.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from project_clinical_data_etl_pipeline_spark.operators import dedup as D
+from project_clinical_data_etl_pipeline_spark.operators.encoders import adt_a01_message
+
+TEXTS = st.lists(
+    st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=["Cs"]),
+        max_size=80,
+    ),
+    min_size=1,
+    max_size=30,
+)
+
+
+# Java regex \s is ASCII [ \t\n\x0b\f\r]; Python's is Unicode-wide.
+# The engine (Java) and the DuckDB oracle (RE2) agree on ASCII — the
+# Python reference here must match THAT definition, not Python's.
+_WS = " \t\n\x0b\f\r"
+
+
+def py_normalize(s: str) -> str:
+    s = s.lower()
+    s = re.sub(rf"[^a-z0-9{_WS}]", "", s)
+    s = re.sub(rf"[{_WS}]+", " ", s)
+    return s.strip(_WS)
+
+
+def py_shingles(s: str, k: int = 3) -> list[str]:
+    words = py_normalize(s).split(" ")
+    n = len(words)
+    upper = max(n - (k - 1), 1)
+    return [" ".join(words[i : i + k]) for i in range(upper)]
+
+
+@settings(max_examples=20, deadline=None)
+@given(TEXTS)
+def test_shingles_match_python_reference(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    got = {
+        r["doc_id"]: r["__shingles"]
+        for r in D.with_shingles(df, "text", k=3).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == py_shingles(t, 3), repr(t)
+
+
+@settings(max_examples=15, deadline=None)
+@given(TEXTS)
+def test_exact_dedup_groups_partition_ids(spark, texts):
+    """Every id lands in exactly one group; group sizes sum to n; ids with
+    identical normalized text share a group keyed by the same hash."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id int, text string"
+    )
+    groups = D.exact_dedup_groups(df, "doc_id", "text").collect()
+    assert sum(g["n_dups"] for g in groups) == len(texts)
+    by_norm: dict[str, set[int]] = {}
+    for i, t in enumerate(texts):
+        by_norm.setdefault(py_normalize(t), set()).add(i)
+    assert len(groups) == len(by_norm)
+    keep_ids = {g["keep_id"] for g in groups}
+    assert keep_ids == {min(ids) for ids in by_norm.values()}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcdefgh ^|", max_size=12),  # family w/ delimiters
+            st.sampled_from(["male", "female", "", "x"]),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_er7_always_four_segments_fixed_fields(spark, people):
+    df = spark.createDataFrame(
+        [(str(i), fam, g) for i, (fam, g) in enumerate(people)],
+        "pid string, family string, gender string",
+    )
+    msgs = adt_a01_message(
+        df,
+        patient_id=F.col("pid"),
+        family=F.col("family"),
+        given=F.lit("G"),
+        gender=F.col("gender"),
+        birth_date=F.to_date(F.lit("2000-01-01")),
+        line=F.lit("1 St"),
+        city=F.lit("C"),
+        state=F.lit("S"),
+        postal=F.lit("0"),
+        icd10_code=F.lit("J30.4"),
+        icd10_term=F.lit("T"),
+        msg_ts=F.lit("20260101000000"),
+    ).collect()
+    for r in msgs:
+        segs = r["er7"].split("\r")
+        assert [s.split("|")[0] for s in segs] == ["MSH", "PID", "PV1", "DG1"]
+        assert len(segs[0].split("|")) == 12
+        assert len(segs[1].split("|")) == 12
+        pid_8 = segs[1].split("|")[8]
+        assert pid_8 in {"M", "F", "U", "X"}  # empty gender → U, never crash
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000)),  # (user, offset_s)
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_sessionize_batch_invariants(spark, events):
+    from project_clinical_data_etl_pipeline_spark.streaming.sessions import (
+        sessionize_batch,
+    )
+
+    gap = 300
+    df = spark.createDataFrame(
+        [(u, off, float(i)) for i, (u, off) in enumerate(events)],
+        "user_id long, off long, value double",
+    ).select(
+        "user_id",
+        F.expr("timestamp_seconds(1704067200 + off)").alias("ts"),
+        "value",
+    )
+    sessions = sessionize_batch(df, gap_s=gap).collect()
+    assert sum(s["n_events"] for s in sessions) == len(events)
+    per_user: dict[int, list] = {}
+    for s in sessions:
+        per_user.setdefault(s["user_id"], []).append(s)
+    for u, ss in per_user.items():
+        ss.sort(key=lambda s: s["session_start"])
+        for s in ss:
+            assert s["session_start"] <= s["session_end"]
+        for a, b in zip(ss, ss[1:]):  # inter-session gap must exceed gap_s
+            assert (b["session_start"] - a["session_end"]).total_seconds() > gap
