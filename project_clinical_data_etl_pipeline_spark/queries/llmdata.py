@@ -234,7 +234,7 @@ _TOPK_SQL = """
 )
 def embed_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    return S.brute_force_topk(e.filter(F.col("vec_id") < 8), e, k=5)
+    return S.brute_force_topk(e.filter(F.col("vec_id") < 8), e, k=5, dim=64)
 
 
 def _lsh_topk_sql(dim: int = 64, num_planes: int = 8, k: int = 5) -> str:
@@ -330,7 +330,7 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    return D.embedding_near_dups(e, "vec_id", "embedding", threshold=0.99)
+    return D.embedding_near_dups(e, "vec_id", "embedding", threshold=0.99, dim=64)
 
 
 _QUALITY_SQL = """
@@ -477,7 +477,7 @@ _IVF_SQL = f"""
 )
 def embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
-    return S.ivf_topk(e.filter(F.col("vec_id") < 8), e, k=5)
+    return S.ivf_topk(e.filter(F.col("vec_id") < 8), e, k=5, dim=64)
 
 
 @spec(
