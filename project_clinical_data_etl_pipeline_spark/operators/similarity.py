@@ -20,25 +20,43 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
-def dot(a: Column, b: Column, dim: int | None = None) -> Column:
+def _col_sql(c: Column | str) -> str:
+    """SQL fragment for a column reference. The unrolled builders need
+    textual refs; plain names pass through, Columns must be simple
+    attributes (their repr is ``Column<'name'>``)."""
+    if isinstance(c, str):
+        return f"`{c}`"
+    name = str(c).removeprefix("Column<'").removesuffix("'>")
+    if not name.isidentifier():
+        raise ValueError(
+            f"unrolled dot/norm needs a plain column reference, got {c!r}; "
+            "materialize the expression as a column first"
+        )
+    return f"`{name}`"
+
+
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    terms = " + ".join(
+        f"(CAST(element_at({a}, {i}) AS DOUBLE) * CAST(element_at({b}, {i}) AS DOUBLE))"
+        for i in range(1, dim + 1)
+    )
+    # leading 0.0 seed keeps ±0.0 identical to the fold; + is left-assoc
+    return f"(CAST(0 AS DOUBLE) + {terms})"
+
+
+def dot(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     """Sequential-fold dot product.
 
     With ``dim`` known the fold is UNROLLED into a flat left-associated
-    sum of ``element_at`` products — whole-stage-codegen (no interpreted
-    higher-order functions, measured ~40× on pairwise workloads) with
-    bit-identical accumulation order to both the HOF fold and DuckDB's
-    list_dot_product loop. Without ``dim`` it falls back to the HOF
-    fold (any-length arrays)."""
+    sum of ``element_at`` products — whole-stage codegen (no interpreted
+    higher-order functions) with bit-identical accumulation order to
+    both the HOF fold and DuckDB's list_dot_product loop. The unrolled
+    expression is built as ONE SQL string parsed JVM-side: building the
+    ~200-node tree through per-call Column operations costs seconds of
+    driver time in py4j round-trips. Without ``dim`` it falls back to
+    the HOF fold (any-length arrays)."""
     if dim is not None:
-        # seed with 0.0 + x1 so ±0.0 handling matches the fold exactly
-        acc = F.lit(0.0) + F.element_at(a, 1).cast("double") * F.element_at(
-            b, 1
-        ).cast("double")
-        for i in range(2, dim + 1):
-            acc = acc + F.element_at(a, i).cast("double") * F.element_at(b, i).cast(
-                "double"
-            )
-        return acc
+        return F.expr(_dot_sql(_col_sql(a), _col_sql(b), dim))
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -46,9 +64,10 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     )
 
 
-def norm(a: Column, dim: int | None = None) -> Column:
+def norm(a: Column | str, dim: int | None = None) -> Column:
     if dim is not None:
-        return F.sqrt(dot(a, a, dim))
+        ref = _col_sql(a)
+        return F.expr(f"SQRT({_dot_sql(ref, ref, dim)})")
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -58,7 +77,7 @@ def norm(a: Column, dim: int | None = None) -> Column:
     )
 
 
-def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
+def cosine(a: Column | str, b: Column | str, dim: int | None = None) -> Column:
     return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
@@ -78,11 +97,18 @@ def brute_force_topk(
     score) candidate rows. Self-matches are excluded. Ties broken by
     neighbor id for determinism (SURVEY.md §7.5.1).
     """
+    # norms are per-ROW: computed once per side so each pair evaluates
+    # only the dot product (same values/ops as the oracle's
+    # sqrt(dot(a,a))*sqrt(dot(b,b)) denominator)
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col), dim).alias("__qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col), dim).alias("__cn"),
     )
     scored = (
         F.broadcast(q)
@@ -91,7 +117,10 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qv"), F.col("__cv"), dim).alias("cosine"),
+            (
+                dot(F.col("__qv"), F.col("__cv"), dim)
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -161,33 +190,43 @@ def ivf_topk(
         F.col("__sim").desc(), F.col("centroid_id").asc()
     )
     assigned = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv"))
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            norm(F.col(vec_col), dim).alias("__cn"),
+        )
         .crossJoin(F.broadcast(cent))
         .select(
             "neighbor_id",
             "__cv",
+            "__cn",
             "centroid_id",
             cosine(F.col("__cv"), F.col("__center"), dim).alias("__sim"),
         )
         .withColumn("__rn", F.row_number().over(w_assign))
         .filter(F.col("__rn") == 1)
-        .select("neighbor_id", "__cv", F.col("centroid_id").alias("cell"))
+        .select("neighbor_id", "__cv", "__cn", F.col("centroid_id").alias("cell"))
     )
     w_probe = Window.partitionBy("query_id").orderBy(
         F.col("__sim").desc(), F.col("centroid_id").asc()
     )
     probes = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv"))
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            norm(F.col(vec_col), dim).alias("__qn"),
+        )
         .crossJoin(F.broadcast(cent))
         .select(
             "query_id",
             "__qv",
+            "__qn",
             "centroid_id",
             cosine(F.col("__qv"), F.col("__center"), dim).alias("__sim"),
         )
         .withColumn("__rn", F.row_number().over(w_probe))
         .filter(F.col("__rn") <= n_probe)
-        .select("query_id", "__qv", F.col("centroid_id").alias("cell"))
+        .select("query_id", "__qv", "__qn", F.col("centroid_id").alias("cell"))
     )
     scored = (
         F.broadcast(probes)
@@ -196,7 +235,10 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qv"), F.col("__cv"), dim).alias("cosine"),
+            (
+                dot(F.col("__qv"), F.col("__cv"), dim)
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cosine"),
         )
         # no dedup needed: every neighbor lives in exactly one cell
     )
@@ -230,11 +272,13 @@ def lsh_bucket_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        norm(F.col(vec_col), dim).alias("__qn"),
         lsh_signature(F.col(vec_col), dim, num_planes).alias("__bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col), dim).alias("__cn"),
         lsh_signature(F.col(vec_col), dim, num_planes).alias("__bucket"),
     )
     scored = (
@@ -244,7 +288,10 @@ def lsh_bucket_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("__qv"), F.col("__cv"), dim).alias("cosine"),
+            (
+                dot(F.col("__qv"), F.col("__cv"), dim)
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(
