@@ -7,11 +7,11 @@ contract (queries() / oracle_sql()).
 
 from __future__ import annotations
 
-from . import aggregates, clinical, core, extended, joins, llmdata, streaming_q
+from . import aggregates, clinical, core, extended, fhir_q, joins, llmdata, streaming_q
 from .base import QuerySpec
 
 REGISTRY: dict[str, QuerySpec] = {}
-for _mod in (core, joins, aggregates, clinical, llmdata, streaming_q, extended):
+for _mod in (core, joins, aggregates, clinical, llmdata, streaming_q, extended, fhir_q):
     overlap = REGISTRY.keys() & _mod.QUERIES.keys()
     if overlap:
         raise ValueError(f"duplicate query names: {overlap}")
