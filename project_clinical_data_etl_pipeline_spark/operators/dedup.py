@@ -101,9 +101,33 @@ def word_shingles(col: Column, k: int = 3) -> Column:
 
 
 def _shingles_from_words(words: Column, k: int) -> Column:
-    """Shingle array from an already-materialized words attribute."""
-    idx = F.sequence(F.lit(1), F.greatest(F.size(words) - F.lit(k - 1), F.lit(1)))
-    return F.transform(idx, lambda i: F.array_join(F.slice(words, i, k), " "))
+    """Shingle array from a words array via zip-with-shifted-slices.
+
+    Equivalent to per-position ``slice+join`` (same output, incl. the
+    short-doc fallback of one whole-text shingle), but NO lambda ever
+    references ``words`` by position — so even when CollapseProject /
+    column pruning substitutes the full words expression back into this
+    tree (which it does once a downstream projection uses each column
+    exactly once), the expensive normalize+split evaluates a bounded
+    ~k+2 times per ROW instead of once per shingle POSITION."""
+    cur = words
+    for j in range(1, k):
+        shifted = F.slice(
+            words, j + 1, F.greatest(F.size(words) - F.lit(j), F.lit(0))
+        )
+        cur = F.zip_with(
+            cur,
+            shifted,
+            lambda a, b: F.when(b.isNull(), F.lit(None)).otherwise(
+                F.concat_ws(" ", a, b)
+            ),
+        )
+    complete = F.filter(cur, lambda x: x.isNotNull())
+    # docs with fewer than k words keep one shingle of the whole text
+    # (mirrors slice(words, i, k) saturating on short arrays)
+    return F.when(F.size(complete) > 0, complete).otherwise(
+        F.array(F.array_join(words, " "))
+    )
 
 
 def with_shingles(
