@@ -27,6 +27,7 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",
     "q5_regional_revenue",
+    "q6_forecast_revenue",
     "op24_dim_enrichment",
     "op29_care_gap_anti_join",
     "op40_weekly_trend",

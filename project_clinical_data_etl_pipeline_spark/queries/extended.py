@@ -381,6 +381,76 @@ def hierarchy_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @spec(
     QUERIES,
+    "q6_forecast_revenue",
+    sql="""
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.03 AND 0.07
+          AND l_quantity < 24.0
+    """,
+    doc="TPC-H Q6-style forecast revenue: pure scan+filter+agg — the "
+    "raw-scan-throughput probe. All three predicates reach PushedFilters; "
+    "one map-side partial sum, no join, no wide shuffle.",
+    tags=("bench",),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24.0)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(4,2)")
+            )
+            .cast("double")
+            .alias("revenue")
+        )
+    )
+
+
+@spec(
+    QUERIES,
+    "q4_priority_with_late_items",
+    sql="""
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1997-07-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4-style order-priority check: EXISTS correlated subquery "
+    "as a left-semi join (orders side filtered first, lineitem side "
+    "pruned to the two join columns), then group-count.",
+)
+def q4_priority_with_late_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    semi = o.join(
+        li,
+        on=(o.o_orderkey == li.l_orderkey) & (li.l_shipdate > o.o_orderdate),
+        how="left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("order_count")
+    )
+
+
+@spec(
+    QUERIES,
     "supplier_nation_balance",
     sql="""
         SELECT n_name,
