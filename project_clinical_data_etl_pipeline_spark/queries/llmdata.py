@@ -422,6 +422,53 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample_plan(d, fps=1.0)
 
 
+_CURATION_SQL = f"""
+    WITH canon AS (
+        SELECT doc_id, text, lang FROM documents
+        WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5({_NORM}))
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
+                 + (1.0 - least(CAST(length(regexp_replace(text,
+                        '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                        / greatest(length(text), 1) * 5.0, 1.0)) * 0.3
+                 + least(CAST(len(list_filter(
+                        string_split_regex(lower(trim(text)), '\\s+'),
+                        w -> w IN ('the', 'and', 'of', 'to', 'is'))) AS DOUBLE)
+                        / greatest(CASE WHEN trim(text) = '' THEN 0
+                                   ELSE len(string_split_regex(trim(text), '\\s+'))
+                                   END, 1) * 5.0, 1.0) * 0.3
+                   AS quality
+        FROM canon
+    )
+    SELECT doc_id, lang, quality FROM scored WHERE quality >= 0.5
+"""
+
+
+@spec(
+    QUERIES,
+    "corpus_curation_pipeline",
+    sql=_CURATION_SQL,
+    doc="End-to-end training-corpus curation in ONE lazy plan: exact "
+    "dedup (keep min-id canonical) → composite quality scoring → "
+    "threshold filter. The composition Catalyst actually optimizes "
+    "across stage boundaries — quality predicates and column pruning "
+    "reach the scan; only (hash, id) ever shuffles.",
+    tags=("llm",),
+)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load(spark, sf_dir, "documents")
+    keep = D.exact_dedup_groups(d, "doc_id", "text").select(
+        F.col("keep_id").alias("doc_id")
+    )
+    canon = d.join(keep, on="doc_id", how="left_semi")
+    scored = canon.select(
+        "doc_id", "lang", X.quality_score(F.col("text")).alias("quality")
+    )
+    return scored.filter(F.col("quality") >= 0.5)
+
+
 _COS = (
     "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
     "* sqrt(list_dot_product({b}, {b})))"

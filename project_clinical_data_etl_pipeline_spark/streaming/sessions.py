@@ -118,19 +118,23 @@ def sessionize_batch(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     from pyspark.sql import Window
 
     w = Window.partitionBy("user_id").orderBy("ts")
+    # microsecond-exact gap math — identical to the streaming kernel
+    # (second-truncation would flip boundaries the stream keeps open)
     with_gap = events.select(
         "user_id",
         "ts",
         "value",
         (
-            F.col("ts").cast("long")
-            - F.lag(F.col("ts").cast("long"), 1).over(w)
+            F.unix_micros(F.col("ts"))
+            - F.lag(F.unix_micros(F.col("ts")), 1).over(w)
         ).alias("__gap"),
     )
     sessioned = with_gap.withColumn(
         "__session",
         F.sum(
-            F.when(F.col("__gap").isNull() | (F.col("__gap") > gap_s), 1).otherwise(0)
+            F.when(
+                F.col("__gap").isNull() | (F.col("__gap") > gap_s * 1_000_000), 1
+            ).otherwise(0)
         ).over(w),
     )
     return (
@@ -139,7 +143,10 @@ def sessionize_batch(events: DataFrame, gap_s: int = 1800) -> DataFrame:
             F.min("ts").alias("session_start"),
             F.max("ts").alias("session_end"),
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.sum(F.col("value").cast("double")).alias("total_value"),
+            # decimal accumulation: order-independent, oracle-exact
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
         )
         .drop("__session")
     )
