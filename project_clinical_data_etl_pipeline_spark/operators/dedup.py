@@ -205,6 +205,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     k: int = 3,
+    materialize_signatures: bool = True,
 ) -> DataFrame:
     """MinHash + LSH candidate pairs: docs sharing ≥1 band bucket.
 
@@ -224,6 +225,12 @@ def minhash_lsh_pairs(
         F.col(id_col).alias("__id"),
         minhash_signature_from_shingles(F.col("__shingles"), num_hashes).alias("__sig"),
     )
+    if materialize_signatures:
+        # "sign once, join many": both self-join sides would otherwise
+        # re-run the shingle+hash pipeline. Signatures are fixed-width
+        # (num_hashes × 8 B/doc) so the checkpoint is tiny relative to
+        # the text; at warehouse scale persist to a table instead.
+        sig = sig.localCheckpoint()
     banded = sig.select(
         "__id",
         "__sig",
@@ -251,11 +258,6 @@ def minhash_lsh_pairs(
             "__bucket"
         ),
     )
-    # The self-join recomputes the signature pipeline for both sides;
-    # with the single-string-hash scheme that is sub-second per million
-    # docs/partition. At warehouse scale, write signatures to a table
-    # first ("sign once, join many") instead of checkpointing here —
-    # localCheckpoint measured 50× slower than the recompute.
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
