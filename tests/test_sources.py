@@ -37,3 +37,25 @@ def test_foreach_partition_post_batches(spark, tmp_path):
     sizes = [int(x) for x in out.read_text().split()]
     assert sum(sizes) == 250
     assert all(s <= 100 for s in sizes)
+
+
+def test_sql_surface_matches_dataframe_api(spark, sf_dir):
+    """Operators are equally expressible through spark.sql over the
+    registered views (Catalyst produces the same optimized plan)."""
+    from project_clinical_data_etl_pipeline_spark.queries import REGISTRY
+    from project_clinical_data_etl_pipeline_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    sql_df = spark.sql(
+        """
+        SELECT c_custkey, c_name, c_mktsegment, c_acctbal
+        FROM customer
+        WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
+          AND c_name LIKE '%1%'
+        """
+    )
+    api_df = REGISTRY["op09_filtered_search"].run(spark, sf_dir)
+    assert sorted(map(tuple, sql_df.collect())) == sorted(map(tuple, api_df.collect()))
+    # same optimized plan modulo ids: both push all predicates to the scan
+    sql_plan = sql_df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in sql_plan and "c_acctbal" in sql_plan
