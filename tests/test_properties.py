@@ -150,3 +150,22 @@ def test_sessionize_batch_invariants(spark, events):
             assert s["session_start"] <= s["session_end"]
         for a, b in zip(ss, ss[1:]):  # inter-session gap must exceed gap_s
             assert (b["session_start"] - a["session_end"]).total_seconds() > gap
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=0, max_size=20
+    )
+)
+def test_keep_canonical_drops_exactly_pair_losers(spark, raw_pairs):
+    """keep_canonical removes precisely the ids appearing as the larger
+    member of any pair — never a winner that isn't also a loser."""
+    pairs_data = [(a, b) for a, b in raw_pairs if a < b]
+    df = spark.createDataFrame([(i,) for i in range(16)], "doc_id long")
+    pairs = spark.createDataFrame(
+        pairs_data or [(None, None)], "id_a long, id_b long"
+    ).filter(F.col("id_a").isNotNull())
+    kept = {r["doc_id"] for r in D.keep_canonical(df, "doc_id", pairs).collect()}
+    losers = {b for _, b in pairs_data}
+    assert kept == set(range(16)) - losers
