@@ -55,9 +55,17 @@ def salted_join(
     sub-keys and the RIGHT side replicated ``salt``× (explode of a
     literal range — cheap when right is the smaller/mapping side).
 
-    Result is identical to ``left.join(right, key)``; the difference is
-    the shuffle key (key, salt_i), which spreads a hot key over
-    ``salt`` reducers instead of one straggler."""
+    For ``how`` in (``inner``, ``left``) the result is identical to
+    ``left.join(right, key)``; the difference is the shuffle key
+    (key, salt_i), which spreads a hot key over ``salt`` reducers
+    instead of one straggler. ``right``/``full``/``left_anti`` etc.
+    are rejected: the right side is replicated ``salt``×, so every
+    unmatched right row would be emitted ``salt`` times."""
+    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
+        raise ValueError(
+            f"salted_join supports only inner/left/left_semi joins (right side is "
+            f"replicated {salt}x, so unmatched right rows would duplicate); got how={how!r}"
+        )
     salted_l = left.withColumn(
         "__salt", (F.rand(seed=42) * salt).cast("int")
     )

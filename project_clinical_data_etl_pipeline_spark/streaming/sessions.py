@@ -63,8 +63,13 @@ def _make_stateful_fn(gap_s: int):
             n, total = 0, 0.0
 
         out = []
-        for pdf in pdf_iter:
-            pdf = pdf.sort_values("ts")
+        # A group spanning multiple Arrow batches arrives as several
+        # chunks with no global order guarantee — concat + sort ONCE
+        # before folding, or session boundaries split across chunks
+        # would be mis-ordered (diverging from the batch oracle).
+        chunks = [pdf for pdf in pdf_iter if len(pdf)]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True).sort_values("ts")
             for ts, value in zip(pdf["ts"], pdf["value"]):
                 t = ts.value // 1000  # ns → µs
                 if start is None:

@@ -36,10 +36,15 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def convert_event_ts(df: DataFrame) -> DataFrame:
     """events.ts is TIMESTAMP(NANOS) in parquet — illegal for Spark's
     reader. With spark.sql.legacy.parquet.nanosAsLong=true it arrives as
-    a nanos-since-epoch long; convert to a micros TimestampType (floor —
-    matches DuckDB's native nanos value to the microsecond)."""
+    a nanos-since-epoch long; convert to a micros TimestampType with
+    FLOOR division (`div` truncates toward zero, which would round
+    pre-epoch/negative nanos UP — DuckDB's TIMESTAMP_NS→µs floors, so
+    truncation would be a 1µs oracle divergence on negative ts)."""
     if "ts" in df.columns and isinstance(df.schema["ts"].dataType, LongType):
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        # integer floor division: (ts - pmod(ts, 1000)) is the largest
+        # multiple of 1000 ≤ ts, exact for the full bigint range (a
+        # float floor() would lose precision past 2^53 ns ≈ 1970+104d)
+        df = df.withColumn("ts", F.expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
     return df
 
 
