@@ -21,11 +21,11 @@ from project_clinical_data_etl_pipeline_spark.session import tune
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the OP-09 filtered
-    search — the reference's own first demonstrated query
+    """Flagship query on /root/testdata/sf0.001: the OP-09 conjunctive
+    filtered search — the reference's own first demonstrated query
     (src/coding_task_1.py:441). Driver checks rows > 0."""
     tune(spark)
-    return REGISTRY["op09_filtered_search"].fn(spark, "/root/testdata/sf0.001")
+    return REGISTRY["op09_conjunctive_filter"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -33,7 +33,7 @@ BENCH_QUERIES = [
     "op40_weekly_trend",
     "dedup_exact",
     "dedup_minhash_pairs",
-    "text_stats",
+    "text_metrics_suite",
     "embed_topk_bruteforce",
 ]
 
@@ -48,7 +48,7 @@ def main() -> None:
     # timed section measures steady-state throughput, not first-call JVM
     # compilation (which at 100 TB amortizes to zero).
     warmup_dir = "/root/testdata/sf0.001"
-    for wq in ("op09_filtered_search", "q1_pricing_summary",
+    for wq in ("op09_conjunctive_filter", "q1_pricing_summary",
                "q3_top_revenue_orders", "dedup_minhash_pairs",
                "embed_topk_bruteforce"):
         try:

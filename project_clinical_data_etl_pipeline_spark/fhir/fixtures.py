@@ -196,3 +196,45 @@ def snomed_icd10_map(spark: SparkSession) -> DataFrame:
         # 367498001 has NO row → (None, None) path (src/coding_task_5.py:85-87)
     ]
     return spark.createDataFrame(rows, schema=schemas.SNOMED_ICD10_MAP_DDL)
+
+
+#: Pre-existing Observations for the task-3 conditional-create path
+#: (src/coding_task_3.py:63-87): the edge patient already HAS the LOINC
+#: 85354-9 blood-pressure panel (search non-empty → skip create); the
+#: source patient has only a non-matching Observation, so the panel
+#: search comes back empty and the build+load branch must run.
+def observations(spark: SparkSession) -> DataFrame:
+    rows = [
+        {
+            "id": "obs-edge-bp",
+            "patient_id": "edge-blank-district",
+            "code": {
+                "coding": [
+                    {
+                        "system": "http://loinc.org",
+                        "code": "85354-9",
+                        "display": "Blood pressure panel with all children optional",
+                    }
+                ],
+                "text": "Blood pressure",
+            },
+            "effective_date": "2025-10-01",
+        },
+        {
+            # different code — must NOT satisfy the 85354-9 search
+            "id": "obs-src-hr",
+            "patient_id": SOURCE_PATIENT_ID,
+            "code": {
+                "coding": [
+                    {
+                        "system": "http://loinc.org",
+                        "code": "8867-4",
+                        "display": "Heart rate",
+                    }
+                ],
+                "text": "Heart rate",
+            },
+            "effective_date": "2025-11-01",
+        },
+    ]
+    return spark.createDataFrame(rows, schema=schemas.OBSERVATION_DDL)

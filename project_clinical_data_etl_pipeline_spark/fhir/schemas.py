@@ -57,3 +57,10 @@ CONDITION_DDL = f"""
 SNOMED_CONCEPT_DDL = "concept_id string, preferred_term string"
 SNOMED_ISA_DDL = "child_id string, parent_id string"
 SNOMED_ICD10_MAP_DDL = "snomed_id string, map_target string, map_priority int"
+
+OBSERVATION_DDL = f"""
+    id string,
+    patient_id string,
+    code {CODEABLE},
+    effective_date string
+"""

@@ -74,6 +74,49 @@ def op45_er7_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@spec(
+    QUERIES,
+    "op33_live_timestamp",
+    sql="""
+        SELECT CAST(c_custkey AS VARCHAR) AS patient_id, 1 AS msh7_live_ok
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderkey <= 50
+    """,
+    doc="OP-33 current-timestamp default (reference stamps now() into "
+    "MSH-7, src/coding_task_5.py:138): runs the ER7 encoder WITHOUT a "
+    "pinned msg_ts so the live current_timestamp() branch "
+    "(operators/encoders.py) actually executes, then verifies MSH-7 is a "
+    "well-formed yyyyMMddHHmmss value in-plan. The oracle pins the "
+    "deterministic verdict (1), not the wall-clock value — a broken "
+    "now() branch (null/empty/misformatted) yields 0 and hash-fails.",
+)
+def op33_live_timestamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 50)
+    c = load(spark, sf_dir, "customer")
+    joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+    msg = adt_a01_message(
+        joined,
+        patient_id=F.col("c_custkey"),
+        family=F.lit("Customer"),
+        given=F.element_at(F.split("c_name", "#"), 2),
+        gender=F.col("c_mktsegment"),
+        birth_date=F.col("o_orderdate"),
+        line=F.lit("1 Main St"),
+        city=F.lit("Springfield"),
+        state=F.lit("XX"),
+        postal=F.lit("00000"),
+        icd10_code=F.col("o_orderpriority"),
+        icd10_term=F.col("o_orderstatus"),
+        # msg_ts intentionally omitted → live current_timestamp() path
+        msg_ctl_id=F.col("o_orderkey").cast("string"),
+    )
+    msh7 = F.element_at(F.split(F.col("er7"), "\\|"), 7)
+    return msg.select(
+        "patient_id",
+        msh7.rlike("^[0-9]{14}$").cast("int").alias("msh7_live_ok"),
+    )
+
+
 _VALIDATE_SQL = """
     SELECT CAST(c_custkey AS VARCHAR) AS resource_id,
            'error' AS severity,

@@ -1,9 +1,9 @@
 """Remaining SURVEY.md §2 operators as driver-checkable queries:
-nested-array predicates (OP-11), projection/construction (OP-15/16/17/20),
-child expansion (OP-25), quality flags (OP-42), the Arrow-vectorized UDF
-surface (OP-44), source/sink round-trips (OP-03/04/07/08), the §4.3.1
-transitive-closure materialization, and a second TPC-H-style headline
-join-agg (Q5 shape).
+construction/split (OP-16/27), nested upsert (OP-17), quality flags
+(OP-42), the Arrow-vectorized UDF surface (OP-44), source/sink
+round-trips (OP-03/04/07/08/28), JSON extraction (OP-37), the §4.3.1
+transitive-closure materialization, the TPC-H-style headline queries
+Q4/Q5/Q6, and the supplier/part rollup suite.
 """
 
 from __future__ import annotations
@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..operators import hierarchy as H
+from ..operators import relational as R
 from ..tables import load
 from .base import QuerySpec, spec
 
@@ -24,46 +25,7 @@ QUERIES: dict[str, QuerySpec] = {}
 
 @spec(
     QUERIES,
-    "op11_nested_array_exists",
-    sql="""
-        SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_items
-        FROM lineitem
-        GROUP BY l_orderkey
-        HAVING bool_or(l_returnflag = 'R' AND l_quantity > 45.0)
-    """,
-    doc="OP-11 filter on an element of a nested array — the reference's "
-    "code=system|coding search (src/coding_task_3.py:54-87, LOINC 85354-9 "
-    "panel). Lineitems are collected to array<struct> per order and the "
-    "predicate is a higher-order exists() over it — no explode round-trip.",
-)
-def op11_nested_array_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load(spark, sf_dir, "lineitem")
-    grouped = li.groupBy("l_orderkey").agg(
-        F.collect_list(F.struct("l_returnflag", "l_quantity")).alias("items"),
-        F.count(F.lit(1)).cast("bigint").alias("n_items"),
-    )
-    has_match = F.exists(
-        F.col("items"),
-        lambda it: (it["l_returnflag"] == "R") & (it["l_quantity"] > 45.0),
-    )
-    return grouped.filter(has_match).select("l_orderkey", "n_items")
-
-
-@spec(
-    QUERIES,
-    "op15_column_drop",
-    sql="SELECT c_custkey, c_name, c_mktsegment FROM customer",
-    doc="OP-15 column drop (reference data.pop('id'/'meta'/'extension'), "
-    "src/coding_task_1.py:193-196). Catalyst column pruning pushes the "
-    "narrowed ReadSchema into the parquet scan.",
-)
-def op15_column_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load(spark, sf_dir, "customer").drop("c_nationkey", "c_acctbal")
-
-
-@spec(
-    QUERIES,
-    "op16_struct_construction",
+    "op16_27_construct_split",
     sql="""
         SELECT o_orderkey,
                to_json(struct_pack(
@@ -73,15 +35,21 @@ def op15_column_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
                    subject := struct_pack(
                        reference := 'Customer/' || CAST(o_custkey AS VARCHAR)),
                    onsetDateTime := strftime(o_orderdate, '%Y-%m-%d')))
-                 AS resource_json
+                 AS resource_json,
+               'Customer/' || CAST(o_custkey AS VARCHAR) AS subject_reference,
+               split_part('Customer/' || CAST(o_custkey AS VARCHAR), '/', 1) AS ref_type,
+               CAST(split_part('Customer/' || CAST(o_custkey AS VARCHAR), '/', 2) AS BIGINT) AS ref_id
         FROM orders
     """,
     doc="OP-16 literal struct/row construction (reference Condition builder "
     "src/coding_task_1.py:238-319: nested clinicalStatus/category/subject "
-    "literals parameterized by joined columns). Emitted as canonical JSON "
-    "so the oracle compares the full nested value.",
+    "literals parameterized by joined columns; emitted as canonical JSON "
+    "so the oracle compares the full nested value) + OP-27 discriminated-"
+    "reference construction and inverse split (subject.reference="
+    "'Patient/{id}', :316-318; split for joining, SURVEY §1.3). One "
+    "map-only projection over orders.",
 )
-def op16_struct_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
+def op16_27_construct_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     resource = F.struct(
         F.struct(
@@ -101,7 +69,41 @@ def op16_struct_construction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("subject"),
         F.date_format("o_orderdate", "yyyy-MM-dd").alias("onsetDateTime"),
     )
-    return o.select("o_orderkey", F.to_json(resource).alias("resource_json"))
+    ref = F.concat(F.lit("Customer/"), F.col("o_custkey").cast("string"))
+    t, i = R.fk_split(ref)
+    return o.select(
+        "o_orderkey",
+        F.to_json(resource).alias("resource_json"),
+        ref.alias("subject_reference"),
+        t.alias("ref_type"),
+        i.cast("bigint").alias("ref_id"),
+    )
+
+
+@spec(
+    QUERIES,
+    "op25_child_expansion",
+    sql="""
+        SELECT r_name, n_name
+        FROM region JOIN nation ON n_regionkey = r_regionkey
+        WHERE r_name IN ('ASIA', 'EUROPE')
+    """,
+    doc="OP-25 child-concept lookup — 1-hop DOWN the hierarchy (reference "
+    "ECL <!code, src/coding_task_2.py:115-153), the reversed-edge variant "
+    "of OP-24. Edge table broadcast; roots filtered first.",
+)
+def op25_child_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    roots = (
+        load(spark, sf_dir, "region")
+        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
+        .select(F.col("r_regionkey").alias("parent_id"), "r_name")
+    )
+    edges = load(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("child_id"),
+        F.col("n_regionkey").alias("parent_id"),
+        "n_name",
+    )
+    return H.children_of(edges, roots, code_col="parent_id").select("r_name", "n_name")
 
 
 @spec(
@@ -153,55 +155,6 @@ def op17_nested_field_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("address.district").alias("district"),
         F.element_at(F.col("meta.profile"), 1).alias("profile0"),
     )
-
-
-@spec(
-    QUERIES,
-    "op20_html_narrative",
-    sql="""
-        SELECT c_custkey,
-               printf('<div xmlns="http://www.w3.org/1999/xhtml"><p>%s</p></div>',
-                      c_name) AS narrative
-        FROM customer
-    """,
-    doc="OP-20 HTML narrative generation (reference text.div builder, "
-    "src/coding_task_1.py:246-253). Pure format_string projection.",
-)
-def op20_html_narrative(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer")
-    return c.select(
-        "c_custkey",
-        F.format_string(
-            '<div xmlns="http://www.w3.org/1999/xhtml"><p>%s</p></div>',
-            F.col("c_name"),
-        ).alias("narrative"),
-    )
-
-
-@spec(
-    QUERIES,
-    "op25_child_expansion",
-    sql="""
-        SELECT r_name, n_name
-        FROM region JOIN nation ON n_regionkey = r_regionkey
-        WHERE r_name IN ('ASIA', 'EUROPE')
-    """,
-    doc="OP-25 child-concept lookup — 1-hop DOWN the hierarchy (reference "
-    "ECL <!code, src/coding_task_2.py:115-153), the reversed-edge variant "
-    "of OP-24. Edge table broadcast; roots filtered first.",
-)
-def op25_child_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    roots = (
-        load(spark, sf_dir, "region")
-        .filter(F.col("r_name").isin("ASIA", "EUROPE"))
-        .select(F.col("r_regionkey").alias("parent_id"), "r_name")
-    )
-    edges = load(spark, sf_dir, "nation").select(
-        F.col("n_nationkey").alias("child_id"),
-        F.col("n_regionkey").alias("parent_id"),
-        "n_name",
-    )
-    return H.children_of(edges, roots, code_col="parent_id").select("r_name", "n_name")
 
 
 @spec(
@@ -264,23 +217,37 @@ def op44_vectorized_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @spec(
     QUERIES,
-    "op03_07_json_roundtrip",
+    "op03_04_07_08_roundtrip",
     sql="""
-        SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey <= 100
+        SELECT c_custkey, c_name, c_acctbal,
+               (SELECT CAST(max(o_orderkey) AS VARCHAR) FROM orders) AS handoff
+        FROM customer WHERE c_custkey <= 100
     """,
-    doc="OP-03 JSON document read + OP-07 JSON file write (reference "
-    "json.dump exports src/coding_task_1.py:382-386 and json.load reads "
-    ":21-23) as a real write→read round-trip through a temp dir with an "
-    "explicit schema on re-read (schema-on-read, PERMISSIVE).",
+    doc="Source/sink round-trip suite: OP-07 JSON file write + OP-03 JSON "
+    "document read (reference json.dump exports src/coding_task_1.py:382-386, "
+    "json.load reads :21-23) as a real write→read through a temp dir with "
+    "an explicit schema on re-read (schema-on-read, PERMISSIVE); OP-08 "
+    "scalar text write + OP-04 scalar text read + OP-28 cross-task key "
+    "handoff (primary_patient_id.txt, :451-452 → src/coding_task_3.py:42-52) "
+    "as a coalesce(1).write.text checkpoint re-read, trimmed, and "
+    "broadcast-joined onto the JSON rows.",
 )
-def op03_07_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = os.path.join(tempfile.mkdtemp(prefix="etl_json_"), "customers")
+def op03_04_07_08_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tmp = tempfile.mkdtemp(prefix="etl_serde_")
+    json_out = os.path.join(tmp, "customers")
+    txt_out = os.path.join(tmp, "handoff")
+
     subset = (
         load(spark, sf_dir, "customer")
         .filter(F.col("c_custkey") <= 100)
         .select("c_custkey", "c_name", "c_acctbal")
     )
-    subset.write.mode("overwrite").json(out)
+    subset.write.mode("overwrite").json(json_out)
+    o = load(spark, sf_dir, "orders")
+    o.agg(F.max("o_orderkey").cast("string").alias("value")).coalesce(
+        1
+    ).write.mode("overwrite").text(txt_out)
+
     schema = T.StructType(
         [
             T.StructField("c_custkey", T.LongType()),
@@ -288,27 +255,13 @@ def op03_07_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("c_acctbal", T.DoubleType()),
         ]
     )
-    return spark.read.schema(schema).json(out).select(
+    reread = spark.read.schema(schema).json(json_out).select(
         "c_custkey", "c_name", "c_acctbal"
     )
-
-
-@spec(
-    QUERIES,
-    "op04_08_text_handoff",
-    sql="SELECT CAST(max(o_orderkey) AS VARCHAR) AS handoff FROM orders",
-    doc="OP-04 scalar text read + OP-08 scalar text write (reference "
-    "primary_patient_id.txt handoff, src/coding_task_1.py:451-452 → "
-    "src/coding_task_3.py:42-52): a single-value cross-task checkpoint "
-    "written with coalesce(1).write.text and re-read + trimmed.",
-)
-def op04_08_text_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    out = os.path.join(tempfile.mkdtemp(prefix="etl_txt_"), "handoff")
-    o = load(spark, sf_dir, "orders")
-    o.agg(F.max("o_orderkey").cast("string").alias("value")).coalesce(
-        1
-    ).write.mode("overwrite").text(out)
-    return spark.read.text(out).select(F.trim(F.col("value")).alias("handoff"))
+    handoff = spark.read.text(txt_out).select(
+        F.trim(F.col("value")).alias("handoff")
+    )
+    return reread.crossJoin(F.broadcast(handoff))
 
 
 @spec(
@@ -451,63 +404,67 @@ def q4_priority_with_late_items(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @spec(
     QUERIES,
-    "supplier_nation_balance",
+    "dim_rollup_suite",
     sql="""
-        SELECT n_name,
-               CAST(count(*) AS BIGINT) AS n_suppliers,
-               CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_balance
+        SELECT 'nation:' || n_name AS group_key,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS metric
         FROM supplier JOIN nation ON s_nationkey = n_nationkey
         GROUP BY n_name
+        UNION ALL
+        SELECT group_key, n, metric FROM (
+            SELECT 'brand:' || p_brand AS group_key,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                       / count(*) AS metric
+            FROM part GROUP BY p_brand
+            ORDER BY n DESC, group_key ASC
+            LIMIT 10
+        )
     """,
-    doc="Supplier-side dim enrichment + rollup (OP-24/39 shape on the "
-    "supplier table): broadcast nation join, decimal-exact balance sum.",
+    doc="Dimension-rollup suite (OP-24/39 shapes beyond the graded "
+    "op24/op39 queries): supplier-side broadcast-nation enrichment with "
+    "decimal-exact balance sums, unioned with the part-catalog brand "
+    "rollup (decimal-exact average + deterministic top-10, "
+    "TakeOrderedAndProject).",
 )
-def supplier_nation_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dim_rollup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.scalars import decimal_sum
 
     s = load(spark, sf_dir, "supplier")
     n = load(spark, sf_dir, "nation")
-    return (
+    supplier_side = (
         s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
-            decimal_sum("s_acctbal").alias("total_balance"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            decimal_sum("s_acctbal").alias("metric"),
+        )
+        .select(
+            F.concat(F.lit("nation:"), F.col("n_name")).alias("group_key"),
+            "n",
+            "metric",
         )
     )
-
-
-@spec(
-    QUERIES,
-    "part_brand_stats",
-    sql="""
-        SELECT p_brand,
-               CAST(count(*) AS BIGINT) AS n_parts,
-               CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
-                   / count(*) AS avg_retail,
-               CAST(max(p_size) AS INT) AS max_size
-        FROM part GROUP BY p_brand
-        ORDER BY n_parts DESC, p_brand ASC
-        LIMIT 10
-    """,
-    doc="Part-catalog rollup with deterministic top-k (OP-39/OP-21 shape "
-    "on the part table): group, decimal-exact average, TakeOrderedAndProject.",
-)
-def part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load(spark, sf_dir, "part")
-    return (
+    part_side = (
         p.groupBy("p_brand")
         .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
             (
                 F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double")
                 / F.count(F.lit(1))
-            ).alias("avg_retail"),
-            F.max("p_size").cast("int").alias("max_size"),
+            ).alias("metric"),
         )
-        .orderBy(F.col("n_parts").desc(), F.col("p_brand").asc())
+        .select(
+            F.concat(F.lit("brand:"), F.col("p_brand")).alias("group_key"),
+            "n",
+            "metric",
+        )
+        .orderBy(F.col("n").desc(), F.col("group_key").asc())
         .limit(10)
     )
+    return supplier_side.unionByName(part_side)
 
 
 @spec(

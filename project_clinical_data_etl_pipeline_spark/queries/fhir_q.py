@@ -29,27 +29,52 @@ _ADT_EXPECTED = (
     "DG1|1||J30.4^Allergic rhinitis^I10|Allergic rhinitis"
 )
 
+# DuckDB standard strings treat backslash literally — only quotes double
+_ADT_ER7_SQL = "concat_ws(chr(13), " + ", ".join(
+    "'" + seg.replace("'", "''") + "'" for seg in _ADT_EXPECTED.split("\r")
+) + ")"
+
+_SUITE_SQL = f"""
+    SELECT 'adt_message' AS pipeline,
+           '9d036484-c661-485c-899d-fcab43d40914' AS f1,
+           {_ADT_ER7_SQL} AS f2,
+           CAST(NULL AS VARCHAR) AS f3
+    UNION ALL
+    SELECT 'patient_clean', family, district_or_null, extras FROM (VALUES
+        ('Russel', 'Not found',
+         '555 Hahn Village Unit 34 Westford, Not found, Massachusetts 00000|1'),
+        ('Blank', 'Not found', 'Salem, Not found, Oregon 97301|0'),
+        ('Homeless', CAST(NULL AS VARCHAR), '|0')
+    ) AS t(family, district_or_null, extras)
+    UNION ALL
+    SELECT 'hierarchy', direction, concept_id, preferred_term FROM (VALUES
+        ('parent', '61582004', 'Allergic rhinitis'),
+        ('child', '441978001', 'Allergic rhinitis due to food')
+    ) AS h(direction, concept_id, preferred_term)
+"""
+
 
 @spec(
     QUERIES,
-    "fhir_adt_message",
-    sql=(
-        "SELECT '9d036484-c661-485c-899d-fcab43d40914' AS patient_id, "
-        + "concat_ws(chr(13), "
-        # DuckDB standard strings treat backslash literally — only quotes double
-        + ", ".join(
-            "'" + seg.replace("'", "''") + "'" for seg in _ADT_EXPECTED.split("\r")
-        )
-        + ") AS er7"
-    ),
-    doc="End-to-end task-5 pipeline (reference src/coding_task_5.py:178-189): "
-    "source patient → first condition → parent concept via IS-A broadcast "
-    "join → ICD-10 first-priority map → 4-segment ER7 projection, with "
-    "MSH-7 pinned. Oracle is the golden message bytes "
-    "(src/data/adt_message.txt) as a literal.",
+    "fhir_pipeline_suite",
+    sql=_SUITE_SQL,
+    doc="The reference's end-to-end clinical pipelines as one union "
+    "suite, each branch against its golden literal:\n"
+    "- adt_message: task-5 (src/coding_task_5.py:178-189) source patient "
+    "→ first condition → parent concept via IS-A broadcast join → ICD-10 "
+    "first-priority map → 4-segment ER7 projection with MSH-7 pinned; "
+    "oracle is the golden bytes (src/data/adt_message.txt).\n"
+    "- patient_clean: task-1 (src/coding_task_1.py:193-220): SSN "
+    "identifiers removed (remove-ALL, SURVEY §2.10), district defaulted "
+    "missing-or-blank, display text rebuilt (golden src/data/patient.json:47), "
+    "address_text and identifier count packed into one pipe-joined column.\n"
+    "- hierarchy: tasks 1+2 (src/coding_task_1.py:137-175 ECL >!, "
+    "src/coding_task_2.py:115-153 ECL <!): first condition code hops one "
+    "IS-A edge up and down via broadcast joins.",
     tags=("fhir",),
 )
-def fhir_adt_message(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fhir_pipeline_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # --- adt_message branch -------------------------------------------
     codes = pipelines.parent_concept(
         pipelines.first_condition_code(
             fixtures.conditions(spark), fixtures.SOURCE_PATIENT_ID
@@ -60,71 +85,101 @@ def fhir_adt_message(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("concept_id").alias("code"), F.col("preferred_term").alias("display")
     )
     mapped = pipelines.map_to_icd10(codes, fixtures.snomed_icd10_map(spark))
-    return pipelines.task5_adt_message(
+    adt = pipelines.task5_adt_message(
         fixtures.patients(spark),
         mapped,
         fixtures.SOURCE_PATIENT_ID,
         msg_ts=F.lit(_MSG_TS),
+    ).select(
+        F.lit("adt_message").alias("pipeline"),
+        F.col("patient_id").alias("f1"),
+        F.col("er7").alias("f2"),
+        F.lit(None).cast("string").alias("f3"),
     )
 
-
-@spec(
-    QUERIES,
-    "fhir_patient_clean",
-    sql="""
-        SELECT * FROM (VALUES
-            ('Russel', 'Not found',
-             '555 Hahn Village Unit 34 Westford, Not found, Massachusetts 00000',
-             CAST(1 AS BIGINT)),
-            ('Blank', 'Not found', 'Salem, Not found, Oregon 97301',
-             CAST(0 AS BIGINT)),
-            ('Homeless', NULL, NULL, CAST(0 AS BIGINT))
-        ) AS t(family, district, address_text, n_identifiers)
-    """,
-    doc="Task-1 patient cleaning (reference src/coding_task_1.py:193-220) "
-    "over the fixture patients: SSN identifiers removed (remove-ALL, "
-    "SURVEY §2.10), district defaulted missing-or-blank, display text "
-    "rebuilt — golden string from src/data/patient.json:47. Literal "
-    "oracle, one row per fixture patient incl. the edge rows.",
-    tags=("fhir",),
-)
-def fhir_patient_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # --- patient_clean branch -----------------------------------------
     cleaned = pipelines.clean_patient(fixtures.patients(spark))
     addr0 = F.element_at(F.col("address"), 1)
-    return cleaned.select(
-        F.element_at(F.col("name"), 1)["family"].alias("family"),
-        addr0["district"].alias("district"),
-        addr0["text"].alias("address_text"),
-        F.size(F.col("identifier")).cast("bigint").alias("n_identifiers"),
+    clean = cleaned.select(
+        F.lit("patient_clean").alias("pipeline"),
+        F.element_at(F.col("name"), 1)["family"].alias("f1"),
+        addr0["district"].alias("f2"),
+        F.concat_ws(
+            "|",
+            F.coalesce(addr0["text"], F.lit("")),
+            F.size(F.col("identifier")).cast("string"),
+        ).alias("f3"),
     )
 
-
-@spec(
-    QUERIES,
-    "fhir_hierarchy_enrichment",
-    sql="""
-        SELECT * FROM (VALUES
-            ('parent', '61582004', 'Allergic rhinitis'),
-            ('child', '441978001', 'Allergic rhinitis due to food')
-        ) AS t(direction, concept_id, preferred_term)
-    """,
-    doc="Tasks 1+2 terminology enrichment (reference "
-    "src/coding_task_1.py:137-175 ECL >!, src/coding_task_2.py:115-153 "
-    "ECL <!): the patient's first condition code hops one IS-A edge up "
-    "and down via broadcast joins; both golden concepts as the literal "
-    "oracle.",
-    tags=("fhir",),
-)
-def fhir_hierarchy_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    codes = pipelines.first_condition_code(
+    # --- hierarchy branch ---------------------------------------------
+    first_code = pipelines.first_condition_code(
         fixtures.conditions(spark), fixtures.SOURCE_PATIENT_ID
     )
     isa = fixtures.snomed_isa(spark)
     concepts = fixtures.snomed_concepts(spark)
-    parent = pipelines.parent_concept(codes, isa, concepts).select(
-        F.lit("parent").alias("direction"), "concept_id", "preferred_term"
+    parent = pipelines.parent_concept(first_code, isa, concepts).select(
+        F.lit("hierarchy").alias("pipeline"),
+        F.lit("parent").alias("f1"),
+        F.col("concept_id").alias("f2"),
+        F.col("preferred_term").alias("f3"),
     )
-    child = pipelines.child_concept(codes, isa, concepts).select(
-        F.lit("child").alias("direction"), "concept_id", "preferred_term"
+    child = pipelines.child_concept(first_code, isa, concepts).select(
+        F.lit("hierarchy").alias("pipeline"),
+        F.lit("child").alias("f1"),
+        F.col("concept_id").alias("f2"),
+        F.col("preferred_term").alias("f3"),
     )
-    return parent.unionByName(child)
+    return adt.unionByName(clean).unionByName(parent).unionByName(child)
+
+
+@spec(
+    QUERIES,
+    "fhir_conditional_create",
+    sql="""
+        SELECT * FROM (VALUES
+            ('edge-blank-district', 'exists', '85354-9'),
+            ('9d036484-c661-485c-899d-fcab43d40914', 'created', '85354-9')
+        ) AS t(patient_id, action, panel_code)
+    """,
+    doc="Task-3 conditional construct-and-load (reference "
+    "src/coding_task_3.py:63-87: search Observation?patient=&code=LOINC|"
+    "85354-9; ONLY when the search is empty, build and POST the "
+    "blood-pressure panel :89-206). Expressed set-based: patients whose "
+    "panel search matches report 'exists'; the source patient anti-joins "
+    "the match set, and the surviving row triggers the builder "
+    "(src/data/observation.json golden) — the created row carries the "
+    "panel code extracted back out of the built JSON, proving the "
+    "when-empty branch actually constructed the resource.",
+    tags=("fhir",),
+)
+def fhir_conditional_create(spark: SparkSession, sf_dir: str) -> DataFrame:
+    obs = fixtures.observations(spark)
+    # set-based twin of search_observations: patients with a matching panel
+    has_code = F.exists(
+        F.col("code.coding"),
+        lambda c: (c["system"] == pipelines.LOINC) & (c["code"] == "85354-9"),
+    )
+    matching = obs.filter(has_code).select("patient_id").distinct()
+
+    targets = fixtures.patients(spark).select(F.col("id").alias("patient_id"))
+    exists_rows = targets.join(F.broadcast(matching), "patient_id", "left_semi").select(
+        "patient_id",
+        F.lit("exists").alias("action"),
+        F.lit("85354-9").alias("panel_code"),
+    )
+
+    # the reference's else-branch, conditional via anti-join: the source
+    # patient survives iff their panel search is empty
+    candidate = targets.filter(F.col("patient_id") == fixtures.SOURCE_PATIENT_ID)
+    missing = candidate.join(F.broadcast(matching), "patient_id", "left_anti")
+    built = pipelines.build_observation(missing, fixtures.PRIMARY_PATIENT_ID)
+    # missing has 0 or 1 rows (single source patient) → the crossJoin
+    # yields the created row only when the when-empty branch fired
+    created_rows = missing.crossJoin(F.broadcast(built.limit(1))).select(
+        "patient_id",
+        F.lit("created").alias("action"),
+        F.get_json_object("observation_json", "$.code.coding[0].code").alias(
+            "panel_code"
+        ),
+    )
+    return exists_rows.unionByName(created_rows)

@@ -2,8 +2,8 @@
 
 Join classes exercised, mirroring the reference: broadcast-hash dim
 enrichment (OP-24/25/26), left-semi FK filter (OP-10), left-anti
-care-gap (OP-29), first-match priority lookup (OP-26), FK split/
-construction (OP-27).
+care-gap (OP-29), first-match priority lookup (OP-26). FK split/
+construction (OP-27) lives in extended.op16_27_construct_split.
 """
 
 from __future__ import annotations
@@ -109,32 +109,6 @@ def op26_first_match_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         priority=[F.col("l_linenumber").asc(), F.col("l_partkey").asc()],
         broadcast_mapping=False,  # mapping derives from the fact-sized table
     ).select("o_orderkey", "o_totalprice", "l_partkey", "l_linenumber")
-
-
-@spec(
-    QUERIES,
-    "op27_fk_split",
-    sql="""
-        SELECT o_orderkey,
-               'Customer/' || CAST(o_custkey AS VARCHAR) AS subject_reference,
-               split_part('Customer/' || CAST(o_custkey AS VARCHAR), '/', 1) AS ref_type,
-               CAST(split_part('Customer/' || CAST(o_custkey AS VARCHAR), '/', 2) AS BIGINT) AS ref_id
-        FROM orders
-    """,
-    doc="OP-27 discriminated-reference construction + inverse split "
-    "(reference subject.reference='Patient/{id}', src/coding_task_1.py:316-318; "
-    "split for joining, SURVEY §1.3).",
-)
-def op27_fk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load(spark, sf_dir, "orders")
-    ref = F.concat(F.lit("Customer/"), F.col("o_custkey").cast("string"))
-    t, i = R.fk_split(ref)
-    return o.select(
-        "o_orderkey",
-        ref.alias("subject_reference"),
-        t.alias("ref_type"),
-        i.cast("bigint").alias("ref_id"),
-    )
 
 
 @spec(

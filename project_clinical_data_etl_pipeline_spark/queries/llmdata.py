@@ -46,53 +46,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_dedup_groups(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
-@spec(
-    QUERIES,
-    "text_fingerprint",
-    sql=f"SELECT doc_id, md5({_NORM}) AS fp FROM documents",
-    doc="Document fingerprint: md5 over canonicalized text — the "
-    "content-addressing primitive for incremental dedup.",
-    tags=("llm",),
-)
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", X.fingerprint(F.col("text")).alias("fp"))
-
-
-@spec(
-    QUERIES,
-    "text_stats",
-    sql="""
-        SELECT doc_id,
-               CAST(CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
-                   AS n_tokens,
-               CAST(length(text) AS BIGINT) AS n_chars_calc,
-               CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-                   / greatest(length(text), 1) AS punct_ratio,
-               CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
-                   / greatest(CASE WHEN trim(text) = '' THEN 0
-                              ELSE len(string_split_regex(trim(text), '\\s+')) END, 1)
-                   AS mean_word_len
-        FROM documents
-    """,
-    doc="Text quality statistics: token count, char count, punctuation "
-    "ratio, mean word length — all integer-exact numerators/denominators "
-    "so the double ratios are engine-deterministic. Map-only.",
-    tags=("llm", "bench"),
-)
-def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    t = F.col("text")
-    return d.select(
-        "doc_id",
-        X.token_count(t).alias("n_tokens"),
-        X.char_count(t).alias("n_chars_calc"),
-        X.punct_ratio(t).alias("punct_ratio"),
-        X.mean_word_length(t).alias("mean_word_len"),
-    )
-
-
 def _langid_sql() -> str:
     """Generate the oracle CASE for the stopword-vote language heuristic,
     mirroring text.lang_guess (same marker sets, same tie priority)."""
@@ -109,28 +62,70 @@ def _langid_sql() -> str:
         f"WHEN {best} > 0 AND {counts[lang]} = {best} THEN '{lang}'"
         for lang in ["en", "fr", "de", "es"]
     )
-    return f"""
-        SELECT doc_id, lang AS lang_declared,
-               CASE {whens} ELSE 'und' END AS lang_pred
+    return f"CASE {whens} ELSE 'und' END"
+
+
+_TEXT_SUITE_SQL = f"""
+    WITH t AS (
+        SELECT doc_id, text, lang,
+               CASE WHEN trim(text) = '' THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars_calc,
+               CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
+                   / greatest(length(text), 1) AS punct_ratio,
+               len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                   w -> w IN ('the', 'and', 'of', 'to', 'is'))) AS n_stops
         FROM documents
-    """
+    )
+    SELECT doc_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
+           n_chars_calc,
+           punct_ratio,
+           CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+               / greatest(n_tokens, 1) AS mean_word_len,
+           md5({_NORM}) AS fp,
+           lang AS lang_declared,
+           {_langid_sql()} AS lang_pred,
+           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
+               AS n_bpeish_tokens,
+           CAST(n_stops AS DOUBLE) / greatest(n_tokens, 1) AS stopword_ratio,
+           least(CAST(n_chars_calc AS DOUBLE) / 500.0, 1.0) * 0.4
+             + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
+             + least((CAST(n_stops AS DOUBLE) / greatest(n_tokens, 1)) * 5.0, 1.0) * 0.3
+               AS quality_score
+    FROM t
+"""
 
 
 @spec(
     QUERIES,
-    "text_langid",
-    sql=_langid_sql(),
-    doc="Language-ID heuristic: stopword-marker vote with fixed tie "
-    "priority, next to the declared lang column. Pure expression — at "
-    "scale this is a free rider on any scan.",
-    tags=("llm",),
+    "text_metrics_suite",
+    sql=_TEXT_SUITE_SQL,
+    doc="Text-analysis suite in one map-only projection over documents: "
+    "token count, char count, punctuation ratio, mean word length, md5 "
+    "content fingerprint (the incremental-dedup primitive), stopword-vote "
+    "language-ID with fixed tie priority, BPE-ish subword token estimate, "
+    "stopword ratio, and the weighted [0,1] quality heuristic used to "
+    "filter training corpora. All ratios are exact-integer numerators/"
+    "denominators combined in a fixed operation order → engine-"
+    "deterministic doubles. At scale this is a free rider on any scan.",
+    tags=("llm", "bench"),
 )
-def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
+    t = F.col("text")
     return d.select(
         "doc_id",
+        X.token_count(t).alias("n_tokens"),
+        X.char_count(t).alias("n_chars_calc"),
+        X.punct_ratio(t).alias("punct_ratio"),
+        X.mean_word_length(t).alias("mean_word_len"),
+        X.fingerprint(t).alias("fp"),
         F.col("lang").alias("lang_declared"),
-        X.lang_guess(F.col("text")).alias("lang_pred"),
+        X.lang_guess(t).alias("lang_pred"),
+        X.bpe_ish_token_count(t).alias("n_bpeish_tokens"),
+        X.stopword_ratio(t).alias("stopword_ratio"),
+        X.quality_score(t).alias("quality_score"),
     )
 
 
@@ -331,52 +326,6 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     return D.embedding_near_dups(e, "vec_id", "embedding", threshold=0.99, dim=64)
-
-
-_QUALITY_SQL = """
-    WITH t AS (
-        SELECT doc_id, text,
-               CAST(length(text) AS BIGINT) AS n_chars_calc,
-               CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
-                   / greatest(length(text), 1) AS punct_ratio,
-               CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
-               len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                   w -> w IN ('the', 'and', 'of', 'to', 'is'))) AS n_stops
-        FROM documents
-    )
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT)
-               AS n_bpeish_tokens,
-           CAST(n_stops AS DOUBLE) / greatest(n_tokens, 1) AS stopword_ratio,
-           least(CAST(n_chars_calc AS DOUBLE) / 500.0, 1.0) * 0.4
-             + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
-             + least((CAST(n_stops AS DOUBLE) / greatest(n_tokens, 1)) * 5.0, 1.0) * 0.3
-               AS quality_score
-    FROM t
-"""
-
-
-@spec(
-    QUERIES,
-    "text_quality_score",
-    sql=_QUALITY_SQL,
-    doc="Composite text-quality scoring: BPE-ish subword token estimate, "
-    "stopword ratio, and the weighted [0,1] quality heuristic (length / "
-    "punctuation / naturalness) used to filter training corpora. All "
-    "components are exact-integer ratios combined in a fixed operation "
-    "order → engine-deterministic doubles. Map-only.",
-    tags=("llm",),
-)
-def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = load(spark, sf_dir, "documents")
-    t = F.col("text")
-    return d.select(
-        "doc_id",
-        X.bpe_ish_token_count(t).alias("n_bpeish_tokens"),
-        X.stopword_ratio(t).alias("stopword_ratio"),
-        X.quality_score(t).alias("quality_score"),
-    )
 
 
 @spec(

@@ -15,8 +15,7 @@ from project_clinical_data_etl_pipeline_spark.tables import load
 #: ops whose WHOLE POINT is a Python kernel (Arrow-batched)
 PYTHON_KERNEL_OPS = {"op44_vectorized_udf", "multimodal_decode"}
 #: ops that run a stream or write side effects — explain separately
-NON_PLAIN_OPS = {"op41_streaming_hourly_counts", "op03_07_json_roundtrip",
-                 "op04_08_text_handoff"}
+NON_PLAIN_OPS = {"op41_streaming_hourly_counts", "op03_04_07_08_roundtrip"}
 
 
 def _plan(df) -> str:
@@ -24,7 +23,7 @@ def _plan(df) -> str:
 
 
 def test_point_lookup_pushes_filter_to_scan(spark, sf_dir):
-    plan = _plan(REGISTRY["op02_point_lookup"].run(spark, sf_dir))
+    plan = _plan(REGISTRY["op01_02_scan_lookup"].run(spark, sf_dir))
     assert "PushedFilters" in plan
     assert "EqualTo(c_custkey,42)" in plan.replace(" ", "").replace("42L", "42") or (
         "c_custkey" in plan and "PushedFilters: []" not in plan
@@ -32,10 +31,8 @@ def test_point_lookup_pushes_filter_to_scan(spark, sf_dir):
 
 
 def test_scan_prunes_columns(spark, sf_dir):
-    plan = _plan(REGISTRY["op01_full_scan"].run(spark, sf_dir))
-    # region has 2 columns; both projected — but lineitem-based op13 must
-    # NOT read all 11 columns
-    plan13 = _plan(REGISTRY["op13_array_element_removal"].run(spark, sf_dir))
+    # lineitem-based op11_13 suite must NOT read all 11 lineitem columns
+    plan13 = _plan(REGISTRY["op11_13_array_suite"].run(spark, sf_dir))
     assert "l_extendedprice" not in plan13
     assert "l_shipdate" not in plan13
 
@@ -90,7 +87,7 @@ def test_q1_whole_stage_codegen(spark, sf_dir):
 
 
 def test_filtered_search_prunes_partitions_after_pushdown(spark, sf_dir):
-    plan = _plan(REGISTRY["op09_filtered_search"].run(spark, sf_dir))
+    plan = _plan(REGISTRY["op09_conjunctive_filter"].run(spark, sf_dir))
     assert "PushedFilters" in plan
-    # all three predicates evaluated: equality + range reach the scan
-    assert "c_mktsegment" in plan and "c_acctbal" in plan
+    # equality + range + date-range predicates all reach the scan
+    assert "o_orderstatus" in plan and "o_totalprice" in plan

@@ -48,14 +48,17 @@ def test_sql_surface_matches_dataframe_api(spark, sf_dir):
     register_views(spark, sf_dir)
     sql_df = spark.sql(
         """
-        SELECT c_custkey, c_name, c_mktsegment, c_acctbal
-        FROM customer
-        WHERE c_mktsegment = 'BUILDING' AND c_acctbal > 1000.0
-          AND c_name LIKE '%1%'
+        SELECT o_orderkey, o_custkey, o_totalprice,
+               date_format(o_orderdate, 'yyyy-MM-dd') AS order_date
+        FROM orders
+        WHERE o_orderstatus = 'O'
+          AND o_orderdate > TIMESTAMP '1997-06-01 00:00:00'
+          AND o_totalprice > 50000.0
+          AND o_orderpriority LIKE '%URGENT%'
         """
     )
-    api_df = REGISTRY["op09_filtered_search"].run(spark, sf_dir)
+    api_df = REGISTRY["op09_conjunctive_filter"].run(spark, sf_dir)
     assert sorted(map(tuple, sql_df.collect())) == sorted(map(tuple, api_df.collect()))
     # same optimized plan modulo ids: both push all predicates to the scan
     sql_plan = sql_df._jdf.queryExecution().executedPlan().toString()
-    assert "PushedFilters" in sql_plan and "c_acctbal" in sql_plan
+    assert "PushedFilters" in sql_plan and "o_totalprice" in sql_plan
