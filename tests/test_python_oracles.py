@@ -1,0 +1,338 @@
+"""Standalone Python bit-exact oracles for the four queries that have no
+DuckDB SQL twin (xxhash64-based sketches + the binary decode kernel) —
+the driver records only rows-only checks for these, so THIS module is
+their correctness gate.
+
+Every reference implementation here is independent of the package under
+test: its own XXH64 (verified against Spark's xxhash64 below), its own
+splitmix64 constant derivation, ASCII ``\\s`` regex classes (Java regex
+semantics — Python's default ``\\s`` is Unicode), and Java-compatible
+split/trim behavior (trim strips spaces only; split keeps trailing
+empty strings).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from project_clinical_data_etl_pipeline_spark.queries import REGISTRY
+from project_clinical_data_etl_pipeline_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# Pure-Python XXH64, bit-compatible with Spark's xxhash64 expression
+# (seed 42; multi-column calls chain the running hash as the next seed).
+
+_P1 = 0x9E3779B185EBCA87
+_P2 = 0xC2B2AE3D27D4EB4F
+_P3 = 0x165667B19E3779F9
+_P4 = 0x85EBCA77C2B2AE63
+_P5 = 0x27D4EB2F165667C5
+_M64 = 0xFFFFFFFFFFFFFFFF
+
+
+def _rotl(x: int, r: int) -> int:
+    return ((x << r) | (x >> (64 - r))) & _M64
+
+
+def _fmix(h: int) -> int:
+    h ^= h >> 33
+    h = (h * _P2) & _M64
+    h ^= h >> 29
+    h = (h * _P3) & _M64
+    h ^= h >> 32
+    return h
+
+
+def xxh64_bytes(data: bytes, seed: int) -> int:
+    """Standard XXH64 over ``data`` (unsigned result)."""
+    n, i = len(data), 0
+    if n >= 32:
+        v = [
+            (seed + _P1 + _P2) & _M64,
+            (seed + _P2) & _M64,
+            seed & _M64,
+            (seed - _P1) & _M64,
+        ]
+        while i + 32 <= n:
+            for j in range(4):
+                k = int.from_bytes(data[i + 8 * j : i + 8 * j + 8], "little")
+                v[j] = (_rotl((v[j] + k * _P2) & _M64, 31) * _P1) & _M64
+            i += 32
+        h = (_rotl(v[0], 1) + _rotl(v[1], 7) + _rotl(v[2], 12) + _rotl(v[3], 18)) & _M64
+        for vj in v:
+            h ^= (_rotl((vj * _P2) & _M64, 31) * _P1) & _M64
+            h = (h * _P1 + _P4) & _M64
+    else:
+        h = (seed + _P5) & _M64
+    h = (h + n) & _M64
+    while i + 8 <= n:
+        k = int.from_bytes(data[i : i + 8], "little")
+        h ^= (_rotl((k * _P2) & _M64, 31) * _P1) & _M64
+        h = (_rotl(h, 27) * _P1 + _P4) & _M64
+        i += 8
+    if i + 4 <= n:
+        k = int.from_bytes(data[i : i + 4], "little")
+        h ^= (k * _P1) & _M64
+        h = (_rotl(h, 23) * _P2 + _P3) & _M64
+        i += 4
+    while i < n:
+        h ^= (data[i] * _P5) & _M64
+        h = (_rotl(h, 11) * _P1) & _M64
+        i += 1
+    return _fmix(h)
+
+
+def _hash_int(x: int, seed: int) -> int:
+    """Spark XXH64.hashInt — how an IntegerType argument chains."""
+    h = (seed + _P5 + 4) & _M64
+    h ^= ((x & 0xFFFFFFFF) * _P1) & _M64
+    h = (_rotl(h, 23) * _P2 + _P3) & _M64
+    return _fmix(h)
+
+
+def _signed(u: int) -> int:
+    return u - (1 << 64) if u >= (1 << 63) else u
+
+
+def spark_xxhash64(s: str, seed: int = 42) -> int:
+    """= F.xxhash64(lit(s)) — signed 64-bit like Spark."""
+    return _signed(xxh64_bytes(s.encode("utf-8"), seed))
+
+
+def spark_xxhash64_str_int(s: str, extra: int, seed: int = 42) -> int:
+    """= F.xxhash64(lit(s), lit(extra)) — the running hash seeds the
+    IntegerType argument's hash."""
+    return _signed(_hash_int(extra, xxh64_bytes(s.encode("utf-8"), seed)))
+
+
+def test_xxh64_reference_matches_spark(spark):
+    """Anchor: the Python XXH64 must equal Spark's expression on strings
+    covering every tail-length branch and the chained-int form."""
+    samples = [
+        "", "a", "abc", "1234", "1234567", "12345678", "hello world",
+        "x" * 31, "y" * 32, "z" * 33, "é unicode ü", "w " * 40,
+    ]
+    rows = (
+        spark.createDataFrame([(s,) for s in samples], "s string")
+        .select("s", F.xxhash64("s").alias("h1"), F.xxhash64("s", F.lit(7)).alias("h2"))
+        .collect()
+    )
+    for r in rows:
+        assert spark_xxhash64(r["s"]) == r["h1"], repr(r["s"])
+        assert spark_xxhash64_str_int(r["s"], 7) == r["h2"], repr(r["s"])
+
+
+# ---------------------------------------------------------------------------
+# Java-compatible text primitives (ASCII \s; trim = spaces only; split
+# keeps trailing empties like Spark's split with limit -1).
+
+_WS = re.compile(r"\s+", re.ASCII)
+_NON_ALNUM = re.compile(r"[^a-z0-9\s]", re.ASCII)
+
+
+def java_words(text: str) -> list[str]:
+    """Mirror F.split(F.lower(F.trim(col)), r'\\s+')."""
+    t = text.lower().strip(" ")
+    return _WS.split(t)
+
+
+def normalize_text(text: str) -> str:
+    """Mirror dedup.normalize_text: lower → strip non-alnum → collapse
+    ws → trim."""
+    t = text.lower()
+    t = _NON_ALNUM.sub("", t)
+    t = _WS.sub(" ", t)
+    return t.strip(" ")
+
+
+def shingles(text: str, k: int) -> list[str]:
+    """Mirror dedup.with_shingles (zip-with-shifted-slices): complete
+    k-word shingles over the NORMALIZED text, or one whole-text shingle
+    for docs shorter than k words."""
+    words = normalize_text(text).split(" ")
+    if len(words) >= k:
+        return [" ".join(words[i : i + k]) for i in range(len(words) - k + 1)]
+    return [" ".join(words)]
+
+
+def _splitmix(x: int) -> int:
+    x = (x + 0x9E3779B97F4A7C15) & _M64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _M64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _M64
+    return x ^ (x >> 31)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH oracle (dedup_minhash_pairs: num_hashes=32, bands=8, k=3)
+
+
+def minhash_signature(text: str, num_hashes: int = 32, k: int = 3) -> list[int]:
+    a = [(_splitmix(2 * i + 1) % ((1 << 30) - 1)) | 1 for i in range(num_hashes)]
+    c = [_splitmix(3 * i + 7) % (1 << 32) for i in range(num_hashes)]
+    sig = [(1 << 63) - 1] * num_hashes
+    for sh in shingles(text, k):
+        h32 = xxh64_bytes(sh.encode("utf-8"), 42) & 0xFFFFFFFF
+        for i in range(num_hashes):
+            hi = ((h32 ^ c[i]) * a[i]) >> 13
+            if hi < sig[i]:
+                sig[i] = hi
+    return sig
+
+
+def minhash_pairs_oracle(docs: list[tuple[int, str]]) -> dict[tuple[int, int], float]:
+    num_hashes, bands = 32, 8
+    rows_per_band = num_hashes // bands
+    sigs = {doc_id: minhash_signature(text) for doc_id, text in docs}
+    buckets: dict[tuple[int, tuple[int, ...]], list[int]] = {}
+    for doc_id, sig in sigs.items():
+        for b in range(bands):
+            key = (b, tuple(sig[b * rows_per_band : (b + 1) * rows_per_band]))
+            buckets.setdefault(key, []).append(doc_id)
+    pairs: dict[tuple[int, int], float] = {}
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i, id_a in enumerate(ids):
+            for id_b in ids[i + 1 :]:
+                if (id_a, id_b) not in pairs:
+                    match = sum(
+                        1 for x, y in zip(sigs[id_a], sigs[id_b]) if x == y
+                    )
+                    pairs[(id_a, id_b)] = match / float(num_hashes)
+    return pairs
+
+
+def test_minhash_pairs_match_python_oracle(spark, sf_dir):
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    ]
+    expected = minhash_pairs_oracle(docs)
+    got = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in REGISTRY["dedup_minhash_pairs"].run(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# SimHash oracle (dedup_simhash_pairs: k=2 shingles over RAW words,
+# xxhash64(shingle, 7), vote per occurrence, max_hamming=3)
+
+
+def simhash64(text: str) -> int:
+    votes = [0] * 64
+    for sh in shingles(text, 2):
+        h = spark_xxhash64_str_int(sh, 7) & _M64  # unsigned view of the hash
+        for b in range(64):
+            votes[b] += 1 if (h >> b) & 1 else -1
+    u = 0
+    for b in range(64):
+        if votes[b] > 0:
+            u |= 1 << b
+    return _signed(u)
+
+
+def simhash_pairs_oracle(docs: list[tuple[int, str]]) -> dict[tuple[int, int], int]:
+    """All pairs at Hamming ≤ 3. The 4×16-bit block LSH is provably
+    complete at this radius (pigeonhole: 3 flipped bits cannot touch all
+    4 blocks), so candidate generation loses nothing vs all-pairs."""
+    hs = {doc_id: simhash64(text) & _M64 for doc_id, text in docs}
+    ids = sorted(hs)
+    out: dict[tuple[int, int], int] = {}
+    for i, id_a in enumerate(ids):
+        for id_b in ids[i + 1 :]:
+            d = bin(hs[id_a] ^ hs[id_b]).count("1")
+            if d <= 3:
+                out[(id_a, id_b)] = d
+    return out
+
+
+def test_simhash_pairs_match_python_oracle(spark, sf_dir):
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    ]
+    expected = simhash_pairs_oracle(docs)
+    got = {
+        (r["id_a"], r["id_b"]): r["hamming"]
+        for r in REGISTRY["dedup_simhash_pairs"].run(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_simhash_value_matches_python_oracle(spark, sf_dir):
+    """Signature-level check (stronger than pair-level: a constant-zero
+    simhash would still produce matching pairs)."""
+    from project_clinical_data_etl_pipeline_spark.operators.dedup import (
+        simhash64_by_key,
+    )
+
+    d = load(spark, sf_dir, "documents").limit(50)
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in simhash64_by_key(d, "doc_id", "text", "sh").select(
+            "doc_id", "sh"
+        ).collect()
+    }
+    docs = {r["doc_id"]: r["text"] for r in d.select("doc_id", "text").collect()}
+    for doc_id, text in docs.items():
+        assert got[doc_id] == simhash64(text), f"doc {doc_id}"
+
+
+# ---------------------------------------------------------------------------
+# Rolling-fingerprint oracle (text_rolling_fingerprint: window=8 over
+# raw lower/trim/split words, xxhash64 seed 42, min over spans)
+
+
+def rolling_fingerprint(text: str, window: int = 8) -> int:
+    words = java_words(text)
+    n = len(words)
+    top = max(n - (window - 1), 1)
+    best = None
+    for i in range(top):
+        span = " ".join(words[i : i + window])  # slice saturates like F.slice
+        h = spark_xxhash64(span)
+        if best is None or h < best:
+            best = h
+    return best
+
+
+def test_rolling_fingerprint_matches_python_oracle(spark, sf_dir):
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    got = {
+        r["doc_id"]: r["rolling_fp"]
+        for r in REGISTRY["text_rolling_fingerprint"].run(spark, sf_dir).collect()
+    }
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        assert got[doc_id] == rolling_fingerprint(text), f"doc {doc_id}"
+
+
+# ---------------------------------------------------------------------------
+# Multimodal fake-decode oracle (multimodal_decode: sha256-derived dims)
+
+
+def fake_decode_dims(payload: bytes) -> tuple[int, int, int]:
+    h = hashlib.sha256(payload).digest()
+    return 64 + h[0], 64 + h[1], 3
+
+
+def test_multimodal_decode_matches_python_oracle(spark, sf_dir):
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    got = {
+        r["media_id"]: (r["width"], r["height"], r["n_channels"])
+        for r in REGISTRY["multimodal_decode"].run(spark, sf_dir).collect()
+    }
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        assert got[doc_id] == fake_decode_dims(text.encode("utf-8")), f"doc {doc_id}"
