@@ -198,6 +198,26 @@ def minhash_signature_from_shingles(
     )
 
 
+def _drop_hot_keys(
+    rows: DataFrame, key_col: str, max_count: int
+) -> DataFrame:
+    """Drop every row whose ``key_col`` value occurs more than
+    ``max_count`` times — the skew-cap primitive for LSH buckets and
+    inverted-index postings.
+
+    Scale shape: the hot-key set is tiny BY CONSTRUCTION (each survivor
+    of the count-filter represents > max_count input rows, so there can
+    be at most |rows|/max_count of them) → it broadcasts, and the drop
+    is a broadcast anti-join — no extra shuffle of ``rows``."""
+    hot = (
+        rows.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") > max_count)
+        .select(key_col)
+    )
+    return rows.join(F.broadcast(hot), on=key_col, how="left_anti")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -206,6 +226,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     k: int = 3,
     materialize_signatures: bool = True,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """MinHash + LSH candidate pairs: docs sharing ≥1 band bucket.
 
@@ -216,9 +237,18 @@ def minhash_lsh_pairs(
 
     Shuffle profile at scale: the band explode multiplies rows ×bands,
     but each shuffled row is (band_key, id, signature) — fixed width.
-    The self-join happens per bucket; hot buckets (boilerplate text) are
-    the skew risk → AQE skew-join handles it, and a bucket-size cap can
-    be layered on top for adversarial data.
+    The self-join happens per bucket; hot buckets (boilerplate corpora
+    hashing to one signature) are the skew risk: a bucket of b docs
+    materializes O(b²) pairs no matter how AQE splits the join.
+
+    ``max_bucket_size`` bounds that blowup: band buckets holding more
+    than this many docs are dropped entirely (broadcast anti-join — the
+    hot-bucket set is provably ≤ |docs|·bands/max_bucket_size keys).
+    Dropping is the right semantic for dedup: a mega-bucket is
+    boilerplate whose members are near-identical; route them through
+    ``exact_dedup_groups`` instead of enumerating b² pairs. Pairs whose
+    ONLY shared bucket was hot are lost (recall trade, documented) —
+    exact duplicates still surface in every other band.
     """
     rows_per_band = num_hashes // bands
     sig = with_shingles(fan_out(df), text_col, k).select(
@@ -258,6 +288,8 @@ def minhash_lsh_pairs(
             "__bucket"
         ),
     )
+    if max_bucket_size is not None:
+        banded = _drop_hot_keys(banded, "__bucket", max_bucket_size)
     left = banded.alias("l")
     right = banded.alias("r")
     pairs = (
@@ -418,21 +450,31 @@ def ngram_jaccard_pairs(
     text_col: str,
     k: int = 3,
     threshold: float = 0.5,
+    df_max: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard similarity for candidate pairs that share at
     least one shingle. Returns (id_a, id_b, jaccard ≥ threshold).
 
     Built as shingle-inverted-index self-join: explode distinct
     shingles → join on shingle → count shared → |A∩B| / (|A|+|B|-|A∩B|).
-    At 100 TB this needs a document-frequency cap on shingles (drop
-    shingles appearing in >df_max docs) to bound the hot-bucket blowup;
-    exposed as the natural pre-filter on ``exploded``.
+
+    ``df_max`` is the 100 TB document-frequency cap: shingles appearing
+    in more than ``df_max`` docs are dropped from the inverted index
+    before the self-join (broadcast anti-join on the provably-small
+    hot-shingle set), bounding each posting list's pair fan-out at
+    df_max². With the cap active the reported jaccard is a LOWER bound
+    (capped shingles no longer count toward the intersection while doc
+    sizes keep them) — the standard trade for boilerplate-heavy corpora,
+    where ubiquitous shingles carry no similarity signal anyway.
+    ``df_max=None`` keeps the exact semantics the DuckDB oracle checks.
     """
     sizes = with_shingles(fan_out(df), text_col, k).select(
         F.col(id_col).alias("__id"),
         F.array_distinct(F.col("__shingles")).alias("__sh"),
     ).select("__id", "__sh", F.size("__sh").alias("__n"))
     exploded = sizes.select("__id", "__n", F.explode("__sh").alias("__s"))
+    if df_max is not None:
+        exploded = _drop_hot_keys(exploded, "__s", df_max)
     l, r = exploded.alias("l"), exploded.alias("r")
     shared = (
         l.join(r, on="__s")

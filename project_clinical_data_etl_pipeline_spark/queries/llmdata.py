@@ -157,8 +157,10 @@ _JACCARD_SQL = f"""
     sql=_JACCARD_SQL,
     doc="Exact 3-word-shingle Jaccard over candidate pairs sharing ≥1 "
     "shingle (inverted-index self-join). Integer-exact intersection/union "
-    "→ deterministic ratio. At 100 TB add a shingle document-frequency cap "
-    "to bound hot buckets (see operators.dedup.ngram_jaccard_pairs).",
+    "→ deterministic ratio. Runs uncapped here so the oracle checks exact "
+    "semantics; at 100 TB pass df_max to drop ubiquitous shingles "
+    "(operators.dedup.ngram_jaccard_pairs, tested in "
+    "test_scale_behaviors).",
     tags=("llm",),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,7 +175,9 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sql=None,  # xxhash64 signatures have no DuckDB twin → rows-only check
     doc="MinHash(32)+LSH(8 bands) candidate pairs with signature-estimated "
     "Jaccard. Map-side signatures (fixed 256 B/doc), band-bucket "
-    "equi-join — text never shuffles. The scale path for fuzzy dedup.",
+    "equi-join — text never shuffles. The scale path for fuzzy dedup; "
+    "boilerplate mega-buckets are boundable via max_bucket_size "
+    "(operators.dedup.minhash_lsh_pairs, tested in test_scale_behaviors).",
     tags=("llm", "bench"),
 )
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -47,6 +47,53 @@ def test_shuffle_join_runs_under_aqe_with_skew_handling_enabled(spark, sf_dir):
     assert "AdaptiveSparkPlan" in plan and "isFinalPlan=true" in plan
 
 
+def _boilerplate_corpus(spark, n_copies: int):
+    """n_copies identical boilerplate docs (one mega-bucket / ubiquitous
+    shingles) + one near-duplicate pair of distinct docs that must
+    survive any skew cap."""
+    boiler = "all rights reserved terms of service apply to this page " * 3
+    base = [f"tok{i}" for i in range(30)]
+    a = " ".join(base)
+    b = " ".join(base[:27] + ["x1", "x2", "x3"])
+    rows = [(i, boiler) for i in range(n_copies)]
+    rows += [(10_000, a), (10_001, b)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_minhash_bucket_cap_bounds_boilerplate_blowup(spark):
+    """200 identical docs share every band bucket → uncapped LSH
+    materializes all C(200,2) boilerplate pairs. max_bucket_size must
+    drop the mega-buckets (bounding the O(b²) fan-out) while the
+    ordinary near-dup pair, whose buckets are cold, survives."""
+    df = _boilerplate_corpus(spark, 200)
+    uncapped = D.minhash_lsh_pairs(df, "doc_id", "text").collect()
+    assert len(uncapped) == 200 * 199 // 2 + 1  # clique + the near-dup pair
+
+    capped = D.minhash_lsh_pairs(df, "doc_id", "text", max_bucket_size=50)
+    rows = capped.collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(10_000, 10_001)]
+    # the drop must be a broadcast anti-join — no extra shuffle of the
+    # banded rows at scale
+    plan = capped._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_ngram_df_cap_bounds_posting_list_blowup(spark):
+    """Shingles occurring in all 200 boilerplate copies exceed df_max=50
+    → dropped from the inverted index, so no boilerplate pair is ever
+    enumerated; the near-dup pair's rare shingles keep it alive with its
+    exact jaccard (its shingles are under any cap)."""
+    df = _boilerplate_corpus(spark, 200)
+    uncapped = D.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.05)
+    assert uncapped.count() == 200 * 199 // 2 + 1
+
+    capped = D.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.05, df_max=50)
+    rows = capped.collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows] == [(10_000, 10_001)]
+    exact = uncapped.filter(F.col("id_a") == 10_000).collect()[0]["jaccard"]
+    assert rows[0]["jaccard"] == exact  # cold shingles → cap changes nothing
+
+
 @pytest.mark.parametrize("dup_frac", [1.0, 0.9, 0.0])
 def test_minhash_estimate_tracks_true_jaccard(spark, dup_frac):
     """est_jaccard from the 32-hash signature must track exact shingle
