@@ -179,6 +179,205 @@ def lsh_table_keys(vec: Column, dim: int, num_planes: int, num_tables: int) -> C
     )
 
 
+def _centroid_df(spark, centroids: list[list[float]]) -> DataFrame:
+    """(centroid_id, __center) from driver-side centroid vectors — tiny
+    by definition (n_centroids × dim doubles), always broadcast."""
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(centroids)],
+        "centroid_id bigint, __center array<double>",
+    )
+
+
+def kmeans_centroids(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iter: int = 2,
+) -> list[list[float]]:
+    """Spherical-k-means centroids via Lloyd iterations in DataFrame ops
+    — the quality upgrade over min-id seeding for IVF cells.
+
+    Each iteration is one cross join against the broadcast centroid set
+    (assign every vector to its max-cosine cell, ties by centroid id)
+    plus one group-by computing the elementwise cell mean. Means are
+    DECIMAL-exact sums (order-independent → deterministic across runs,
+    partitionings, and cluster sizes) cast back to double. The per-
+    iteration collect is ``n_centroids`` rows — driver-side control
+    flow like the transitive-closure fixpoint, not a data collect.
+    Empty cells keep their previous centroid. Seed = the ``n_centroids``
+    min-id corpus vectors (the documented baseline this improves on).
+    """
+    spark = corpus.sparkSession
+    seed_rows = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(n_centroids)
+        .select(F.col(vec_col))
+        .collect()
+    )
+    centroids = [[float(x) for x in r[0]] for r in seed_rows]
+    vecs = corpus.select(
+        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")
+    )
+    for _ in range(n_iter):
+        cent = _centroid_df(spark, centroids)
+        w = Window.partitionBy("__vid").orderBy(
+            F.col("__sim").desc(), F.col("centroid_id").asc()
+        )
+        assigned = (
+            vecs.crossJoin(F.broadcast(cent))
+            .select(
+                "__vid",
+                "__v",
+                "centroid_id",
+                cosine(F.col("__v"), F.col("__center"), dim).alias("__sim"),
+            )
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+        )
+        means = assigned.groupBy("centroid_id").agg(
+            *[
+                (
+                    F.sum(F.element_at("__v", i + 1).cast("decimal(28,10)"))
+                    / F.count(F.lit(1))
+                )
+                .cast("double")
+                .alias(f"__m{i}")
+                for i in range(dim)
+            ]
+        )
+        updated = {
+            r["centroid_id"]: [r[f"__m{i}"] for i in range(dim)]
+            for r in means.collect()
+        }
+        centroids = [updated.get(i, centroids[i]) for i in range(n_centroids)]
+    return centroids
+
+
+def assign_cells(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Voronoi-cell assignment vs a broadcast centroid set: returns
+    (neighbor_id, __cv, __cn, cell) — one map-side cross join + per-row
+    argmax window, ties by centroid id."""
+    cent = _centroid_df(corpus.sparkSession, centroids)
+    w = Window.partitionBy("neighbor_id").orderBy(
+        F.col("__sim").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            norm(F.col(vec_col), dim).alias("__cn"),
+        )
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "neighbor_id",
+            "__cv",
+            "__cn",
+            "centroid_id",
+            cosine(F.col("__cv"), F.col("__center"), dim).alias("__sim"),
+        )
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("neighbor_id", "__cv", "__cn", F.col("centroid_id").alias("cell"))
+    )
+
+
+def persist_ivf_index(
+    spark,
+    corpus: DataFrame,
+    table: str,
+    centroids: list[list[float]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_buckets: int = 16,
+) -> None:
+    """Materialize the IVF index: the cell assignment persisted as a
+    table BUCKETED BY cell. The expensive part of ivf_topk — the
+    corpus-wide argmax assignment (cross join + per-vector window) —
+    runs ONCE at build time; every subsequent query is a scan of the
+    probed cells only (bucket pruning) with zero Exchange before the
+    probe join."""
+    from ..plans.layout import write_bucketed
+
+    assigned = assign_cells(corpus, centroids, dim, id_col, vec_col)
+    write_bucketed(assigned, table, ["cell"], num_buckets=num_buckets)
+
+
+def ivf_topk_indexed(
+    spark,
+    table: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Top-k against a persisted IVF index (see
+    :func:`persist_ivf_index`): probe cells are computed driver-side
+    from the (small-by-contract) query set, pushed into the bucketed
+    scan as an IN filter — Spark prunes to the matching buckets
+    (SelectedBucketsCount in the plan) and the only Exchange in the
+    whole query is the final per-query rank window."""
+    cent = _centroid_df(spark, centroids)
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("__sim").desc(), F.col("centroid_id").asc()
+    )
+    probes = (
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            norm(F.col(vec_col), dim).alias("__qn"),
+        )
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "__qv",
+            "__qn",
+            "centroid_id",
+            cosine(F.col("__qv"), F.col("__center"), dim).alias("__sim"),
+        )
+        .withColumn("__rn", F.row_number().over(w_probe))
+        .filter(F.col("__rn") <= n_probe)
+        .select("query_id", "__qv", "__qn", F.col("centroid_id").alias("cell"))
+    )
+    # queries are small by contract → collecting their probe cells is a
+    # bounded driver round-trip that buys scan-time bucket pruning
+    cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    assigned = spark.table(table).filter(F.col("cell").isin(cells))
+    scored = (
+        assigned.join(F.broadcast(probes), on="cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                dot(F.col("__qv"), F.col("__cv"), dim)
+                / (F.col("__qn") * F.col("__cn"))
+            ).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "neighbor_id", "cosine", F.col("rank").cast("bigint").alias("rank")
+        )
+    )
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -188,25 +387,31 @@ def ivf_topk(
     n_centroids: int = 16,
     n_probe: int = 4,
     dim: int | None = None,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k: the corpus is partitioned into
     ``n_centroids`` Voronoi cells; each query probes only its
     ``n_probe`` nearest cells.
 
-    Centroid seeding is deterministic (the ``n_centroids`` corpus
-    vectors with the smallest ids) — at warehouse scale replace with a
-    k-means pass and persist the (vector → cell) assignment as a
-    bucketed table so queries are pure cell-key equi-joins. Shape at
-    100 TB: assignment is one map pass over the corpus vs the broadcast
-    centroid set; each query scores ~n_probe/n_centroids of the corpus.
+    Default centroid seeding is deterministic min-id corpus vectors —
+    the form the DuckDB oracle reproduces. Pass ``centroids`` (e.g.
+    from :func:`kmeans_centroids`) for trained cells, and at warehouse
+    scale persist the assignment via :func:`persist_ivf_index` so
+    queries probe a bucketed table instead of re-assigning the corpus.
+    Shape at 100 TB: assignment is one map pass over the corpus vs the
+    broadcast centroid set; each query scores ~n_probe/n_centroids of
+    the corpus.
 
     Determinism: cell assignment and probe order break cosine ties by
     centroid id; final top-k by (cosine desc, neighbor id) — identical
     in the SQL oracle.
     """
-    cent = corpus.orderBy(F.col(id_col).asc()).limit(n_centroids).select(
-        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__center")
-    )
+    if centroids is not None:
+        cent = _centroid_df(corpus.sparkSession, centroids)
+    else:
+        cent = corpus.orderBy(F.col(id_col).asc()).limit(n_centroids).select(
+            F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("__center")
+        )
     w_assign = Window.partitionBy("neighbor_id").orderBy(
         F.col("__sim").desc(), F.col("centroid_id").asc()
     )

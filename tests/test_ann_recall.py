@@ -57,3 +57,84 @@ def test_approx_indexes_return_all_queries(spark, sf_dir, exact_topk):
         assert set(approx) == set(exact_topk), name
         for q, s in approx.items():
             assert len(s) == 5, f"{name} query {q} returned {len(s)} < 5"
+
+
+# ---------------------------------------------------------------------------
+# Trained (k-means) IVF + the persisted bucketed index
+
+
+@pytest.fixture(scope="module")
+def ivf_parts(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from project_clinical_data_etl_pipeline_spark.operators import similarity as S
+    from project_clinical_data_etl_pipeline_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 8)
+    cents = S.kmeans_centroids(e, dim=64, n_iter=2)
+    return S, e, q, cents
+
+
+def _sets(df):
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    return out
+
+
+def _mean_recall(approx, truth):
+    return sum(len(approx.get(q, set()) & t) / len(t) for q, t in truth.items()) / len(
+        truth
+    )
+
+
+def test_kmeans_centroids_recall_and_balance(spark, sf_dir, exact_topk, ivf_parts):
+    """Trained centroids must hold the IVF recall floor and not trail
+    min-id seeding beyond noise (measured: 0.875 vs 0.925 at n_probe=4 —
+    one neighbor of one query — converging to ≥ min-id at n_probe≥5).
+    The structural win of k-means is cell balance: its smallest cell
+    must be no smaller than min-id's (balanced cells bound the
+    worst-case probe cost at scale)."""
+    S, e, q, cents = ivf_parts
+    km = _sets(S.ivf_topk(q, e, k=5, dim=64, centroids=cents))
+    minid = _sets(S.ivf_topk(q, e, k=5, dim=64))
+    km_recall = _mean_recall(km, exact_topk)
+    assert km_recall >= 0.8
+    assert km_recall >= _mean_recall(minid, exact_topk) - 0.05
+
+    def min_cell(centroids):
+        sizes = (
+            S.assign_cells(e, centroids, dim=64)
+            .groupBy("cell")
+            .count()
+            .collect()
+        )
+        return min(r["count"] for r in sizes)
+
+    seed_rows = e.orderBy("vec_id").limit(16).select("embedding").collect()
+    minid_cents = [[float(x) for x in r[0]] for r in seed_rows]
+    assert min_cell(cents) >= min_cell(minid_cents)
+
+
+def test_persisted_ivf_index_is_exchange_free_with_bucket_pruning(
+    spark, sf_dir, exact_topk, ivf_parts
+):
+    """The persisted index must (a) return exactly what the direct
+    k-means IVF returns, (b) prune the scan to the probed cells' buckets
+    (SelectedBucketsCount), and (c) never shuffle the corpus on cell —
+    the assignment argmax ran once at build time, and the probe join is
+    broadcast against the bucketed scan."""
+    S, e, q, cents = ivf_parts
+    table = "ivf_index_test"
+    S.persist_ivf_index(spark, e, table, cents, dim=64)
+    try:
+        idx = S.ivf_topk_indexed(spark, table, q, cents, dim=64)
+        assert _sets(idx) == _sets(S.ivf_topk(q, e, k=5, dim=64, centroids=cents))
+        idx.collect()  # finalize the AQE plan before reading it
+        plan = idx._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount:" in plan
+        assert "hashpartitioning(cell" not in plan  # no shuffle on cell
+        assert "Bucketed: true" in plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
