@@ -135,6 +135,64 @@ def run_upsert_stream(
     return spark.read.parquet(target_dir)
 
 
+def start_incremental_dedup_stream(
+    spark: SparkSession,
+    source_dir: str,
+    target_dir: str,
+    schema: str = "doc_id bigint, text string",
+):
+    """Incremental corpus dedup — the reference's nightly-sync roadmap
+    (insights.md:169) composed with the LLM-pipeline fingerprint: each
+    arriving micro-batch of documents is content-fingerprinted
+    (md5 over canonicalized text, JVM-side, computed IN the stream),
+    deduped within the batch (min doc_id per fingerprint), anti-joined
+    against the accumulated corpus, and only genuinely-new documents
+    append to the target.
+
+    Returns the running StreamingQuery so callers control batch
+    boundaries (``processAllAvailable()`` between file drops); read the
+    corpus with ``spark.read.parquet(target_dir)``.
+
+    Scale shape: the in-stream map work is the fingerprint projection;
+    the foreachBatch merge joins batch-sized data against the corpus on
+    the 32-char fingerprint ONLY (the accumulated text never joins).
+    Re-delivered batches are idempotent: every re-sent row anti-joins
+    away against the corpus it already landed in. At warehouse scale the
+    anti-join+append becomes a Delta/Iceberg MERGE on fp.
+    """
+    from pyspark.sql import Window
+
+    from ..operators.text import fingerprint
+
+    raw = spark.readStream.schema(schema).json(source_dir)
+    with_fp = raw.select(
+        "doc_id", "text", fingerprint(F.col("text")).alias("fp")
+    )
+
+    def dedupe_upsert(batch: DataFrame, batch_id: int) -> None:
+        s = batch.sparkSession
+        w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+        local = (
+            batch.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        try:
+            seen = s.read.parquet(target_dir).select("fp")
+        except Exception:  # first batch: nothing accumulated yet
+            local.write.mode("overwrite").parquet(target_dir)
+            return
+        fresh = local.join(seen, on="fp", how="left_anti")
+        fresh.write.mode("append").parquet(target_dir)
+
+    return (
+        with_fp.writeStream.outputMode("append")
+        .foreachBatch(dedupe_upsert)
+        .queryName(f"incremental_dedup_{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+
+
 def hourly_counts_batch_equivalent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batch plan the complete-mode stream must equal — used as the
     oracle-side definition and in tests."""

@@ -114,3 +114,52 @@ def test_stream_sessionize_matches_batch_for_closed_sessions(spark, sf_dir):
     assert stream_sessions, "no sessions emitted"
     assert stream_sessions <= batch_sessions
     assert len(stream_sessions) >= len(batch_sessions) // 2
+
+
+def test_incremental_dedup_drops_resent_and_near_identical_docs(spark, tmp_path):
+    """The nightly-sync dedup composition: batch 2 re-sends a batch-1
+    doc verbatim AND a normalized near-copy (punctuation/case noise);
+    both must anti-join away against the accumulated corpus, while the
+    genuinely new doc lands."""
+    import json
+
+    from project_clinical_data_etl_pipeline_spark.streaming.incremental import (
+        start_incremental_dedup_stream,
+    )
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    target = str(tmp_path / "corpus")
+
+    def drop(name, rows):
+        (src / name).write_text(
+            "\n".join(json.dumps(r) for r in rows), encoding="utf-8"
+        )
+
+    q = start_incremental_dedup_stream(spark, str(src), target)
+    try:
+        drop(
+            "b1.json",
+            [
+                {"doc_id": 1, "text": "the quick brown fox"},
+                {"doc_id": 2, "text": "lazy dogs sleep all day"},
+                {"doc_id": 3, "text": "The quick brown fox!"},  # in-batch dup of 1
+            ],
+        )
+        q.processAllAvailable()
+        got1 = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+        assert got1 == {1, 2}
+
+        drop(
+            "b2.json",
+            [
+                {"doc_id": 1, "text": "the quick brown fox"},  # re-sent verbatim
+                {"doc_id": 4, "text": "a genuinely new document"},
+                {"doc_id": 5, "text": "LAZY dogs... sleep, all day"},  # near-copy of 2
+            ],
+        )
+        q.processAllAvailable()
+        got2 = {r["doc_id"] for r in spark.read.parquet(target).collect()}
+        assert got2 == {1, 2, 4}
+    finally:
+        q.stop()
