@@ -71,3 +71,54 @@ def fetch_rest_table(
             break
         rows.extend(batch)
     return spark.createDataFrame(rows, schema=schema)
+
+
+def fetch_rest_table_sharded(
+    spark: SparkSession,
+    fetch_page,
+    schema: StructType | str,
+    num_shards: int = 8,
+    max_pages: int = 10_000,
+) -> DataFrame:
+    """OP-05 at scale: page ranges sharded over EXECUTORS via
+    ``mapInPandas`` — the distributed variant of :func:`fetch_rest_table`
+    (whose driver-side loop is correct only for bundle-sized results).
+
+    Shard ``s`` fetches pages ``s, s+num_shards, s+2·num_shards, …``
+    and stops at its first empty page — correct whenever pagination is
+    monotone (``page ≥ total ⇒ empty``), which standard offset/page
+    APIs satisfy. Every page is fetched exactly once, by exactly one
+    executor task; no page list ever passes through the driver.
+
+    ``fetch_page(page_idx) -> list[dict] | None`` owns transport and
+    auth, exactly like the driver-side variant, and must be
+    self-contained (cloudpickle ships it by value to executors —
+    session objects/tokens should be built lazily inside it).
+    Returns rows under the explicit ``schema`` (never inferred)."""
+    schema_struct = (
+        StructType.fromDDL(schema) if isinstance(schema, str) else schema
+    )
+    fields = [f.name for f in schema_struct.fields]
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for shard in pdf["shard"]:
+                page = int(shard)
+                while page < max_pages:
+                    batch = fetch_page(page)
+                    if not batch:
+                        break
+                    yield pd.DataFrame(
+                        [[row.get(c) for c in fields] for row in batch],
+                        columns=fields,
+                    )
+                    page += num_shards
+
+    shards = (
+        spark.range(num_shards)
+        .select(F.col("id").cast("int").alias("shard"))
+        .repartition(num_shards)  # one shard per task → full parallelism
+    )
+    return shards.mapInPandas(run, schema_struct)

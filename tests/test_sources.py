@@ -3,7 +3,10 @@ injected transport, and the batched foreachPartition REST sink."""
 
 from __future__ import annotations
 
-from project_clinical_data_etl_pipeline_spark.sources.readers import fetch_rest_table
+from project_clinical_data_etl_pipeline_spark.sources.readers import (
+    fetch_rest_table,
+    fetch_rest_table_sharded,
+)
 from project_clinical_data_etl_pipeline_spark.sources.writers import (
     foreach_partition_post,
 )
@@ -22,6 +25,29 @@ def test_fetch_rest_table_paginates_until_empty(spark):
     df = fetch_rest_table(spark, fetch, schema="id string, g string")
     assert sorted(r["id"] for r in df.collect()) == ["1", "2", "3"]
     assert calls == [0, 1, 2]  # stopped on the first empty page
+
+
+def test_fetch_rest_table_sharded_paginates_on_executors(spark):
+    """The mapInPandas variant: every page fetched exactly once, rows
+    complete, and — the point — NO fetch happens on the driver. The
+    injected transport records calls into a driver-local list; closures
+    ship to executors as cloudpickled COPIES, so the driver's list stays
+    empty iff pagination ran executor-side."""
+    pages = {p: [{"id": str(3 * p + j), "g": "x"} for j in range(3)] for p in range(5)}
+    driver_calls: list[int] = []
+
+    def fetch(page):
+        driver_calls.append(page)
+        return pages.get(page)
+
+    df = fetch_rest_table_sharded(
+        spark, fetch, schema="id string, g string", num_shards=3
+    )
+    got = sorted(r["id"] for r in df.collect())
+    assert got == sorted(str(i) for i in range(15))  # 5 pages × 3 rows, no dups
+    assert driver_calls == []  # all fetches happened in executor tasks
+    # the pagination loop runs inside a MapInPandas node (executor-side)
+    assert "MapInPandas" in df._jdf.queryExecution().executedPlan().toString()
 
 
 def test_foreach_partition_post_batches(spark, tmp_path):
