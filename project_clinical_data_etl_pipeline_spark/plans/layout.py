@@ -58,13 +58,27 @@ def salted_join(
     For ``how`` in (``inner``, ``left``) the result is identical to
     ``left.join(right, key)``; the difference is the shuffle key
     (key, salt_i), which spreads a hot key over ``salt`` reducers
-    instead of one straggler. ``right``/``full``/``left_anti`` etc.
-    are rejected: the right side is replicated ``salt``×, so every
-    unmatched right row would be emitted ``salt`` times."""
-    if how not in ("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi"):
+    instead of one straggler. ``left_semi``/``left_anti`` are also
+    correct: the right side is replicated across ALL salt values, so a
+    left row with salt i (semi-)matches iff its key exists in right —
+    identical to the unsalted join; anti/semi joins emit no right rows,
+    so replication cannot duplicate anything. ``right``/``full`` ARE
+    rejected: they emit unmatched right rows, and each would appear
+    ``salt`` times."""
+    if how not in (
+        "inner",
+        "left",
+        "left_outer",
+        "leftouter",
+        "left_semi",
+        "leftsemi",
+        "left_anti",
+        "leftanti",
+    ):
         raise ValueError(
-            f"salted_join supports only inner/left/left_semi joins (right side is "
-            f"replicated {salt}x, so unmatched right rows would duplicate); got how={how!r}"
+            f"salted_join supports only inner/left/left_semi/left_anti joins "
+            f"(right/full would emit each unmatched right row {salt}x, once per "
+            f"replica); got how={how!r}"
         )
     salted_l = left.withColumn(
         "__salt", (F.rand(seed=42) * salt).cast("int")

@@ -8,9 +8,13 @@ sessions are emitted; the open session rides in GroupState and is
 flushed by timeout when the watermark passes it.
 
 Scale: state per key is O(1) (five scalars), keys partition across the
-cluster by user_id; the watermark bounds total state. The identical
-kernel also runs in batch via ``applyInPandas`` (sessionize_batch) —
-one code path, two execution modes.
+cluster by user_id; the watermark bounds total state. Per-group INPUT
+is O(events-per-group-per-microbatch): the kernel concat+sorts a
+group's Arrow chunks before folding (chunk arrival order is not
+guaranteed), so a hot user's microbatch slice materializes in memory
+once — bound it by trigger sizing (smaller microbatches), not state.
+The identical kernel also runs in batch via ``applyInPandas``
+(sessionize_batch) — one code path, two execution modes.
 """
 
 from __future__ import annotations

@@ -52,6 +52,46 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     }
 
 
+def test_salted_join_left_and_anti_match_plain(spark, sf_dir):
+    """Left-outer: unmatched left rows keep NULL right columns exactly
+    like the unsalted join. Anti: a left row survives iff its key is
+    absent from right — replication can't duplicate (no right rows are
+    emitted)."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    # right side missing half the keys → real unmatched-left coverage
+    c = (
+        load(spark, sf_dir, "customer")
+        .filter(F.col("c_custkey") % 2 == 0)
+        .select(F.col("c_custkey").alias("o_custkey"), "c_name")
+    )
+    plain_left = {
+        tuple(r) for r in o.join(c, on="o_custkey", how="left").collect()
+    }
+    salted_left = {
+        tuple(r) for r in L.salted_join(o, c, "o_custkey", how="left").collect()
+    }
+    assert plain_left == salted_left
+
+    plain_anti = {
+        tuple(r) for r in o.join(c, on="o_custkey", how="left_anti").collect()
+    }
+    salted_anti = {
+        tuple(r)
+        for r in L.salted_join(o, c, "o_custkey", how="left_anti").collect()
+    }
+    assert plain_anti == salted_anti
+
+
+@pytest.mark.parametrize("how", ["full", "right", "outer"])
+def test_salted_join_rejects_right_emitting_joins(spark, sf_dir, how):
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = load(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name"
+    )
+    with pytest.raises(ValueError, match="salted_join supports only"):
+        L.salted_join(o, c, "o_custkey", how=how)
+
+
 def test_salted_group_count_matches_plain(spark, sf_dir):
     li = load(spark, sf_dir, "lineitem")
     plain = {

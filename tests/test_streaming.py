@@ -163,3 +163,95 @@ def test_incremental_dedup_drops_resent_and_near_identical_docs(spark, tmp_path)
         assert got2 == {1, 2, 4}
     finally:
         q.stop()
+
+
+def test_stream_sessions_correct_with_multichunk_groups(spark, tmp_path):
+    """Regression for the multi-chunk ordering fix: with
+    arrow.maxRecordsPerBatch=2 a 12-event user arrives at the stateful
+    kernel as ≥6 unordered chunks; the kernel must concat+sort before
+    folding or session boundaries come out wrong. Rows are written
+    ts-scrambled so chunk order genuinely disagrees with event order."""
+    import random
+    import uuid
+
+    from pyspark.sql import types as T
+
+    base_us = 1_700_000_000 * 1_000_000
+    events = []
+    # user 1: 12 events in 3 sessions (gaps of 2000 s >> gap_s=600)
+    for s in range(3):
+        for i in range(4):
+            events.append((1, base_us + (s * 2000 + i * 30) * 1_000_000, 1.0))
+    # user 2: single long session, also multi-chunk
+    for i in range(8):
+        events.append((2, base_us + i * 90 * 1_000_000, 2.0))
+    rng = random.Random(7)
+    rng.shuffle(events)
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("ts", T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    import datetime as dt
+
+    def to_rows(evs):
+        return [
+            (u, dt.datetime.utcfromtimestamp(t / 1_000_000), v) for u, t, v in evs
+        ]
+
+    spark.createDataFrame(to_rows(events), schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(str(src / "batch1"))
+
+    batch_df = spark.createDataFrame(to_rows(events), schema)
+    expected = _rowset(
+        S.sessionize_batch(batch_df, gap_s=600),
+        ["user_id", "session_start", "session_end", "n_events", "total_value"],
+    )
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "2")
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src / "batch1"))
+        )
+        name = f"mc_sessions_{uuid.uuid4().hex[:8]}"
+        q = (
+            S.sessionize_stream(stream, gap_s=600)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            # flush the open tail sessions: a far-future sentinel event
+            # advances the watermark past every timeout (staged as a
+            # plain file so the source dir stays unpartitioned)
+            import glob
+            import shutil
+
+            sentinel = [(99, base_us + 10**12, 0.0)]
+            staging = str(tmp_path / "sentinel_stage")
+            spark.createDataFrame(to_rows(sentinel), schema).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(staging)
+            part = glob.glob(staging + "/part-*.parquet")[0]
+            shutil.copy(part, str(src / "batch1" / "zz-sentinel.parquet"))
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        got = _rowset(
+            spark.table(name).filter(F.col("user_id") != 99),
+            ["user_id", "session_start", "session_end", "n_events", "total_value"],
+        )
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+    assert got == expected
