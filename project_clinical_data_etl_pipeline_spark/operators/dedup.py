@@ -540,6 +540,41 @@ def embedding_near_dups(
     )
 
 
+def decontaminate(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: drop every training document sharing
+    ≥1 k-word shingle (over normalized text) with the eval/benchmark
+    set — the standard guard against test-set leakage into training
+    corpora.
+
+    Shape at 100 TB: the EVAL side is small by definition (benchmarks
+    are thousands of docs, not billions) → its distinct shingle set
+    broadcasts, contamination detection is a broadcast semi-join on the
+    exploded corpus shingles (text never shuffles), and the final drop
+    is a broadcast anti-join on the (small) contaminated-id set.
+    Tighten/loosen via ``k``: smaller k = more aggressive removal."""
+    doc_sh = with_shingles(fan_out(docs), text_col, k).select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(F.col("__shingles"))).alias("__s"),
+    )
+    eval_sh = (
+        with_shingles(eval_docs, text_col, k)
+        .select(F.explode(F.array_distinct(F.col("__shingles"))).alias("__s"))
+        .distinct()
+    )
+    contaminated = (
+        doc_sh.join(F.broadcast(eval_sh), on="__s", how="left_semi")
+        .select(F.col("__id").alias(id_col))
+        .distinct()
+    )
+    return docs.join(F.broadcast(contaminated), on=id_col, how="left_anti")
+
+
 def keep_canonical(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     """Resolve duplicate pairs into a kept set: drop every id that
     appears as the larger member of a pair (min-id canonicalization —

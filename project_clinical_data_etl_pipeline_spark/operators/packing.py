@@ -1,0 +1,125 @@
+"""Corpus mixture + sequence-packing operators for training-data
+pipelines: deterministic content-hash sampling (reproducible mixture
+weights per source) and token-budget sequence packing (grouping
+documents into fixed-size training examples).
+
+Sampling is md5-based (no RNG state): the same row is kept or dropped
+identically across runs, engines, partitionings, and cluster sizes —
+the property `df.sample()` cannot give and mixture reproducibility
+requires. Packing comes in two tiers: a pure-window approximate form
+(one shuffle, any scale) and an exact greedy kernel via
+``applyInPandas`` (per-group sequential fold, the textbook algorithm).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: bin assignment output of the exact packer
+_PACK_SCHEMA = "part string, id bigint, n_tokens bigint, bin_id bigint"
+
+
+def sample_hash(id_col, salt: str = ""):
+    """Deterministic per-row sample hash in [0, 100): the first 4 md5
+    hex digits of ``id || salt`` mod 100. Change ``salt`` to draw an
+    independent sample; md5 gives identical values in any engine."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 4
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return h % 100
+
+
+def deterministic_sample(
+    df: DataFrame, id_col: str, rate_pct: int, salt: str = ""
+) -> DataFrame:
+    """Keep ~rate_pct% of rows, chosen by content hash of the id —
+    reproducible Bernoulli sampling (map-only, scan-free-rider)."""
+    return df.filter(sample_hash(id_col, salt) < rate_pct)
+
+
+def sample_by_rates(
+    df: DataFrame, id_col: str, strata_col: str, rates_pct: dict[str, int],
+    default_pct: int = 0, salt: str = "",
+) -> DataFrame:
+    """Stratified mixture sampling: per-stratum keep rates (percent),
+    e.g. ``{"web": 10, "books": 100}`` — the mixture-weights primitive
+    of corpus construction. One map-only pass; strata absent from
+    ``rates_pct`` default to ``default_pct``."""
+    rate = F.lit(default_pct)
+    for stratum, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col(strata_col) == stratum, F.lit(pct)).otherwise(rate)
+    return df.filter(sample_hash(id_col, salt) < rate)
+
+
+def with_pack_bins(
+    df: DataFrame,
+    order_col: str,
+    token_col: str,
+    budget: int,
+    part_cols: tuple[str, ...] = ("source",),
+) -> DataFrame:
+    """Approximate sequence packing as a pure window op: documents are
+    laid out in deterministic ``order_col`` order within each partition
+    and assigned ``bin_id = floor(start_offset / budget)`` from the
+    running token cumsum. One shuffle on ``part_cols``; scales to any
+    corpus. Bins hold ≤ budget + max-doc tokens (a document whose span
+    straddles a boundary stays in its starting bin) — acceptable when
+    docs ≪ budget; use :func:`pack_greedy` for the strict-capacity
+    form."""
+    w = Window.partitionBy(*part_cols).orderBy(F.col(order_col).asc())
+    start = F.sum(token_col).over(w) - F.col(token_col)
+    return df.withColumn("bin_id", F.floor(start / budget).cast("bigint"))
+
+
+def pack_greedy(
+    df: DataFrame,
+    id_col: str,
+    token_col: str,
+    budget: int,
+    part_col: str = "source",
+) -> DataFrame:
+    """Exact greedy next-fit packing via ``applyInPandas``: within each
+    partition group (ordered by id) a running bin fills until adding the
+    next document would exceed ``budget``, then a new bin opens;
+    over-budget documents get a bin of their own. Returns (part, id,
+    n_tokens, bin_id) with every bin total ≤ budget (singleton
+    oversized bins excepted).
+
+    The fold is inherently sequential per group — exactly what
+    ``applyInPandas`` is for: groups pack in parallel across the
+    cluster, each group packs exactly. Kernel is self-contained
+    (pandas only) → cloudpickled by value."""
+    budget_ = int(budget)
+
+    def kernel(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values("id", kind="mergesort")
+        bins, cur_bin, cur_tok = [], 0, 0
+        for t in pdf["n_tokens"]:
+            t = int(t)
+            if cur_tok > 0 and cur_tok + t > budget_:
+                cur_bin += 1
+                cur_tok = 0
+            bins.append(cur_bin)
+            cur_tok += t
+        return pd.DataFrame(
+            {
+                "part": pdf["part"],
+                "id": pdf["id"],
+                "n_tokens": pdf["n_tokens"],
+                "bin_id": bins,
+            }
+        )
+
+    normalized = df.select(
+        F.col(part_col).cast("string").alias("part"),
+        F.col(id_col).cast("bigint").alias("id"),
+        F.col(token_col).cast("bigint").alias("n_tokens"),
+    )
+    return normalized.groupBy("part").applyInPandas(kernel, _PACK_SCHEMA)

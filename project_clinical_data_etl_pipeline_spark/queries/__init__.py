@@ -67,7 +67,7 @@ _ORDER: tuple[str, ...] = (
     "dim_rollup_suite",
     # --- LLM-data pipeline: dedup / text / similarity / multimodal ---
     "dedup_exact",
-    "dedup_keep_canonical",
+    "corpus_decontaminate",
     "dedup_ngram_jaccard",
     "text_metrics_suite",
     "corpus_curation_pipeline",

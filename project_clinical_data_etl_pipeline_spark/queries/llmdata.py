@@ -307,26 +307,38 @@ def embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_bucket_topk(e.filter(F.col("vec_id") < 8), e, dim=64, k=5)
 
 
+_DECON_SQL = f"""
+    WITH sh AS (
+        SELECT doc_id, list_distinct(list_transform(
+            generate_series(1, greatest(len(ws) - 2, 1)),
+            i -> array_to_string(ws[i:i+2], ' '))) AS shs
+        FROM (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents)
+    ),
+    ev AS (SELECT DISTINCT unnest(shs) AS s FROM sh WHERE doc_id < 5),
+    corpus_sh AS (SELECT doc_id, unnest(shs) AS s FROM sh WHERE doc_id >= 5),
+    bad AS (SELECT DISTINCT corpus_sh.doc_id FROM corpus_sh JOIN ev USING (s))
+    SELECT doc_id, lang, source FROM documents
+    WHERE doc_id >= 5 AND doc_id NOT IN (SELECT doc_id FROM bad)
+"""
+
+
 @spec(
     QUERIES,
-    "dedup_keep_canonical",
-    sql=f"""
-        SELECT doc_id, lang, source FROM documents
-        WHERE doc_id IN (
-            SELECT min(doc_id) FROM documents GROUP BY md5({_NORM})
-        )
-    """,
-    doc="End-to-end exact dedup: resolve duplicate groups to the kept "
-    "min-id canonical rows (reference for the full dedup→filter loop of a "
-    "training-data pipeline). Anti-join of losers against the corpus — "
-    "text never shuffles, only (hash, id).",
+    "corpus_decontaminate",
+    sql=_DECON_SQL,
+    doc="Benchmark decontamination (test-set-leakage guard): training "
+    "docs sharing any 3-word shingle with the eval set (docs 0-4 stand "
+    "in for the benchmark) are dropped. Eval shingles broadcast "
+    "(benchmarks are small by definition); detection is a broadcast "
+    "semi-join on exploded corpus shingles — text never shuffles "
+    "(operators.dedup.decontaminate).",
     tags=("llm",),
 )
-def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    groups = D.exact_dedup_groups(d, "doc_id", "text")
-    keep = groups.select(F.col("keep_id").alias("doc_id"))
-    return d.join(keep, on="doc_id", how="left_semi").select(
+    corpus = d.filter(F.col("doc_id") >= 5)
+    eval_set = d.filter(F.col("doc_id") < 5)
+    return D.decontaminate(corpus, eval_set, "doc_id", "text", k=3).select(
         "doc_id", "lang", "source"
     )
 
@@ -401,11 +413,11 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _CURATION_SQL = f"""
     WITH canon AS (
-        SELECT doc_id, text, lang FROM documents
+        SELECT doc_id, text, lang, source FROM documents
         WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY md5({_NORM}))
     ),
     scored AS (
-        SELECT doc_id, lang,
+        SELECT doc_id, lang, source,
                least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.4
                  + (1.0 - least(CAST(length(regexp_replace(text,
                         '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
@@ -419,7 +431,9 @@ _CURATION_SQL = f"""
                    AS quality
         FROM canon
     )
-    SELECT doc_id, lang, quality FROM scored WHERE quality >= 0.5
+    SELECT doc_id, lang, source, quality,
+           CAST(quality >= 0.5 AS INT) AS kept
+    FROM scored
 """
 
 
@@ -428,10 +442,13 @@ _CURATION_SQL = f"""
     "corpus_curation_pipeline",
     sql=_CURATION_SQL,
     doc="End-to-end training-corpus curation in ONE lazy plan: exact "
-    "dedup (keep min-id canonical) → composite quality scoring → "
-    "threshold filter. The composition Catalyst actually optimizes "
-    "across stage boundaries — quality predicates and column pruning "
-    "reach the scan; only (hash, id) ever shuffles.",
+    "dedup resolved to the kept min-id canonical rows (the full "
+    "dedup→filter loop — anti-join of losers; text never shuffles, only "
+    "(hash, id)) → composite quality scoring → keep flag at the 0.5 "
+    "threshold. Emitting ALL canonical rows with the flag (instead of "
+    "pre-filtering) makes the oracle check both the canonical row set "
+    "and the threshold decision. Catalyst optimizes across the stage "
+    "boundaries — column pruning reaches the scan.",
     tags=("llm",),
 )
 def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -441,9 +458,14 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     canon = d.join(keep, on="doc_id", how="left_semi")
     scored = canon.select(
-        "doc_id", "lang", X.quality_score(F.col("text")).alias("quality")
+        "doc_id",
+        "lang",
+        "source",
+        X.quality_score(F.col("text")).alias("quality"),
     )
-    return scored.filter(F.col("quality") >= 0.5)
+    return scored.withColumn(
+        "kept", (F.col("quality") >= 0.5).cast("int")
+    )
 
 
 _COS = (

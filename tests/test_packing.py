@@ -1,0 +1,113 @@
+"""Mixture-sampling + sequence-packing operator tests, each checked
+against a standalone pure-Python oracle (md5 via hashlib; greedy
+next-fit as the textbook loop) — same gate style as
+test_python_oracles.py."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from project_clinical_data_etl_pipeline_spark.operators import packing as P
+from project_clinical_data_etl_pipeline_spark.tables import load
+
+
+def _py_sample_hash(doc_id: int, salt: str = "") -> int:
+    return int(hashlib.md5(f"{doc_id}{salt}".encode()).hexdigest()[:4], 16) % 100
+
+
+def test_deterministic_sample_matches_python_oracle(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    got = {r["doc_id"] for r in P.deterministic_sample(d, "doc_id", 25).collect()}
+    all_ids = {r["doc_id"] for r in d.collect()}
+    expected = {i for i in all_ids if _py_sample_hash(i) < 25}
+    assert got == expected
+    # ~25% ± sampling noise, and a different salt draws a different set
+    assert 0.1 < len(got) / len(all_ids) < 0.4
+    other = {
+        r["doc_id"]
+        for r in P.deterministic_sample(d, "doc_id", 25, salt="v2").collect()
+    }
+    assert other == {i for i in all_ids if _py_sample_hash(i, "v2") < 25}
+    assert other != got
+
+
+def test_stratified_mixture_rates(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select("doc_id", "source")
+    rates = {"web": 10, "books": 100}
+    got = P.sample_by_rates(d, "doc_id", "source", rates).collect()
+    rows = d.collect()
+    expected = {
+        r["doc_id"]
+        for r in rows
+        if _py_sample_hash(r["doc_id"]) < rates.get(r["source"], 0)
+    }
+    assert {r["doc_id"] for r in got} == expected
+    # every 'books' row kept; sources outside the rate map fully dropped
+    by_source = {r["source"] for r in rows}
+    kept_books = sum(1 for r in got if r["source"] == "books")
+    total_books = sum(1 for r in rows if r["source"] == "books")
+    assert kept_books == total_books
+    for s in by_source - set(rates):
+        assert all(r["source"] != s for r in got)
+
+
+def _py_pack_greedy(items: list[tuple[int, int]], budget: int) -> dict[int, int]:
+    """items = [(id, tokens)] sorted by id → {id: bin_id} (next-fit)."""
+    out, cur_bin, cur_tok = {}, 0, 0
+    for doc_id, t in sorted(items):
+        if cur_tok > 0 and cur_tok + t > budget:
+            cur_bin += 1
+            cur_tok = 0
+        out[doc_id] = cur_bin
+        cur_tok += t
+    return out
+
+
+def test_pack_greedy_matches_python_oracle_and_respects_budget(spark, sf_dir):
+    budget = 400
+    d = (
+        load(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.col("n_chars").alias("n_tokens"))
+    )
+    got = P.pack_greedy(d, "doc_id", "n_tokens", budget, part_col="source").collect()
+    rows = d.collect()
+    by_part: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        by_part.setdefault(r["source"], []).append((r["doc_id"], r["n_tokens"]))
+    for part, items in by_part.items():
+        expected = _py_pack_greedy(items, budget)
+        got_part = {r["id"]: r["bin_id"] for r in got if r["part"] == part}
+        assert got_part == expected, part
+    # strict capacity: every multi-doc bin total ≤ budget
+    totals: dict[tuple[str, int], list[int]] = {}
+    for r in got:
+        totals.setdefault((r["part"], r["bin_id"]), []).append(r["n_tokens"])
+    for (part, b), toks in totals.items():
+        if len(toks) > 1:
+            assert sum(toks) <= budget, (part, b, sum(toks))
+
+
+def test_window_pack_bins_bounded_overflow(spark, sf_dir):
+    """The scalable window form: bin totals ≤ budget + max doc (the
+    straddling doc stays in its starting bin); bins start at 0 per
+    partition (ids may legitimately skip after an over-budget doc —
+    floor(start/budget) jumps with the offset)."""
+    budget = 400
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.col("n_chars").alias("n_tokens")
+    )
+    binned = P.with_pack_bins(d, "doc_id", "n_tokens", budget).collect()
+    max_doc = max(r["n_tokens"] for r in binned)
+    totals: dict[tuple[str, int], int] = {}
+    bins_per_part: dict[str, set[int]] = {}
+    for r in binned:
+        totals[(r["source"], r["bin_id"])] = (
+            totals.get((r["source"], r["bin_id"]), 0) + r["n_tokens"]
+        )
+        bins_per_part.setdefault(r["source"], set()).add(r["bin_id"])
+    for total in totals.values():
+        assert total <= budget + max_doc
+    for part, bins in bins_per_part.items():
+        assert min(bins) == 0, part
