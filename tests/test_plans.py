@@ -91,3 +91,13 @@ def test_filtered_search_prunes_partitions_after_pushdown(spark, sf_dir):
     assert "PushedFilters" in plan
     # equality + range + date-range predicates all reach the scan
     assert "o_orderstatus" in plan and "o_totalprice" in plan
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """Eval shingles and the contaminated-id set are broadcast-small by
+    definition: both the semi-join (detection) and the anti-join (drop)
+    must be broadcast joins — the corpus never shuffles."""
+    plan = _plan(REGISTRY["corpus_decontaminate"].run(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
