@@ -23,6 +23,10 @@ from project_clinical_data_etl_pipeline_spark.session import get_spark  # noqa: 
 
 #: Headline set: scan+agg, join+topk, anti-join, window trend, dedup
 #: (exact + minhash), text stats, similarity topk.
+#: NB round-3 composition change: `text_metrics_suite` replaced
+#: `text_stats` — it absorbed fingerprint+langid+quality (4 former
+#: queries in one projection), so its entry does ~2-3x the map work of
+#: the round-2 `text_stats` number it succeeds.
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",

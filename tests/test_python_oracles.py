@@ -336,3 +336,75 @@ def test_multimodal_decode_matches_python_oracle(spark, sf_dir):
     assert set(got) == set(docs)
     for doc_id, text in docs.items():
         assert got[doc_id] == fake_decode_dims(text.encode("utf-8")), f"doc {doc_id}"
+
+
+# ---------------------------------------------------------------------------
+# Fuzz: the oracles must track Spark on adversarial strings, not just
+# the synthetic corpus — unicode, ASCII-vs-unicode whitespace (\xa0 is
+# NOT Java \s), empty/whitespace-only docs, and >32-byte tails.
+
+
+def _fuzz_strings() -> list[str]:
+    import random
+
+    rng = random.Random(20260813)
+    words = ["the", "fox", "Wörld", "café", "123", "a", "ZZZ", "d'une", "naïve"]
+    punct = [".", ",", "!", "--", "~", "|"]
+    out = [
+        "",
+        " ",
+        "\t\n\x0b\f\r",
+        "a",
+        "one two",
+        "\xa0nbsp\xa0joined",  # U+00A0: Python/Java ASCII \s both exclude it
+        "word " * 40,  # multi-chunk xxh64 input
+        "Tab\tseparated\nlines\rcarriage",
+    ]
+    for _ in range(60):
+        n = rng.randint(1, 25)
+        toks = []
+        for _ in range(n):
+            toks.append(rng.choice(words) + (rng.choice(punct) if rng.random() < 0.4 else ""))
+        sep = rng.choice([" ", "  ", " \t"])
+        out.append(sep.join(toks))
+    return out
+
+
+def test_sketch_oracles_track_spark_on_fuzz_strings(spark):
+    from pyspark.sql import functions as SF
+
+    from project_clinical_data_etl_pipeline_spark.operators import text as X
+    from project_clinical_data_etl_pipeline_spark.operators.dedup import (
+        minhash_signature_from_shingles,
+        simhash64_by_key,
+        with_shingles,
+    )
+
+    rows = [(i, s) for i, s in enumerate(_fuzz_strings())]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = {
+        r["doc_id"]: list(r["sig"])
+        for r in with_shingles(df, "text", k=3)
+        .select(
+            "doc_id",
+            minhash_signature_from_shingles(SF.col("__shingles"), 32).alias("sig"),
+        )
+        .collect()
+    }
+    rolling = {
+        r["doc_id"]: r["rfp"]
+        for r in X.with_rolling_fingerprint(df, "text", "rfp").select(
+            "doc_id", "rfp"
+        ).collect()
+    }
+    simhashes = {
+        r["doc_id"]: r["sh"]
+        for r in simhash64_by_key(df, "doc_id", "text", "sh")
+        .select("doc_id", "sh")
+        .collect()
+    }
+    for doc_id, text in rows:
+        assert sigs[doc_id] == minhash_signature(text), (doc_id, repr(text))
+        assert rolling[doc_id] == rolling_fingerprint(text), (doc_id, repr(text))
+        assert simhashes[doc_id] == simhash64(text), (doc_id, repr(text))
