@@ -40,6 +40,44 @@ def write_text(df: DataFrame, path: str, mode: str = "overwrite",
     out.write.mode(mode).text(path)
 
 
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    rows_per_shard: int = 100_000,
+    order_col: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Training-loader sink: emit the curated corpus as evenly-sized
+    shards (the file layout data loaders stream). Two layers:
+
+    - shard COUNT via ``repartitionByRange(order_col)`` when an order
+      column is given (globally ordered shards: shard i < shard i+1 —
+      deterministic resume points for loaders) or round-robin
+      ``repartition`` otherwise (maximally even sizes);
+    - shard SIZE ceiling via ``maxRecordsPerFile`` — Spark splits any
+      oversized partition at write time, so no shard ever exceeds
+      ``rows_per_shard`` even under skewed range bounds.
+
+    At 100 TB this is one full shuffle (unavoidable for sized output)
+    and a streaming write; counting rows first costs one extra scan
+    metadata pass (count on parquet is statistics-only)."""
+    n_rows = df.count()
+    n_shards = max(1, -(-n_rows // rows_per_shard))  # ceil division
+    arranged = (
+        df.repartitionByRange(n_shards, order_col)
+        if order_col is not None
+        else df.repartition(n_shards)
+    )
+    writer = arranged.write.mode(mode).option("maxRecordsPerFile", rows_per_shard)
+    if fmt == "parquet":
+        writer.parquet(path)
+    elif fmt == "json":
+        writer.json(path)
+    else:
+        raise ValueError(f"unsupported shard format: {fmt!r}")
+
+
 def foreach_partition_post(
     df: DataFrame,
     post_batch: Callable[[list[dict]], None],

@@ -3,6 +3,9 @@ injected transport, and the batched foreachPartition REST sink."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
+from project_clinical_data_etl_pipeline_spark.tables import load
 from project_clinical_data_etl_pipeline_spark.sources.readers import (
     fetch_rest_table,
     fetch_rest_table_sharded,
@@ -88,3 +91,34 @@ def test_sql_surface_matches_dataframe_api(spark, sf_dir):
     # same optimized plan modulo ids: both push all predicates to the scan
     sql_plan = sql_df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in sql_plan and "o_totalprice" in sql_plan
+
+
+def test_write_training_shards_sized_and_ordered(spark, sf_dir, tmp_path):
+    """Curated-corpus sink: shards respect the rows_per_shard ceiling,
+    all rows land exactly once, and with an order column the shard files
+    cover disjoint, ordered doc_id ranges (deterministic loader resume
+    points)."""
+    from project_clinical_data_etl_pipeline_spark.sources.writers import (
+        write_training_shards,
+    )
+
+    d = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = str(tmp_path / "shards")
+    write_training_shards(d, out, rows_per_shard=120, order_col="doc_id")
+
+    back = spark.read.parquet(out)
+    assert back.count() == d.count()
+    per_file = (
+        back.withColumn("f", F.input_file_name())
+        .groupBy("f")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("mn"),
+            F.max("doc_id").alias("mx"),
+        )
+        .collect()
+    )
+    assert all(r["n"] <= 120 for r in per_file)
+    spans = sorted((r["mn"], r["mx"]) for r in per_file)
+    for (_, prev_mx), (nxt_mn, _) in zip(spans, spans[1:]):
+        assert prev_mx < nxt_mn  # disjoint ordered ranges
