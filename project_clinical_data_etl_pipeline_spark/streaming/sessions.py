@@ -117,6 +117,34 @@ def sessionize_stream(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     )
 
 
+def sessionize_with_session_window(events: DataFrame, gap_s: int = 1800) -> DataFrame:
+    """Built-in ``F.session_window`` twin of :func:`sessionize_batch` —
+    same session membership (both extend on gap ≤ gap_s: an event
+    exactly ``gap_s`` after the last continues the session; verified by
+    equivalence test), same output schema.
+
+    ONE shuffle (groupBy user_id × session_window, Spark merges windows
+    inside the aggregation) versus the lag+cumsum form's two — the
+    preferred form when only session AGGREGATES are needed. The
+    lag+cumsum twin stays because it labels EVERY EVENT with its
+    session id (needed when downstream work is per-event), and because
+    it is the bit-exact batch oracle of the streaming kernel."""
+    return (
+        events.groupBy(
+            "user_id", F.session_window("ts", f"{gap_s} seconds").alias("__w")
+        )
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .drop("__w")
+    )
+
+
 def sessionize_batch(events: DataFrame, gap_s: int = 1800) -> DataFrame:
     """Batch twin of the streaming sessionizer — pure DataFrame ops (no
     Python state): a session boundary is a gap > gap_s from the previous

@@ -255,3 +255,26 @@ def test_stream_sessions_correct_with_multichunk_groups(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
     assert got == expected
+
+
+def test_session_window_builtin_equals_lag_cumsum_form(spark, sf_dir):
+    """The built-in F.session_window form and the lag+cumsum form must
+    produce identical sessions on the real events table — including the
+    boundary rule (an event exactly gap seconds after the last EXTENDS
+    the session in both: session_window merges at diff == gap, the
+    kernel closes only on diff > gap)."""
+    e = load(spark, sf_dir, "events").select("user_id", "ts", "value")
+    cols = ["user_id", "session_start", "session_end", "n_events", "total_value"]
+    via_window = _rowset(S.sessionize_with_session_window(e, gap_s=600), cols)
+    via_cumsum = _rowset(S.sessionize_batch(e, gap_s=600), cols)
+    assert via_window == via_cumsum
+
+    # and one shuffle vs two: the built-in form's plan has exactly one
+    # user_id exchange
+    plan = (
+        S.sessionize_with_session_window(e, gap_s=600)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Exchange hashpartitioning") == 1
