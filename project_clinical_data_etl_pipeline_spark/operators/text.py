@@ -94,6 +94,80 @@ def lang_guess(col: Column) -> Column:
     return out
 
 
+def words_array(col: Column) -> Column:
+    """Lower/trim/whitespace-split words array — the shared tokenization
+    for the repetition metrics below. Materialize it as its own
+    projection column before feeding it to per-word HOF metrics
+    (interpreted HOF lambdas have no CSE; an inline split would be
+    re-evaluated per lambda element)."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def dup_line_fraction(col: Column) -> Column:
+    """Gopher-style duplicate-line fraction: 1 − distinct/total over
+    newline-split lines. 0.0 for empty or single-line docs. Exact-int
+    numerator/denominator, one division → engine-deterministic."""
+    lines = F.split(col, r"\n")
+    return F.lit(1.0) - (
+        F.size(F.array_distinct(lines)).cast("double")
+        / F.size(lines).cast("double")
+    )
+
+
+def dup_word_fraction(words: Column) -> Column:
+    """Duplicate-word fraction: 1 − distinct/total over a materialized
+    :func:`words_array` column. High values flag boilerplate/spammy
+    repetition (a standard pre-training corpus filter)."""
+    return F.lit(1.0) - (
+        F.size(F.array_distinct(words)).cast("double")
+        / F.size(words).cast("double")
+    )
+
+
+def top_word_fraction(words: Column) -> Column:
+    """Fraction of tokens taken by the single most frequent word —
+    the n=1 case of the most-common-n-gram repetition filter. ``words``
+    MUST be a materialized array attribute: the count-per-distinct-word
+    scan is O(distinct × n) per row in interpreted HOF land, and an
+    inline split would additionally re-tokenize per element. Empty doc
+    (words == ['']) degenerates to 1.0 in both engines — filter on
+    token count first if that matters."""
+    counts = F.transform(
+        F.array_distinct(words),
+        lambda w: F.size(F.filter(words, lambda x: x == w)),
+    )
+    return F.array_max(counts).cast("double") / F.size(words).cast("double")
+
+
+#: PII redaction patterns, applied in order. ASCII classes + \b only —
+#: the subset with identical semantics in Java regex (Spark) and RE2
+#: (DuckDB oracle): no lookaround, no backreferences.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    (r"\b\d{3}-\d{2}-\d{4}\b", "[SSN]"),
+    (r"\b\d{3}[-.]\d{3}[-.]\d{4}\b", "[PHONE]"),
+]
+
+
+def redact_pii(col: Column) -> Column:
+    """Mask emails / SSNs / US-style phone numbers with typed tokens.
+    Pure chained regexp_replace — map-side, shuffle-free, and the
+    replacement order is fixed (email first, so address-embedded digit
+    runs are consumed before the numeric patterns see them)."""
+    out = col
+    for pat, token in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, token)
+    return out
+
+
+def pii_hit_count(col: Column) -> Column:
+    """Number of PII matches (BIGINT) under the combined alternation of
+    :data:`PII_PATTERNS` — leftmost-first semantics are identical in
+    Java regex and RE2, so the count is oracle-checkable."""
+    combined = "|".join(f"({p})" for p, _ in PII_PATTERNS)
+    return F.size(F.regexp_extract_all(col, F.lit(combined), 0)).cast("bigint")
+
+
 def fingerprint(col: Column) -> Column:
     """Document fingerprint: md5 of canonicalized text (lowercase,
     punctuation stripped, whitespace collapsed). Identical hex output in

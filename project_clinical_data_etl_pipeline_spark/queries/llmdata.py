@@ -65,6 +65,19 @@ def _langid_sql() -> str:
     return f"CASE {whens} ELSE 'und' END"
 
 
+_PII_ALTERNATION = (
+    "([A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,})"
+    "|(\\b\\d{3}-\\d{2}-\\d{4}\\b)"
+    "|(\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b)"
+)
+
+_PII_REDACT = (
+    "regexp_replace(regexp_replace(regexp_replace(text,"
+    " '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '[EMAIL]', 'g'),"
+    " '\\b\\d{3}-\\d{2}-\\d{4}\\b', '[SSN]', 'g'),"
+    " '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '[PHONE]', 'g')"
+)
+
 _TEXT_SUITE_SQL = f"""
     WITH t AS (
         SELECT doc_id, text, lang,
@@ -74,7 +87,9 @@ _TEXT_SUITE_SQL = f"""
                CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
                    / greatest(length(text), 1) AS punct_ratio,
                len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
-                   w -> w IN ('the', 'and', 'of', 'to', 'is'))) AS n_stops
+                   w -> w IN ('the', 'and', 'of', 'to', 'is'))) AS n_stops,
+               string_split(text, chr(10)) AS ls,
+               string_split_regex(lower(trim(text)), '\\s+') AS ws
         FROM documents
     )
     SELECT doc_id,
@@ -92,7 +107,17 @@ _TEXT_SUITE_SQL = f"""
            least(CAST(n_chars_calc AS DOUBLE) / 500.0, 1.0) * 0.4
              + (1.0 - least(punct_ratio * 5.0, 1.0)) * 0.3
              + least((CAST(n_stops AS DOUBLE) / greatest(n_tokens, 1)) * 5.0, 1.0) * 0.3
-               AS quality_score
+               AS quality_score,
+           1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / CAST(len(ls) AS DOUBLE)
+               AS dup_line_frac,
+           1.0 - CAST(len(list_distinct(ws)) AS DOUBLE) / CAST(len(ws) AS DOUBLE)
+               AS dup_word_frac,
+           CAST(list_max(list_transform(list_distinct(ws),
+                    w -> len(list_filter(ws, x -> x = w)))) AS DOUBLE)
+               / CAST(len(ws) AS DOUBLE) AS top_word_frac,
+           CAST(len(regexp_extract_all(text, '{_PII_ALTERNATION}')) AS BIGINT)
+               AS pii_hits,
+           md5({_PII_REDACT}) AS redacted_fp
     FROM t
 """
 
@@ -105,15 +130,22 @@ _TEXT_SUITE_SQL = f"""
     "token count, char count, punctuation ratio, mean word length, md5 "
     "content fingerprint (the incremental-dedup primitive), stopword-vote "
     "language-ID with fixed tie priority, BPE-ish subword token estimate, "
-    "stopword ratio, and the weighted [0,1] quality heuristic used to "
-    "filter training corpora. All ratios are exact-integer numerators/"
-    "denominators combined in a fixed operation order → engine-"
-    "deterministic doubles. At scale this is a free rider on any scan.",
+    "stopword ratio, the weighted [0,1] quality heuristic used to "
+    "filter training corpora, Gopher-style repetition filters "
+    "(duplicate-line/word fractions, top-word fraction), and PII "
+    "redaction (email/SSN/phone → typed tokens; hit count + redacted-"
+    "content md5). All ratios are exact-integer numerators/denominators "
+    "combined in a fixed operation order → engine-deterministic doubles. "
+    "At scale this is a free rider on any scan.",
     tags=("llm", "bench"),
 )
 def text_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
     t = F.col("text")
+    # words materialized once: the repetition metrics reference the array
+    # from interpreted HOF lambdas, which would otherwise re-tokenize per
+    # element (no CSE). Multi-use + non-cheap keeps CollapseProject away.
+    d = d.withColumn("__ws", X.words_array(t))
     return d.select(
         "doc_id",
         X.token_count(t).alias("n_tokens"),
@@ -126,6 +158,11 @@ def text_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.bpe_ish_token_count(t).alias("n_bpeish_tokens"),
         X.stopword_ratio(t).alias("stopword_ratio"),
         X.quality_score(t).alias("quality_score"),
+        X.dup_line_fraction(t).alias("dup_line_frac"),
+        X.dup_word_fraction(F.col("__ws")).alias("dup_word_frac"),
+        X.top_word_fraction(F.col("__ws")).alias("top_word_frac"),
+        X.pii_hit_count(t).alias("pii_hits"),
+        F.md5(X.redact_pii(t)).alias("redacted_fp"),
     )
 
 

@@ -408,3 +408,66 @@ def test_sketch_oracles_track_spark_on_fuzz_strings(spark):
         assert sigs[doc_id] == minhash_signature(text), (doc_id, repr(text))
         assert rolling[doc_id] == rolling_fingerprint(text), (doc_id, repr(text))
         assert simhashes[doc_id] == simhash64(text), (doc_id, repr(text))
+
+def _repetition_pii_fuzz_strings() -> list[str]:
+    """Adversarial docs for the repetition/PII metrics: newline-heavy,
+    duplicated lines, boilerplate word repetition, embedded emails /
+    SSNs / phone numbers, unicode, and degenerate empties."""
+    import random
+
+    rng = random.Random(20260814)
+    out = [
+        "",
+        " ",
+        "\n",
+        "a\n",
+        "one line",
+        "dup\ndup\ndup\nuniq",
+        "spam spam spam spam ham",
+        "the the the the the the",
+        "mail me at alice@example.com or bob.smith+tag@sub.domain.co",
+        "ssn 123-45-6789 phone 555-123-4567 alt 555.123.4567",
+        "edge 123-45-6789-1234 not-a-phone 12-345-6789",
+        "mixed\ncafé naïve Wörld\ncafé naïve Wörld\n123-45-6789",
+        "a@b.co\na@b.co\na@b.co",
+        "\r\nwindows\r\nwindows\r\n",
+        "tab\tsep no newline " * 10,
+    ]
+    words = ["the", "fox", "café", "123", "a", "spam", "x@y.io", "555-123-4567"]
+    for _ in range(40):
+        n_lines = rng.randint(1, 6)
+        lines = []
+        for _ in range(n_lines):
+            toks = [rng.choice(words) for _ in range(rng.randint(0, 8))]
+            lines.append(" ".join(toks))
+        if rng.random() < 0.5:
+            lines.append(rng.choice(lines))  # force duplicate lines
+        out.append("\n".join(lines))
+    return out
+
+
+def test_text_suite_tracks_duckdb_on_repetition_pii_fuzz(spark, monkeypatch):
+    """The full text_metrics_suite projection (incl. the Gopher-style
+    repetition metrics and PII redaction) must hash-match its DuckDB
+    oracle on adversarial strings, not just the tame synthetic corpus.
+    Runs the PRODUCTION query code path via a monkeypatched loader."""
+    import duckdb
+    import pandas as pd
+
+    from project_clinical_data_etl_pipeline_spark.queries import REGISTRY, llmdata
+    from tests.oracle_harness import compare
+
+    rows = [(i, s, "en") for i, s in enumerate(_repetition_pii_fuzz_strings())]
+    fuzz = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    monkeypatch.setattr(llmdata, "load", lambda _spark, _sf, _name: fuzz)
+
+    spec = REGISTRY["text_metrics_suite"]
+    sdf = spec.run(spark, "ignored")
+
+    con = duckdb.connect()
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    con.register("documents", pdf)
+    odf = con.execute(spec.sql).fetchdf()
+    problems = compare(sdf, odf)
+    con.close()
+    assert not problems, "\n".join(problems)
