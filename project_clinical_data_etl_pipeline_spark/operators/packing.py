@@ -56,6 +56,90 @@ def sample_by_rates(
     return df.filter(sample_hash(id_col, salt) < rate)
 
 
+def with_split(
+    df: DataFrame,
+    id_col: str,
+    splits: tuple[tuple[str, int], ...] = (("train", 90), ("val", 5), ("test", 5)),
+    salt: str = "",
+    out: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: the first 4 md5 hex
+    digits of ``id || salt`` land in consecutive hex-threshold buckets
+    sized by the percentage weights (must sum to 100). Pure string
+    comparison on fixed-width lowercase hex — identical lexicographic =
+    numeric order in any engine, so the assignment is oracle-checkable
+    without hex→int conversion. Map-only; the same row lands in the
+    same split across runs, partitionings, and cluster sizes."""
+    weights = [pct for _, pct in splits]
+    if sum(weights) != 100:
+        raise ValueError(f"split weights must sum to 100, got {sum(weights)}")
+    h = F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(salt))), 1, 4)
+    acc = 0
+    expr = None
+    for name, pct in splits[:-1]:
+        acc += pct
+        bound = format((65536 * acc) // 100, "04x")
+        expr = (
+            F.when(h < bound, F.lit(name))
+            if expr is None
+            else expr.when(h < bound, F.lit(name))
+        )
+    last = F.lit(splits[-1][0])
+    return df.withColumn(out, last if expr is None else expr.otherwise(last))
+
+
+def split_bounds_hex(
+    splits: tuple[tuple[str, int], ...] = (("train", 90), ("val", 5), ("test", 5)),
+) -> list[tuple[str, str]]:
+    """(name, upper-bound hex) pairs for all but the last split — the
+    SQL-oracle twin of :func:`with_split` builds the same CASE from
+    these, guaranteeing both engines share one threshold table."""
+    acc = 0
+    out = []
+    for name, pct in splits[:-1]:
+        acc += pct
+        out.append((name, format((65536 * acc) // 100, "04x")))
+    return out
+
+
+def cap_per_key(
+    df: DataFrame,
+    key_col: str,
+    cap: int,
+    order_cols,
+    out: str = "in_cap",
+) -> DataFrame:
+    """Per-key quota flag: ``out`` = 1 for the first ``cap`` rows of each
+    key under the deterministic ``order_cols`` total order, else 0 —
+    the per-source/domain cap of corpus curation.
+
+    Two-phase for scale: keys are counted first (map-side partial agg),
+    and ONLY rows of over-cap keys go through the row_number window; the
+    (usually vast) under-cap remainder is flagged 1 via a broadcast
+    anti-join against the over-cap key list and never shuffles on the
+    key. A single boilerplate mega-source therefore costs one window
+    over its own rows, not a corpus-wide sort. Equivalent single-phase
+    semantics: row_number() OVER (PARTITION BY key ORDER BY ...) <= cap.
+    """
+    over = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") > cap)
+        .select(key_col)
+    )
+    under_rows = df.join(F.broadcast(over), on=key_col, how="left_anti").withColumn(
+        out, F.lit(1)
+    )
+    w = Window.partitionBy(key_col).orderBy(*order_cols)
+    over_rows = (
+        df.join(F.broadcast(over), on=key_col, how="left_semi")
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn(out, (F.col("__rn") <= cap).cast("int"))
+        .drop("__rn")
+    )
+    return under_rows.unionByName(over_rows)
+
+
 def with_pack_bins(
     df: DataFrame,
     order_col: str,

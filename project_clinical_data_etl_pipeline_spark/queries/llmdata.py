@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators import dedup as D
+from ..operators import packing as P
 from ..operators import similarity as S
 from ..operators import text as X
 from ..tables import load
@@ -469,9 +470,31 @@ _CURATION_SQL = f"""
         FROM canon
     )
     SELECT doc_id, lang, source, quality,
-           CAST(quality >= 0.5 AS INT) AS kept
+           CAST(quality >= 0.5 AS INT) AS kept,
+           {{split_case}} AS split,
+           CAST(row_number() OVER (
+                    PARTITION BY source ORDER BY quality DESC, doc_id
+                ) <= {{source_cap}} AS INT) AS in_cap
     FROM scored
 """
+
+#: per-source quota in the curation query. Every synthetic source holds
+#: 25 canonical docs, so all sources take the over-cap window branch
+#: here; the under-cap bypass branch is pinned by the skewed-corpus
+#: unit test in tests/test_packing.py.
+_SOURCE_CAP = 15
+
+_SPLIT_CASE = (
+    "CASE "
+    + " ".join(
+        "WHEN substring(md5(CAST(doc_id AS VARCHAR) || 'curation'), 1, 4)"
+        f" < '{bound}' THEN '{name}'"
+        for name, bound in P.split_bounds_hex()
+    )
+    + " ELSE 'test' END"
+)
+
+_CURATION_SQL = _CURATION_SQL.format(split_case=_SPLIT_CASE, source_cap=_SOURCE_CAP)
 
 
 @spec(
@@ -482,9 +505,13 @@ _CURATION_SQL = f"""
     "dedup resolved to the kept min-id canonical rows (the full "
     "dedup→filter loop — anti-join of losers; text never shuffles, only "
     "(hash, id)) → composite quality scoring → keep flag at the 0.5 "
-    "threshold. Emitting ALL canonical rows with the flag (instead of "
-    "pre-filtering) makes the oracle check both the canonical row set "
-    "and the threshold decision. Catalyst optimizes across the stage "
+    "threshold → deterministic train/val/test split assignment (md5 "
+    "hex-threshold buckets) → per-source quota flag (two-phase "
+    "cap_per_key: only over-cap sources pay the row_number window, the "
+    "rest bypass via broadcast anti-join). Emitting ALL canonical rows "
+    "with the flags (instead of pre-filtering) makes the oracle check "
+    "the canonical row set, the threshold decision, the split buckets, "
+    "and the quota ranking. Catalyst optimizes across the stage "
     "boundaries — column pruning reaches the scan.",
     tags=("llm",),
 )
@@ -500,8 +527,13 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         X.quality_score(F.col("text")).alias("quality"),
     )
-    return scored.withColumn(
-        "kept", (F.col("quality") >= 0.5).cast("int")
+    flagged = scored.withColumn("kept", (F.col("quality") >= 0.5).cast("int"))
+    flagged = P.with_split(flagged, "doc_id", salt="curation")
+    return P.cap_per_key(
+        flagged,
+        "source",
+        _SOURCE_CAP,
+        [F.col("quality").desc(), F.col("doc_id").asc()],
     )
 
 

@@ -111,3 +111,71 @@ def test_window_pack_bins_bounded_overflow(spark, sf_dir):
         assert total <= budget + max_doc
     for part, bins in bins_per_part.items():
         assert min(bins) == 0, part
+
+def _py_split(doc_id: int, salt: str, bounds: list[tuple[str, str]], last: str) -> str:
+    h = hashlib.md5(f"{doc_id}{salt}".encode()).hexdigest()[:4]
+    for name, bound in bounds:
+        if h < bound:
+            return name
+    return last
+
+
+def test_with_split_matches_python_oracle_and_is_deterministic(spark, sf_dir):
+    d = load(spark, sf_dir, "documents").select("doc_id")
+    splits = (("train", 90), ("val", 5), ("test", 5))
+    bounds = P.split_bounds_hex(splits)
+    assert bounds == [("train", "e666"), ("val", "f333")]
+    got = {r["doc_id"]: r["split"] for r in P.with_split(d, "doc_id").collect()}
+    for doc_id, split in got.items():
+        assert split == _py_split(doc_id, "", bounds, "test"), doc_id
+    # all three buckets populated, train dominant
+    from collections import Counter
+
+    c = Counter(got.values())
+    assert set(c) == {"train", "val", "test"}
+    assert c["train"] > c["val"] + c["test"]
+    # a different salt reassigns some rows; the same salt never does
+    salted = {
+        r["doc_id"]: r["split"]
+        for r in P.with_split(d, "doc_id", salt="v2").collect()
+    }
+    assert salted != got
+    again = {r["doc_id"]: r["split"] for r in P.with_split(d, "doc_id").collect()}
+    assert again == got
+
+
+def test_with_split_rejects_bad_weights(spark):
+    import pytest
+
+    d = spark.range(3).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="sum to 100"):
+        P.with_split(d, "doc_id", splits=(("train", 90), ("val", 5)))
+
+
+def test_cap_per_key_matches_single_phase_window(spark):
+    """Two-phase cap (broadcast bypass for under-cap keys + window only
+    over over-cap keys) must equal the plain corpus-wide row_number
+    formulation — on a skewed corpus that exercises BOTH branches."""
+    from pyspark.sql import Window
+
+    rows = [("hot", i, float(i % 7)) for i in range(40)]  # over cap
+    rows += [("cold%d" % k, 1000 + 10 * k + i, 1.0) for k in range(5) for i in range(3)]
+    df = spark.createDataFrame(rows, "source string, doc_id long, quality double")
+
+    order = [F.col("quality").desc(), F.col("doc_id").asc()]
+    got = {
+        (r["source"], r["doc_id"]): r["in_cap"]
+        for r in P.cap_per_key(df, "source", 10, order).collect()
+    }
+    w = Window.partitionBy("source").orderBy(*order)
+    expected = {
+        (r["source"], r["doc_id"]): r["flag"]
+        for r in df.withColumn(
+            "flag", (F.row_number().over(w) <= 10).cast("int")
+        ).collect()
+    }
+    assert got == expected
+    # both branches actually ran: every cold row kept, exactly 10 hot kept
+    assert all(v == 1 for (s, _), v in got.items() if s.startswith("cold"))
+    assert sum(v for (s, _), v in got.items() if s == "hot") == 10
+    assert len(got) == len(rows)
