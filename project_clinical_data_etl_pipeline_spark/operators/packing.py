@@ -120,6 +120,12 @@ def cap_per_key(
     key. A single boilerplate mega-source therefore costs one window
     over its own rows, not a corpus-wide sort. Equivalent single-phase
     semantics: row_number() OVER (PARTITION BY key ORDER BY ...) <= cap.
+
+    Cost note: ``df``'s lineage is traversed three times (count + the
+    two branch joins). When the upstream is an expensive computed plan
+    rather than a scan, persist/localCheckpoint it first — the trade is
+    3× map work for avoiding a corpus-wide key shuffle, which wins
+    whenever upstream is scan-dominated.
     """
     over = (
         df.groupBy(key_col)

@@ -101,3 +101,22 @@ def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "LeftSemi" in plan and "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_text_suite_is_map_only_and_prunes(spark, sf_dir):
+    # per-row metrics: no shuffle anywhere, and the unreferenced
+    # documents columns (source, n_chars) never reach the parquet scan
+    # (NB "n_chars" alone would false-match the n_chars_calc output alias)
+    plan = _plan(REGISTRY["text_metrics_suite"].run(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string,lang:string>" in plan
+
+
+def test_curation_cap_is_two_phase_broadcast(spark, sf_dir):
+    # the over-cap key list must broadcast into both branch joins, and
+    # the quota window must appear exactly once (only over-cap sources
+    # pay the sort) — never a corpus-wide SortMergeJoin
+    plan = _plan(REGISTRY["corpus_curation_pipeline"].run(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Window") == 1
