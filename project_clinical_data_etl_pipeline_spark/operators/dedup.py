@@ -579,6 +579,78 @@ def keep_canonical(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     """Resolve duplicate pairs into a kept set: drop every id that
     appears as the larger member of a pair (min-id canonicalization —
     one pass, no iterative connected components; adequate when clusters
-    are cliques, which LSH candidate sets approximate)."""
+    are cliques, which LSH candidate sets approximate). For non-clique
+    pair graphs — (a,c),(b,c) keeps BOTH a and b here — use
+    :func:`keep_canonical_components`, which resolves true connected
+    components first."""
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
+    return df.join(losers, on=id_col, how="left_anti")
+
+
+def dedup_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """Connected components of the duplicate-pair graph → ``(id, comp)``
+    where ``comp`` is the MINIMUM id reachable from ``id`` — the exact
+    cluster resolution for fuzzy-dedup pair sets that are not cliques.
+
+    Min-label propagation with pointer jumping: each round takes the min
+    label over the direct neighborhood, then chases one label hop
+    (``comp ← comp(comp)``), so long chains converge in O(log diameter)
+    rounds, not O(diameter). Labels are monotone non-increasing with
+    ``comp(v) ≤ v`` invariant, so the label SUM is a strictly decreasing
+    fixpoint witness — one tiny agg per round decides convergence (the
+    driver-side loop is control flow, same pattern as
+    ``hierarchy.transitive_closure``). Each round is localCheckpoint-ed
+    to truncate lineage.
+
+    Shuffles per round: one groupBy(dst) + two equi-joins on id — all on
+    (id, comp) pairs, never payload columns. Only ids that appear in a
+    pair are returned; isolated docs are their own component by
+    definition (union them with ``comp = id`` if needed).
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("comp", F.col("id"))
+        .localCheckpoint()
+    )
+    prev = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+    for _ in range(max_iterations):
+        neigh = (
+            edges.join(labels, on=edges["src"] == labels["id"])
+            .groupBy("dst")
+            .agg(F.min("comp").alias("ncomp"))
+            .withColumnRenamed("dst", "id")
+        )
+        stepped = labels.join(neigh, on="id", how="left").select(
+            "id", F.least(F.col("comp"), F.coalesce("ncomp", "comp")).alias("comp")
+        )
+        hop = stepped.select(
+            F.col("id").alias("pid"), F.col("comp").alias("pcomp")
+        )
+        labels = (
+            stepped.join(hop, on=stepped["comp"] == hop["pid"], how="left")
+            .select("id", F.coalesce("pcomp", "comp").alias("comp"))
+            .localCheckpoint()
+        )
+        cur = labels.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).collect()[0][0]
+        if cur == prev:
+            break
+        prev = cur
+    return labels
+
+
+def keep_canonical_components(
+    df: DataFrame, id_col: str, pairs: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Exact canonical-keep over connected components: every doc whose
+    component label differs from its own id is a loser; exactly one doc
+    (the component-min) survives per duplicate cluster, clique or not."""
+    comp = dedup_components(pairs, max_iterations)
+    losers = comp.filter(F.col("comp") != F.col("id")).select(
+        F.col("id").alias(id_col)
+    )
     return df.join(losers, on=id_col, how="left_anti")

@@ -169,3 +169,59 @@ def test_keep_canonical_drops_exactly_pair_losers(spark, raw_pairs):
     kept = {r["doc_id"] for r in D.keep_canonical(df, "doc_id", pairs).collect()}
     losers = {b for _, b in pairs_data}
     assert kept == set(range(16)) - losers
+
+
+def _uf_components(n: int, pairs_data: list[tuple[int, int]]) -> dict[int, int]:
+    """Python union-find oracle: id → min id of its component, only for
+    ids that appear in some pair."""
+    parent = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs_data:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the root IS the component min
+            lo, hi = min(ra, rb), max(ra, rb)
+            parent[hi] = lo
+    return {x: find(x) for x in parent}
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 15), st.integers(0, 15)), min_size=0, max_size=20
+    )
+)
+def test_dedup_components_match_union_find(spark, raw_pairs):
+    pairs_data = [(a, b) for a, b in raw_pairs if a < b]
+    if not pairs_data:
+        return
+    pairs = spark.createDataFrame(pairs_data, "id_a long, id_b long")
+    got = {r["id"]: r["comp"] for r in D.dedup_components(pairs).collect()}
+    assert got == _uf_components(16, pairs_data)
+
+
+def test_keep_canonical_components_resolves_non_cliques(spark):
+    """(a,c),(b,c) is NOT a clique: pairwise min-id keep retains both a
+    and b, but the docs are transitively one cluster — the component
+    resolver must keep only a. Also: a long chain (worst case for
+    propagation) collapses to its min."""
+    df = spark.createDataFrame([(i,) for i in range(16)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 2), (1, 2)] + [(i, i + 1) for i in range(5, 12)],
+        "id_a long, id_b long",
+    )
+    pairwise = {r["doc_id"] for r in D.keep_canonical(df, "doc_id", pairs).collect()}
+    assert {0, 1} <= pairwise  # documents the clique-only limitation
+    exact = {
+        r["doc_id"]
+        for r in D.keep_canonical_components(df, "doc_id", pairs).collect()
+    }
+    assert exact == (set(range(16)) - {1, 2} - set(range(6, 13)))
