@@ -3,6 +3,7 @@ from . import (  # noqa: F401
     encoders,
     hierarchy,
     multimodal,
+    packing,
     relational,
     similarity,
     text,

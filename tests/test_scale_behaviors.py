@@ -116,3 +116,18 @@ def test_minhash_estimate_tracks_true_jaccard(spark, dup_frac):
         assert 0.4 <= pairs[0]["est_jaccard"] <= 1.0
     else:
         assert pairs == []
+
+
+def test_components_converge_logarithmically_on_chains(spark):
+    """Pointer jumping must make a 64-node chain (diameter 63 — the
+    worst case for plain min-label propagation, which would need ~63
+    rounds) converge within 7 rounds (≈ log₂ 63 + slack). A failure
+    here means the label-hop step regressed and mega-cluster corpora
+    would iterate for the full diameter."""
+    from project_clinical_data_etl_pipeline_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(63)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["comp"] for r in D.dedup_components(pairs, max_iterations=7).collect()}
+    assert got == {i: 0 for i in range(64)}
