@@ -575,6 +575,103 @@ def decontaminate(
     return docs.join(F.broadcast(contaminated), on=id_col, how="left_anti")
 
 
+def _winnow_from_hashes(hashes: Column, window: int) -> Column:
+    """Winnowing selection over a MATERIALIZED shingle-hash array
+    attribute: min of every ``window`` consecutive hashes, distinct.
+    The per-window lambda slices the outer array, so ``hashes`` must be
+    its own projection column (the double reference — size + slice —
+    keeps CollapseProject from inlining it; an inlined expression would
+    re-evaluate per window position)."""
+    n = F.size(hashes)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(1)))
+    return F.array_distinct(
+        F.transform(idx, lambda i: F.array_min(F.slice(hashes, i, window)))
+    )
+
+
+def with_winnow_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    out: str = "__winnow",
+    k: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., the MOSS
+    algorithm): xxhash64 each k-word shingle of the normalized text,
+    keep the min hash of every sliding window of ``window`` consecutive
+    shingle hashes, dedup → array<bigint>.
+
+    GUARANTEE: any two documents sharing a verbatim run of at least
+    ``k + window - 1`` words share ≥1 fingerprint — the basis for fuzzy
+    CONTAINMENT detection (eval data pasted inside a training doc),
+    which whole-doc near-dup (minhash/simhash) cannot see. Fingerprint
+    density is ~1/window of the shingle count, so the posting list is a
+    window-fold smaller than the full shingle index. Three chained
+    projections (words → shingles → hashes → winnow), each column
+    multi-referenced so the interpreted-HOF stages never re-evaluate
+    their input per element. Map-only; no shuffle."""
+    w = with_shingles(df, text_col, k=k)
+    w = w.withColumn(
+        "__sh_hashes",
+        F.transform(F.col("__shingles"), lambda s: F.xxhash64(s)),
+    ).drop("__shingles")
+    return w.withColumn(
+        out, _winnow_from_hashes(F.col("__sh_hashes"), window)
+    ).drop("__sh_hashes")
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    window: int = 4,
+    threshold: float = 0.5,
+    df_max: int | None = None,
+) -> DataFrame:
+    """Directed fuzzy-containment candidates via winnowing overlap:
+    ``containment = |fp(src) ∩ fp(dst)| / |fp(src)|`` — near 1.0 when
+    src's text appears (nearly) verbatim inside dst, regardless of how
+    much OTHER text dst has. Emits (src_id, dst_id, containment) both
+    directions (the measure is asymmetric: a paragraph is contained in
+    the book, not the book in the paragraph).
+
+    Shape at 100 TB: inverted-index self-equi-join on fingerprints —
+    only (fp, id) pairs shuffle, intersection counts are a group-by,
+    and ``df_max`` drops ubiquitous fingerprints (boilerplate runs)
+    exactly like the shingle df-cap in :func:`ngram_jaccard_pairs`.
+    Integer counts / integer sizes → deterministic double."""
+    fps = with_winnow_fingerprints(
+        fan_out(df).select(id_col, text_col), text_col, k=k, window=window
+    ).select(
+        F.col(id_col).alias("__id"),
+        F.size(F.col("__winnow")).alias("__n_fp"),
+        F.explode(F.col("__winnow")).alias("__fp"),
+    )
+    if df_max is not None:
+        fps = _drop_hot_keys(fps, "__fp", df_max)
+    left = fps.select(
+        F.col("__id").alias("src_id"),
+        F.col("__n_fp").alias("__src_n"),
+        "__fp",
+    )
+    right = fps.select(F.col("__id").alias("dst_id"), "__fp")
+    return (
+        left.join(right, on="__fp")
+        .filter(F.col("src_id") != F.col("dst_id"))
+        .groupBy("src_id", "dst_id", "__src_n")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+        .select(
+            "src_id",
+            "dst_id",
+            (
+                F.col("__inter").cast("double") / F.col("__src_n").cast("double")
+            ).alias("containment"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )
+
+
 def keep_canonical(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     """Resolve duplicate pairs into a kept set: drop every id that
     appears as the larger member of a pair (min-id canonicalization —

@@ -471,3 +471,65 @@ def test_text_suite_tracks_duckdb_on_repetition_pii_fuzz(spark, monkeypatch):
     problems = compare(sdf, odf)
     con.close()
     assert not problems, "\n".join(problems)
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints + fuzzy containment (Schleimer et al. / MOSS)
+
+
+def winnow_oracle(text: str, k: int = 3, window: int = 4) -> list[int]:
+    """Mirror dedup.with_winnow_fingerprints: xxhash64 per shingle, min
+    of each sliding hash window (slice saturates at the tail like
+    F.slice), distinct keeping first occurrence."""
+    hs = [spark_xxhash64(sh) for sh in shingles(text, k)]
+    upper = max(len(hs) - window + 1, 1)
+    mins = [min(hs[i : i + window]) for i in range(upper)]
+    out: list[int] = []
+    for m in mins:
+        if m not in out:
+            out.append(m)
+    return out
+
+
+def test_winnow_fingerprints_match_python_oracle(spark):
+    from project_clinical_data_etl_pipeline_spark.operators import dedup as D
+
+    rows = [(i, s) for i, s in enumerate(_fuzz_strings())]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: list(r["w"])
+        for r in D.with_winnow_fingerprints(df, "text", out="w")
+        .select("doc_id", "w")
+        .collect()
+    }
+    for doc_id, text in rows:
+        assert got[doc_id] == winnow_oracle(text), (doc_id, repr(text))
+
+
+def test_containment_pairs_match_python_oracle(spark):
+    """Directed containment: an eval paragraph pasted inside a larger
+    doc scores near 1.0 in the paragraph→doc direction, much lower the
+    other way; unrelated docs never pair. Values must equal the
+    set-arithmetic oracle exactly (int/int → IEEE double)."""
+    from project_clinical_data_etl_pipeline_spark.operators import dedup as D
+
+    para = " ".join(f"signal{i} token{i * 7 % 13}" for i in range(20))
+    host = "intro filler words here. " + para + " trailing commentary text."
+    other = " ".join(f"noise{i} blob{i * 5 % 11}" for i in range(25))
+    rows = [(0, para), (1, host), (2, other)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["src_id"], r["dst_id"]): r["containment"]
+        for r in D.containment_pairs(df, "doc_id", "text", threshold=0.0).collect()
+    }
+    fps = {i: set(winnow_oracle(t)) for i, t in rows}
+    expected = {}
+    for s, sf in fps.items():
+        for d, df_ in fps.items():
+            if s != d and sf & df_:
+                expected[(s, d)] = len(sf & df_) / len(sf)
+    assert got == expected
+    assert got[(0, 1)] >= 0.8  # paragraph ⊂ host
+    assert got[(1, 0)] < got[(0, 1)]  # host ⊄ paragraph
+    assert (0, 2) not in got and (2, 0) not in got
