@@ -672,6 +672,56 @@ def containment_pairs(
     )
 
 
+def decontaminate_fuzzy(
+    docs: DataFrame,
+    eval_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    window: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Containment-based decontamination: drop every training document
+    that CONTAINS an eval/benchmark document — winnowing containment
+    (eval ⊂ doc direction) ≥ ``threshold``. Where :func:`decontaminate`
+    fires on ANY single shared shingle (high recall, blunt),
+    this requires a substantial fraction of an eval doc's fingerprints
+    to appear, so a stray idiom doesn't nuke a training doc but a
+    pasted benchmark question does.
+
+    Shape at 100 TB: identical to :func:`decontaminate` — the eval
+    fingerprint set broadcasts (eval suites are small by definition),
+    corpus fingerprints never shuffle (map-side winnowing + broadcast
+    hash join), and the final drop is a broadcast anti-join on the
+    contaminated-id set. Containment is integer-count / integer-size →
+    deterministic."""
+    eval_fp = with_winnow_fingerprints(
+        eval_docs.select(F.col(id_col).alias("__eid"), text_col),
+        text_col,
+        k=k,
+        window=window,
+    ).select(
+        "__eid",
+        F.size(F.col("__winnow")).alias("__e_n"),
+        F.explode(F.col("__winnow")).alias("__fp"),
+    )
+    doc_fp = with_winnow_fingerprints(
+        fan_out(docs).select(id_col, text_col), text_col, k=k, window=window
+    ).select(F.col(id_col).alias("__id"), F.explode(F.col("__winnow")).alias("__fp"))
+    contaminated = (
+        doc_fp.join(F.broadcast(eval_fp), on="__fp")
+        .groupBy("__id", "__eid", "__e_n")
+        .agg(F.count(F.lit(1)).alias("__inter"))
+        .filter(
+            F.col("__inter").cast("double") / F.col("__e_n").cast("double")
+            >= threshold
+        )
+        .select(F.col("__id").alias(id_col))
+        .distinct()
+    )
+    return docs.join(F.broadcast(contaminated), on=id_col, how="left_anti")
+
+
 def keep_canonical(df: DataFrame, id_col: str, pairs: DataFrame) -> DataFrame:
     """Resolve duplicate pairs into a kept set: drop every id that
     appears as the larger member of a pair (min-id canonicalization —

@@ -533,3 +533,31 @@ def test_containment_pairs_match_python_oracle(spark):
     assert got[(0, 1)] >= 0.8  # paragraph ⊂ host
     assert got[(1, 0)] < got[(0, 1)]  # host ⊄ paragraph
     assert (0, 2) not in got and (2, 0) not in got
+
+
+def test_decontaminate_fuzzy_drops_embedders_keeps_idiom_sharers(spark):
+    """Containment decontamination must drop the doc that embeds the
+    eval paragraph, keep unrelated docs, and — unlike the exact
+    shingle-overlap guard, which fires on ANY shared shingle — keep a
+    doc that merely reuses one idiom from the eval text."""
+    from project_clinical_data_etl_pipeline_spark.operators import dedup as D
+
+    eval_para = " ".join(f"bench{i} answer{i * 3 % 7}" for i in range(15))
+    idiom = " ".join(eval_para.split()[:3])  # one shared 3-gram only
+    docs = [
+        (0, "clean document " + " ".join(f"w{i}" for i in range(20))),
+        (1, "preamble text. " + eval_para + " epilogue text."),
+        (2, f"unrelated doc that quotes {idiom} once amid " + " ".join(f"v{i}" for i in range(20))),
+    ]
+    ddf = spark.createDataFrame(docs, "doc_id long, text string")
+    edf = spark.createDataFrame([(100, eval_para)], "doc_id long, text string")
+
+    fuzzy_kept = {
+        r["doc_id"]
+        for r in D.decontaminate_fuzzy(ddf, edf, "doc_id", "text").collect()
+    }
+    assert fuzzy_kept == {0, 2}
+    exact_kept = {
+        r["doc_id"] for r in D.decontaminate(ddf, edf, "doc_id", "text").collect()
+    }
+    assert exact_kept == {0}  # the blunt guard also drops the idiom-sharer
