@@ -561,3 +561,25 @@ def test_decontaminate_fuzzy_drops_embedders_keeps_idiom_sharers(spark):
         r["doc_id"] for r in D.decontaminate(ddf, edf, "doc_id", "text").collect()
     }
     assert exact_kept == {0}  # the blunt guard also drops the idiom-sharer
+
+
+def test_winnow_guarantee_shared_run_yields_shared_fingerprint():
+    """The winnowing theorem (k=3, window=4): ANY two docs sharing a
+    verbatim run of ≥ k+window-1 = 6 words share at least one
+    fingerprint. Pure-Python over the oracle (proven Spark-identical by
+    the fuzz parity test above), so hundreds of cases are cheap."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abcdefgh", min_size=1, max_size=4)
+    words = st.lists(word, min_size=0, max_size=12)
+
+    @settings(max_examples=200, deadline=None)
+    @given(run=st.lists(word, min_size=6, max_size=12),
+           pa=words, sa=words, pb=words, sb=words)
+    def check(run, pa, sa, pb, sb):
+        a = " ".join(pa + run + sa)
+        b = " ".join(pb + run + sb)
+        assert set(winnow_oracle(a)) & set(winnow_oracle(b)), (a, b)
+
+    check()
