@@ -139,6 +139,38 @@ def top_word_fraction(words: Column) -> Column:
     return F.array_max(counts).cast("double") / F.size(words).cast("double")
 
 
+def dup_paragraph_fraction(col: Column) -> Column:
+    """Duplicate-paragraph fraction (Gopher rule): 1 − distinct/total
+    over blank-line-split paragraphs. 0.0 for single-paragraph docs."""
+    paras = F.split(col, r"\n\n")
+    return F.lit(1.0) - (
+        F.size(F.array_distinct(paras)).cast("double")
+        / F.size(paras).cast("double")
+    )
+
+
+def bullet_line_fraction(lines: Column) -> Column:
+    """Fraction of lines starting with a bullet marker (-, *, •) — the
+    Gopher list-boilerplate signal. ``lines`` is a materialized
+    newline-split array (share it across the line metrics)."""
+    hits = F.size(F.filter(lines, lambda l: l.rlike(r"^\s*[-*•]")))
+    return hits.cast("double") / F.size(lines).cast("double")
+
+
+def ellipsis_line_fraction(lines: Column) -> Column:
+    """Fraction of lines ending in an ellipsis ('...' or '…') — the
+    Gopher truncated-content signal."""
+    hits = F.size(F.filter(lines, lambda l: l.rlike(r"(\.\.\.|…)\s*$")))
+    return hits.cast("double") / F.size(lines).cast("double")
+
+
+def symbol_word_ratio(col: Column) -> Column:
+    """Symbols (#, ellipsis) per word — the Gopher symbol-spam signal.
+    Integer count / integer count, single division."""
+    syms = F.size(F.regexp_extract_all(col, F.lit(r"#|\.\.\.|…"), 0))
+    return syms.cast("double") / F.greatest(token_count(col), F.lit(1)).cast("double")
+
+
 #: PII redaction patterns, applied in order. ASCII classes + \b only —
 #: the subset with identical semantics in Java regex (Spark) and RE2
 #: (DuckDB oracle): no lookaround, no backreferences.

@@ -90,6 +90,7 @@ _TEXT_SUITE_SQL = f"""
                len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                    w -> w IN ('the', 'and', 'of', 'to', 'is'))) AS n_stops,
                string_split(text, chr(10)) AS ls,
+               string_split(text, chr(10) || chr(10)) AS ps,
                string_split_regex(lower(trim(text)), '\\s+') AS ws
         FROM documents
     )
@@ -118,7 +119,15 @@ _TEXT_SUITE_SQL = f"""
                / CAST(len(ws) AS DOUBLE) AS top_word_frac,
            CAST(len(regexp_extract_all(text, '{_PII_ALTERNATION}')) AS BIGINT)
                AS pii_hits,
-           md5({_PII_REDACT}) AS redacted_fp
+           md5({_PII_REDACT}) AS redacted_fp,
+           1.0 - CAST(len(list_distinct(ps)) AS DOUBLE) / CAST(len(ps) AS DOUBLE)
+               AS dup_para_frac,
+           CAST(len(list_filter(ls, l -> regexp_matches(l, '^\\s*[-*•]')))
+                    AS DOUBLE) / CAST(len(ls) AS DOUBLE) AS bullet_line_frac,
+           CAST(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
+                    AS DOUBLE) / CAST(len(ls) AS DOUBLE) AS ellipsis_line_frac,
+           CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS DOUBLE)
+               / greatest(n_tokens, 1) AS symbol_word_ratio
     FROM t
 """
 
@@ -132,10 +141,12 @@ _TEXT_SUITE_SQL = f"""
     "content fingerprint (the incremental-dedup primitive), stopword-vote "
     "language-ID with fixed tie priority, BPE-ish subword token estimate, "
     "stopword ratio, the weighted [0,1] quality heuristic used to "
-    "filter training corpora, Gopher-style repetition filters "
-    "(duplicate-line/word fractions, top-word fraction), and PII "
-    "redaction (email/SSN/phone → typed tokens; hit count + redacted-"
-    "content md5). All ratios are exact-integer numerators/denominators "
+    "filter training corpora, the Gopher repetition/format rules "
+    "(duplicate-line/paragraph/word fractions, top-word fraction, "
+    "bullet- and ellipsis-line fractions, symbol-to-word ratio), and "
+    "PII redaction (email/SSN/phone → typed tokens; hit count + "
+    "redacted-content md5). All ratios are exact-integer numerators/"
+    "denominators "
     "combined in a fixed operation order → engine-deterministic doubles. "
     "At scale this is a free rider on any scan.",
     tags=("llm", "bench"),
@@ -147,6 +158,7 @@ def text_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # from interpreted HOF lambdas, which would otherwise re-tokenize per
     # element (no CSE). Multi-use + non-cheap keeps CollapseProject away.
     d = d.withColumn("__ws", X.words_array(t))
+    d = d.withColumn("__ls", F.split(t, r"\n"))
     return d.select(
         "doc_id",
         X.token_count(t).alias("n_tokens"),
@@ -164,6 +176,10 @@ def text_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.top_word_fraction(F.col("__ws")).alias("top_word_frac"),
         X.pii_hit_count(t).alias("pii_hits"),
         F.md5(X.redact_pii(t)).alias("redacted_fp"),
+        X.dup_paragraph_fraction(t).alias("dup_para_frac"),
+        X.bullet_line_fraction(F.col("__ls")).alias("bullet_line_frac"),
+        X.ellipsis_line_fraction(F.col("__ls")).alias("ellipsis_line_frac"),
+        X.symbol_word_ratio(t).alias("symbol_word_ratio"),
     )
 
 

@@ -432,6 +432,12 @@ def _repetition_pii_fuzz_strings() -> list[str]:
         "a@b.co\na@b.co\na@b.co",
         "\r\nwindows\r\nwindows\r\n",
         "tab\tsep no newline " * 10,
+        "- bullet one\n* bullet two\n• bullet three\nplain line",
+        "  - indented bullet\nnot-a-bullet -dash inside",
+        "truncated line...\nfull line\nunicode trunc…\ndots... mid",
+        "para one\n\npara two\n\npara one\n\npara two",
+        "#hash #tags... everywhere… #more\n\n#hash",
+        "a\n\n\nb",  # odd blank-line run: \n\n split leaves '\nb'
     ]
     words = ["the", "fox", "café", "123", "a", "spam", "x@y.io", "555-123-4567"]
     for _ in range(40):
