@@ -120,3 +120,18 @@ def test_curation_cap_is_two_phase_broadcast(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Window") == 1
+
+
+def test_decontaminate_fuzzy_broadcasts_eval_side(spark, sf_dir):
+    """Same contract as the exact guard: eval winnow fingerprints and
+    the contaminated-id set broadcast; the corpus never key-shuffles
+    (its only Exchange is the map-side fingerprint groupBy)."""
+    from project_clinical_data_etl_pipeline_spark.operators import dedup as D
+    from project_clinical_data_etl_pipeline_spark.tables import load
+
+    docs = load(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") < 5).select("doc_id", "text")
+    plan = _plan(D.decontaminate_fuzzy(docs, ev, "doc_id", "text"))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan
+    assert "SortMergeJoin" not in plan
