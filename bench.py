@@ -25,8 +25,10 @@ from project_clinical_data_etl_pipeline_spark.session import get_spark  # noqa: 
 #: (exact + minhash), text stats, similarity topk.
 #: NB round-3 composition change: `text_metrics_suite` replaced
 #: `text_stats` — it absorbed fingerprint+langid+quality (4 former
-#: queries in one projection), so its entry does ~2-3x the map work of
-#: the round-2 `text_stats` number it succeeds.
+#: queries in one projection) and later the full Gopher repetition/
+#: format rule set plus PII redaction (20 output columns), so its entry
+#: does ~4x the map work of the round-2 `text_stats` number it succeeds
+#: (~1.0s vs 0.24s at sf0.1 — more METRICS, not slower metrics).
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_revenue_orders",

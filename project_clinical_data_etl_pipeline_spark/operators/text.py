@@ -139,6 +139,84 @@ def top_word_fraction(words: Column) -> Column:
     return F.array_max(counts).cast("double") / F.size(words).cast("double")
 
 
+def ngrams_array(words: Column, n: int = 2) -> Column:
+    """Word n-grams from a MATERIALIZED words array, via the same
+    zip-with-shifted-slices construction as the dedup shingles (no
+    per-position lambda ref to the outer array). Docs shorter than n
+    words yield one whole-text gram."""
+    cur = words
+    for j in range(1, n):
+        shifted = F.slice(
+            words, j + 1, F.greatest(F.size(words) - F.lit(j), F.lit(0))
+        )
+        cur = F.zip_with(
+            cur,
+            shifted,
+            lambda a, b: F.when(b.isNull(), F.lit(None)).otherwise(
+                F.concat_ws(" ", a, b)
+            ),
+        )
+    complete = F.filter(cur, lambda x: x.isNotNull())
+    return F.when(F.size(complete) > 0, complete).otherwise(
+        F.array(F.array_join(words, " "))
+    )
+
+
+def with_top_ngram(df, words_col: str, out: str, n: int = 2):
+    """Append ``out`` = struct(cnt, gram) of the MOST FREQUENT word
+    n-gram (ties on count → lexicographically largest gram — struct-max
+    semantics, identical in any engine with binary collation).
+
+    Scale-correct mode-of-array: sort the grams, then the mode is the
+    longest run of equal adjacent elements — run starts via an indexed
+    filter, run lengths via zip-with-shifted-starts, one struct max.
+    O(L log L) per row in array_sort plus linear scans, vs the naive
+    count-per-distinct-gram form which is O(distinct × L) per row —
+    measured 116× slower (383s vs 3.3s) on 2000 docs × 2000 distinct
+    words at local[32]; long diverse documents are exactly where a
+    quadratic per-row metric melts down at corpus scale. Each
+    intermediate (grams → sorted → run
+    starts) is materialized as its own multi-referenced projection
+    column so interpreted HOF lambdas never re-evaluate it per element."""
+    d = df.withColumn("__tg", ngrams_array(F.col(words_col), n))
+    d = d.withColumn("__tgs", F.array_sort(F.col("__tg"))).drop("__tg")
+    srt = F.col("__tgs")
+    d = d.withColumn(
+        "__tst",
+        F.filter(
+            F.sequence(F.lit(1), F.size(srt)),
+            lambda i: (i == F.lit(1))
+            | (F.element_at(srt, i) != F.element_at(srt, i - F.lit(1))),
+        ),
+    )
+    starts = F.col("__tst")
+    nexts = F.concat(
+        F.slice(starts, 2, F.greatest(F.size(starts) - 1, F.lit(0))),
+        F.array(F.size(srt) + 1),
+    )
+    d = d.withColumn(
+        out,
+        F.array_max(
+            F.zip_with(
+                starts,
+                nexts,
+                lambda s, e: F.struct(
+                    (e - s).alias("cnt"), F.element_at(srt, s).alias("gram")
+                ),
+            )
+        ),
+    )
+    return d.drop("__tgs", "__tst")
+
+
+def top_ngram_char_fraction(top: Column, total_chars: Column) -> Column:
+    """Gopher top-n-gram rule from a :func:`with_top_ngram` struct:
+    fraction of non-whitespace characters covered by occurrences of the
+    most frequent n-gram = cnt × len(gram without spaces) / total."""
+    covered = top["cnt"] * F.length(F.regexp_replace(top["gram"], r"\s", ""))
+    return covered.cast("double") / F.greatest(total_chars, F.lit(1)).cast("double")
+
+
 def dup_paragraph_fraction(col: Column) -> Column:
     """Duplicate-paragraph fraction (Gopher rule): 1 − distinct/total
     over blank-line-split paragraphs. 0.0 for single-paragraph docs."""

@@ -93,6 +93,18 @@ _TEXT_SUITE_SQL = f"""
                string_split(text, chr(10) || chr(10)) AS ps,
                string_split_regex(lower(trim(text)), '\\s+') AS ws
         FROM documents
+    ),
+    t2 AS (
+        SELECT *,
+               list_transform(generate_series(1, greatest(len(ws) - 1, 1)),
+                              i -> array_to_string(ws[i:i+1], ' ')) AS g2
+        FROM t
+    ),
+    t3 AS (
+        SELECT *,
+               list_max(list_transform(list_distinct(g2),
+                        d -> len(list_filter(g2, x -> x = d)))) AS g2top
+        FROM t2
     )
     SELECT doc_id,
            CAST(n_tokens AS BIGINT) AS n_tokens,
@@ -127,8 +139,14 @@ _TEXT_SUITE_SQL = f"""
            CAST(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
                     AS DOUBLE) / CAST(len(ls) AS DOUBLE) AS ellipsis_line_frac,
            CAST(len(regexp_extract_all(text, '#|\\.\\.\\.|…')) AS DOUBLE)
-               / greatest(n_tokens, 1) AS symbol_word_ratio
-    FROM t
+               / greatest(n_tokens, 1) AS symbol_word_ratio,
+           CAST(g2top * length(replace(
+                    list_max(list_filter(list_distinct(g2),
+                        d -> len(list_filter(g2, x -> x = d)) = g2top)),
+                    ' ', '')) AS DOUBLE)
+               / greatest(length(array_to_string(ws, '')), 1)
+               AS top_2gram_char_frac
+    FROM t3
 """
 
 
@@ -159,6 +177,7 @@ def text_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # element (no CSE). Multi-use + non-cheap keeps CollapseProject away.
     d = d.withColumn("__ws", X.words_array(t))
     d = d.withColumn("__ls", F.split(t, r"\n"))
+    d = X.with_top_ngram(d, "__ws", "__t2", n=2)
     return d.select(
         "doc_id",
         X.token_count(t).alias("n_tokens"),
@@ -180,6 +199,9 @@ def text_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.bullet_line_fraction(F.col("__ls")).alias("bullet_line_frac"),
         X.ellipsis_line_fraction(F.col("__ls")).alias("ellipsis_line_frac"),
         X.symbol_word_ratio(t).alias("symbol_word_ratio"),
+        X.top_ngram_char_fraction(
+            F.col("__t2"), F.length(F.array_join(F.col("__ws"), ""))
+        ).alias("top_2gram_char_frac"),
     )
 
 
