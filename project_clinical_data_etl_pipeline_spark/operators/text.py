@@ -131,7 +131,12 @@ def top_word_fraction(words: Column) -> Column:
     scan is O(distinct × n) per row in interpreted HOF land, and an
     inline split would additionally re-tokenize per element. Empty doc
     (words == ['']) degenerates to 1.0 in both engines — filter on
-    token count first if that matters."""
+    token count first if that matters.
+
+    This single-expression form is O(distinct × n) per row — fine for
+    ad-hoc use, quadratic on long diverse docs. The pipeline-scale path
+    is :func:`with_top_ngram` with n=1 (sorted-run mode, O(L log L)),
+    which the text suite uses."""
     counts = F.transform(
         F.array_distinct(words),
         lambda w: F.size(F.filter(words, lambda x: x == w)),

@@ -178,6 +178,10 @@ def text_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = d.withColumn("__ws", X.words_array(t))
     d = d.withColumn("__ls", F.split(t, r"\n"))
     d = X.with_top_ngram(d, "__ws", "__t2", n=2)
+    # n=1 gives the word mode: same sorted-run machinery, O(L log L) —
+    # value-identical to the naive count-per-distinct form the SQL
+    # oracle uses (only the count feeds the fraction, ties irrelevant)
+    d = X.with_top_ngram(d, "__ws", "__t1", n=1)
     return d.select(
         "doc_id",
         X.token_count(t).alias("n_tokens"),
@@ -192,7 +196,10 @@ def text_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.quality_score(t).alias("quality_score"),
         X.dup_line_fraction(t).alias("dup_line_frac"),
         X.dup_word_fraction(F.col("__ws")).alias("dup_word_frac"),
-        X.top_word_fraction(F.col("__ws")).alias("top_word_frac"),
+        (
+            F.col("__t1")["cnt"].cast("double")
+            / F.size(F.col("__ws")).cast("double")
+        ).alias("top_word_frac"),
         X.pii_hit_count(t).alias("pii_hits"),
         F.md5(X.redact_pii(t)).alias("redacted_fp"),
         X.dup_paragraph_fraction(t).alias("dup_para_frac"),
