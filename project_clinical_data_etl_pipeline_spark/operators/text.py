@@ -145,26 +145,13 @@ def top_word_fraction(words: Column) -> Column:
 
 
 def ngrams_array(words: Column, n: int = 2) -> Column:
-    """Word n-grams from a MATERIALIZED words array, via the same
-    zip-with-shifted-slices construction as the dedup shingles (no
-    per-position lambda ref to the outer array). Docs shorter than n
-    words yield one whole-text gram."""
-    cur = words
-    for j in range(1, n):
-        shifted = F.slice(
-            words, j + 1, F.greatest(F.size(words) - F.lit(j), F.lit(0))
-        )
-        cur = F.zip_with(
-            cur,
-            shifted,
-            lambda a, b: F.when(b.isNull(), F.lit(None)).otherwise(
-                F.concat_ws(" ", a, b)
-            ),
-        )
-    complete = F.filter(cur, lambda x: x.isNotNull())
-    return F.when(F.size(complete) > 0, complete).otherwise(
-        F.array(F.array_join(words, " "))
-    )
+    """Word n-grams from a MATERIALIZED words array — the dedup
+    shingle builder (zip-with-shifted-slices, collapse-proof) applied
+    to the text-metrics tokenization. Docs shorter than n words yield
+    one whole-text gram."""
+    from .dedup import _shingles_from_words
+
+    return _shingles_from_words(words, n)
 
 
 def with_top_ngram(df, words_col: str, out: str, n: int = 2):
