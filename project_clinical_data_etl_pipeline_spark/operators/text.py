@@ -103,15 +103,28 @@ def words_array(col: Column) -> Column:
     return F.split(F.lower(F.trim(col)), r"\s+")
 
 
-def dup_line_fraction(col: Column) -> Column:
-    """Gopher-style duplicate-line fraction: 1 − distinct/total over
-    newline-split lines. 0.0 for empty or single-line docs. Exact-int
-    numerator/denominator, one division → engine-deterministic."""
-    lines = F.split(col, r"\n")
+def dup_fraction(parts: Column) -> Column:
+    """Duplicate-part fraction: 1 − distinct/total over a materialized
+    split array (lines, paragraphs — any segmentation). 0.0 for empty
+    or single-part docs. Exact-int numerator/denominator, one division
+    → engine-deterministic."""
     return F.lit(1.0) - (
-        F.size(F.array_distinct(lines)).cast("double")
-        / F.size(lines).cast("double")
+        F.size(F.array_distinct(parts)).cast("double")
+        / F.size(parts).cast("double")
     )
+
+
+def dup_char_fraction(parts: Column) -> Column:
+    """Char-weighted duplicate fraction (the Gopher companion rule):
+    fraction of characters sitting in REPEATED occurrences of a part —
+    (total chars − distinct-part chars) / total chars. Distinguishes one
+    repeated 500-char boilerplate block from five repeated empty
+    lines."""
+    total = F.length(F.array_join(parts, ""))
+    distinct = F.length(F.array_join(F.array_distinct(parts), ""))
+    return (total - distinct).cast("double") / F.greatest(
+        total, F.lit(1)
+    ).cast("double")
 
 
 def dup_word_fraction(words: Column) -> Column:
@@ -207,16 +220,6 @@ def top_ngram_char_fraction(top: Column, total_chars: Column) -> Column:
     most frequent n-gram = cnt × len(gram without spaces) / total."""
     covered = top["cnt"] * F.length(F.regexp_replace(top["gram"], r"\s", ""))
     return covered.cast("double") / F.greatest(total_chars, F.lit(1)).cast("double")
-
-
-def dup_paragraph_fraction(col: Column) -> Column:
-    """Duplicate-paragraph fraction (Gopher rule): 1 − distinct/total
-    over blank-line-split paragraphs. 0.0 for single-paragraph docs."""
-    paras = F.split(col, r"\n\n")
-    return F.lit(1.0) - (
-        F.size(F.array_distinct(paras)).cast("double")
-        / F.size(paras).cast("double")
-    )
 
 
 def bullet_line_fraction(lines: Column) -> Column:

@@ -134,6 +134,14 @@ _TEXT_SUITE_SQL = f"""
            md5({_PII_REDACT}) AS redacted_fp,
            1.0 - CAST(len(list_distinct(ps)) AS DOUBLE) / CAST(len(ps) AS DOUBLE)
                AS dup_para_frac,
+           CAST(length(array_to_string(ls, '')) -
+                    length(array_to_string(list_distinct(ls), '')) AS DOUBLE)
+               / CAST(greatest(length(array_to_string(ls, '')), 1) AS DOUBLE)
+               AS dup_line_char_frac,
+           CAST(length(array_to_string(ps, '')) -
+                    length(array_to_string(list_distinct(ps), '')) AS DOUBLE)
+               / CAST(greatest(length(array_to_string(ps, '')), 1) AS DOUBLE)
+               AS dup_para_char_frac,
            CAST(len(list_filter(ls, l -> regexp_matches(l, '^\\s*[-*•]')))
                     AS DOUBLE) / CAST(len(ls) AS DOUBLE) AS bullet_line_frac,
            CAST(len(list_filter(ls, l -> regexp_matches(l, '(\\.\\.\\.|…)\\s*$')))
@@ -177,6 +185,7 @@ def text_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # element (no CSE). Multi-use + non-cheap keeps CollapseProject away.
     d = d.withColumn("__ws", X.words_array(t))
     d = d.withColumn("__ls", F.split(t, r"\n"))
+    d = d.withColumn("__ps", F.split(t, r"\n\n"))
     d = X.with_top_ngram(d, "__ws", "__t2", n=2)
     # n=1 gives the word mode: same sorted-run machinery, O(L log L) —
     # value-identical to the naive count-per-distinct form the SQL
@@ -194,7 +203,7 @@ def text_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         X.bpe_ish_token_count(t).alias("n_bpeish_tokens"),
         X.stopword_ratio(t).alias("stopword_ratio"),
         X.quality_score(t).alias("quality_score"),
-        X.dup_line_fraction(t).alias("dup_line_frac"),
+        X.dup_fraction(F.col("__ls")).alias("dup_line_frac"),
         X.dup_word_fraction(F.col("__ws")).alias("dup_word_frac"),
         (
             F.col("__t1")["cnt"].cast("double")
@@ -202,7 +211,9 @@ def text_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("top_word_frac"),
         X.pii_hit_count(t).alias("pii_hits"),
         F.md5(X.redact_pii(t)).alias("redacted_fp"),
-        X.dup_paragraph_fraction(t).alias("dup_para_frac"),
+        X.dup_fraction(F.col("__ps")).alias("dup_para_frac"),
+        X.dup_char_fraction(F.col("__ls")).alias("dup_line_char_frac"),
+        X.dup_char_fraction(F.col("__ps")).alias("dup_para_char_frac"),
         X.bullet_line_fraction(F.col("__ls")).alias("bullet_line_frac"),
         X.ellipsis_line_fraction(F.col("__ls")).alias("ellipsis_line_frac"),
         X.symbol_word_ratio(t).alias("symbol_word_ratio"),
