@@ -156,15 +156,18 @@ def sessionize_batch(events: DataFrame, gap_s: int = 1800) -> DataFrame:
 
     w = Window.partitionBy("user_id").orderBy("ts")
     # microsecond-exact gap math — identical to the streaming kernel
-    # (second-truncation would flip boundaries the stream keeps open)
+    # (second-truncation would flip boundaries the stream keeps open).
+    # unix_micros is strict TIMESTAMP-only; the cast makes a
+    # TIMESTAMP_NTZ input (Spark 4.1+ reads parquet NANOS as NTZ)
+    # analyze instead of erroring, and is a Catalyst no-op on TIMESTAMP.
+    # Gap DIFFERENCES are TZ-invariant, so the session-TZ choice the
+    # cast bakes in cannot move a session boundary.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     with_gap = events.select(
         "user_id",
         "ts",
         "value",
-        (
-            F.unix_micros(F.col("ts"))
-            - F.lag(F.unix_micros(F.col("ts")), 1).over(w)
-        ).alias("__gap"),
+        (us - F.lag(us, 1).over(w)).alias("__gap"),
     )
     sessioned = with_gap.withColumn(
         "__session",

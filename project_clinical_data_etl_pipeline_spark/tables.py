@@ -15,7 +15,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 TABLE_NAMES = (
     "region",
@@ -34,17 +34,32 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
 def convert_event_ts(df: DataFrame) -> DataFrame:
-    """events.ts is TIMESTAMP(NANOS) in parquet — illegal for Spark's
-    reader. With spark.sql.legacy.parquet.nanosAsLong=true it arrives as
-    a nanos-since-epoch long; convert to a micros TimestampType with
-    FLOOR division (`div` truncates toward zero, which would round
-    pre-epoch/negative nanos UP — DuckDB's TIMESTAMP_NS→µs floors, so
-    truncation would be a 1µs oracle divergence on negative ts)."""
-    if "ts" in df.columns and isinstance(df.schema["ts"].dataType, LongType):
+    """Normalize events.ts — TIMESTAMP(NANOS) in parquet — to a micros
+    TimestampType (TIMESTAMP_LTZ) whichever way the runtime surfaced it:
+
+    - Older Spark rejects NANOS unless
+      spark.sql.legacy.parquet.nanosAsLong=true, which yields a
+      nanos-since-epoch long → convert with FLOOR division (`div`
+      truncates toward zero, which would round pre-epoch/negative nanos
+      UP — DuckDB's TIMESTAMP_NS→µs floors, so truncation would be a
+      1µs oracle divergence on negative ts).
+    - Current Spark (4.1+) reads NANOS natively as TIMESTAMP_NTZ
+      (micros, already floored — verified against the raw parquet) and
+      ignores the legacy conf → cast to TIMESTAMP. The session TZ is
+      pinned to UTC (session.RUNTIME_CONF), so the cast is
+      wall-clock-preserving and µs-type-exact; without it, strict
+      TIMESTAMP-only expressions (unix_micros) fail to analyze.
+    """
+    if "ts" not in df.columns:
+        return df
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, LongType):
         # integer floor division: (ts - pmod(ts, 1000)) is the largest
         # multiple of 1000 ≤ ts, exact for the full bigint range (a
         # float floor() would lose precision past 2^53 ns ≈ 1970+104d)
         df = df.withColumn("ts", F.expr("timestamp_micros((ts - pmod(ts, 1000)) div 1000)"))
+    elif isinstance(dt, TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast(TimestampType()))
     return df
 
 
