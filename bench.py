@@ -43,6 +43,19 @@ BENCH_QUERIES = [
     "embed_topk_bruteforce",
 ]
 
+#: Bench entries that are no longer standalone registry queries (merged
+#: into suites to fit the driver's 50-slot grading window) but keep
+#: their own timing series here — called directly, same label.
+_DIRECT = {"embed_topk_bruteforce"}
+
+
+def _runner(name):
+    if name in _DIRECT:
+        from project_clinical_data_etl_pipeline_spark.queries import llmdata
+
+        return getattr(llmdata, name)
+    return REGISTRY[name].run
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -58,14 +71,14 @@ def main() -> None:
                "q3_top_revenue_orders", "dedup_minhash_pairs",
                "embed_topk_bruteforce"):
         try:
-            REGISTRY[wq].run(spark, warmup_dir).count()
+            _runner(wq)(spark, warmup_dir).count()
         except Exception:
-            REGISTRY[wq].run(spark, sf_dir).count()
+            _runner(wq)(spark, sf_dir).count()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
-        REGISTRY[name].run(spark, sf_dir).count()
+        _runner(name)(spark, sf_dir).count()
         timings[name] = round(time.perf_counter() - t0, 4)
 
     print(

@@ -1,0 +1,173 @@
+"""Temporal join operators Spark lacks natively: as-of join and
+bounded range join (point-in-time lookup / interval matching — the
+time-series analogs of the reference's encounter-to-latest-observation
+pairing, reference insights.md roadmap "temporal joins for longitudinal
+records"; SURVEY.md §2 extension ops).
+
+Both are expressed as compositions of existing DataFrame ops — no
+Python in the hot path, no theta-join — so Catalyst/AQE keep planning
+them, and both survive 100 TB:
+
+- ``asof_join``: the union-trick formulation. ONE shuffle on the join
+  key (the same shuffle a plain equi-join would pay), zero row
+  fan-out, no per-key candidate explosion. The naive formulation —
+  inequality join then per-left-row argmax — is O(n·m) per key and
+  un-runnable at scale; a sort-merge "MERGE_ASOF" needs a custom
+  physical operator. The union trick gets the scalable plan out of
+  stock operators: tag both sides, sort within key by (ts, side),
+  then ``last(payload, ignorenulls)`` over a running window — each
+  left row reads the most recent right payload at or before it.
+- ``range_join_binned``: equi-join on (key, time-bucket) with the
+  bucket width equal to the interval span, so every true match lands
+  in the left row's bucket or its successor — candidate fan-out is
+  exactly 2 per left row regardless of data volume, then the exact
+  inequality filters locally. The naive BETWEEN theta-join degenerates
+  to a per-key nested loop (O(n·m)); binning turns it into a plain
+  shuffled equi-join AQE can re-plan and skew-split.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _micros(col: Column) -> Column:
+    """Strict-µs epoch for any timestamp flavor: TIMESTAMP passes the
+    cast untouched; TIMESTAMP_NTZ (Spark 4.1+ reads parquet NANOS as
+    NTZ) converts via the session TZ (pinned UTC). Differences and
+    orderings are TZ-invariant either way."""
+    return F.unix_micros(col.cast("timestamp"))
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    payload_cols: list[str],
+    tolerance_s: int | None = None,
+) -> DataFrame:
+    """Backward as-of join: for every left row, attach the payload of
+    the most recent right row of the same ``on`` key with
+    ``right_ts <= left_ts`` (LEFT semantics — unmatched left rows keep
+    NULL payloads). Ties on equal ``right_ts`` within a key resolve to
+    the lexicographically-last payload tuple (deterministic — required
+    for oracle hashing). ``tolerance_s`` drops matches older than the
+    window (payloads revert to NULL, left row is kept).
+
+    Plan: union both tagged sides → ONE hash-partition by ``on`` →
+    running ``last(..., ignorenulls=True)`` window → filter to left
+    rows. Shuffle volume is |left| + |right| rows of (key, ts,
+    payload) — never a pairwise blow-up. Skew profile equals a plain
+    join on ``on`` (AQE skew handling applies to the exchange).
+    Forward as-of = negate both ts columns.
+    """
+    # The whole right payload rides in ONE struct: last(ignorenulls)
+    # over the struct keeps the matched tuple atomic (per-column
+    # last() would stitch together values from different right rows
+    # whenever a payload field is legitimately NULL).
+    r = right.select(
+        F.col(on),
+        _micros(F.col(right_ts)).alias("__t"),
+        F.lit(0).alias("__side"),
+        F.struct(
+            _micros(F.col(right_ts)).alias("ts_us"),
+            *[F.col(c).alias(c) for c in payload_cols],
+        ).alias("__p"),
+        *[F.lit(None).cast(t.dataType).alias(f"__l_{c}")
+          for c, t in zip(left.columns, left.schema.fields)],
+    )
+    payload_type = r.schema["__p"].dataType
+    l = left.select(
+        F.col(on),
+        _micros(F.col(left_ts)).alias("__t"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast(payload_type).alias("__p"),
+        *[F.col(c).alias(f"__l_{c}") for c in left.columns],
+    )
+
+    # Within a key: right rows sort before left rows at the same ts
+    # (side 0 < 1), so an exactly-simultaneous right row IS matched.
+    # Equal-ts right rows order by the payload struct → last() is the
+    # max tuple — deterministic under duplicate timestamps.
+    w = (
+        Window.partitionBy(on)
+        .orderBy("__t", "__side", "__p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = (
+        r.unionByName(l)
+        .withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+        .filter(F.col("__side") == 1)
+    )
+
+    if tolerance_s is not None:
+        out = out.withColumn(
+            "__m",
+            F.when(
+                F.col("__m.ts_us") >= F.col("__t") - F.lit(tolerance_s * 1_000_000),
+                F.col("__m"),
+            ),
+        )
+
+    return out.select(
+        *[F.col(f"__l_{c}").alias(c) for c in left.columns],
+        *[F.col(f"__m.{c}").alias(f"right_{c}") for c in payload_cols],
+        F.col("__m.ts_us").alias("right_ts_us"),
+    )
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    lower_s: int,
+    upper_s: int,
+) -> DataFrame:
+    """Bounded range join: pairs (l, r) of the same ``on`` key with
+    ``right_ts - left_ts`` in the half-open interval
+    ``(lower_s, upper_s]`` seconds (e.g. lower=-600, upper=0 → right
+    events in the 10 minutes up to and including each left event).
+
+    Plan: right rows bucket once at width W = upper-lower; left rows
+    emit exactly TWO candidate buckets (the interval spans at most two
+    W-wide buckets), so the pair-generation is a plain equi-join on
+    (key, bucket) — shuffled once, AQE-skew-splittable — followed by a
+    local exact filter. Candidate volume is bounded by 2·|left| join
+    fan-in, NOT by |left|·|right| per key like a BETWEEN theta-join
+    (which Spark executes as a nested loop inside each key group).
+    Output carries all left columns plus the right ts (µs) — aggregate
+    downstream as needed.
+    """
+    width_us = (upper_s - lower_s) * 1_000_000
+    lo_us = lower_s * 1_000_000
+    up_us = upper_s * 1_000_000
+
+    r = right.select(
+        F.col(on),
+        _micros(F.col(right_ts)).alias("__rt"),
+    ).withColumn("__bucket", F.floor(F.col("__rt") / width_us))
+
+    # interval start bucket and its successor — 2× fan-out, constant.
+    l = left.withColumn("__lt", _micros(F.col(left_ts))).withColumn(
+        "__bucket",
+        F.explode(
+            F.array(
+                F.floor((F.col("__lt") + lo_us) / width_us),
+                F.floor((F.col("__lt") + lo_us) / width_us) + 1,
+            )
+        ),
+    )
+
+    gap = F.col("__rt") - F.col("__lt")
+    return (
+        l.join(r, on=[on, "__bucket"])
+        .filter((gap > lo_us) & (gap <= up_us))
+        .drop("__bucket")
+        .withColumnRenamed("__lt", "left_ts_us")
+        .withColumnRenamed("__rt", "right_ts_us")
+    )

@@ -43,6 +43,9 @@ _ORDER: tuple[str, ...] = (
     "op25_child_expansion",
     "op26_first_match_lookup",
     "op29_care_gap_anti_join",
+    # --- temporal joins (as-of / bounded range — extension ops) ---
+    "asof_click_before_purchase",
+    "range_clicks_before_error",
     # --- aggregation / window / set ops (§2.5, §2.8) ---
     "op39_group_pivot_counts",
     "op40_weekly_trend",
@@ -71,9 +74,7 @@ _ORDER: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "text_metrics_suite",
     "corpus_curation_pipeline",
-    "embed_topk_bruteforce",
-    "embed_topk_lsh",
-    "embed_topk_ivf",
+    "embed_topk_suite",
     "embed_near_dup_pairs",
     "multimodal_frame_sample",
     # --- streaming (§2.8) ---

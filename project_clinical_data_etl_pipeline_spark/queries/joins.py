@@ -138,3 +138,100 @@ def op29_care_gap_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_custkey").alias("c_custkey"))
     )
     return R.anti_join(has_any, recent, on="c_custkey").select("c_custkey", "c_name")
+
+
+@spec(
+    QUERIES,
+    "asof_click_before_purchase",
+    sql="""
+        WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS t
+                   FROM events WHERE event_type = 'purchase'),
+        c AS (SELECT event_id, user_id, epoch_us(ts) AS t
+              FROM events WHERE event_type = 'click'),
+        m AS (
+            SELECT p.event_id, p.user_id, p.t AS purchase_ts_us,
+                   c.event_id AS click_event_id, c.t AS click_ts_us,
+                   row_number() OVER (PARTITION BY p.event_id
+                                      ORDER BY c.t DESC, c.event_id DESC) AS rn
+            FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.t <= p.t
+        )
+        SELECT event_id, user_id, purchase_ts_us, click_event_id, click_ts_us
+        FROM m WHERE rn = 1
+    """,
+    doc="Backward AS-OF join (point-in-time lookup): each purchase event "
+    "is paired with the same user's most recent click at or before it — "
+    "the attribution / feature-backfill primitive. Implemented as the "
+    "union-trick single-shuffle plan (operators.temporal.asof_join), NOT "
+    "an inequality join: the oracle's LEFT JOIN + argmax formulation is "
+    "O(clicks x purchases) per user and exists only as the small-scale "
+    "truth. Comparisons are in epoch MICROSECONDS on both sides so the "
+    "oracle's nanosecond parquet values cannot flip a <= at the boundary.",
+    tags=("temporal",),
+)
+def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import asof_join
+
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    c = e.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    out = asof_join(p, c, on="user_id", left_ts="ts", right_ts="ts",
+                    payload_cols=["event_id"])
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("purchase_ts_us"),
+        F.col("right_event_id").alias("click_event_id"),
+        F.col("right_ts_us").alias("click_ts_us"),
+    )
+
+
+@spec(
+    QUERIES,
+    "range_clicks_before_error",
+    sql="""
+        WITH er AS (SELECT event_id, user_id, epoch_us(ts) AS t
+                    FROM events WHERE event_type = 'error'),
+        cl AS (SELECT user_id, epoch_us(ts) AS t
+               FROM events WHERE event_type = 'click')
+        SELECT er.event_id, er.user_id, er.t AS error_ts_us,
+               CAST(count(cl.t) AS BIGINT) AS n_clicks
+        FROM er LEFT JOIN cl ON cl.user_id = er.user_id
+             AND er.t - cl.t >= 0 AND er.t - cl.t < 600000000
+        GROUP BY er.event_id, er.user_id, er.t
+    """,
+    doc="Bounded range join: how many clicks did each user make in the "
+    "10 minutes up to each error event (zero-click errors kept). The "
+    "scale plan is the BINNED equi-join (operators.temporal."
+    "range_join_binned): right side buckets once at the window width, "
+    "left side emits exactly two candidate buckets, exact inequality "
+    "filters locally — candidate volume 2x|left|, never |left|x|right| "
+    "per key like the oracle's BETWEEN theta-join.",
+    tags=("temporal",),
+)
+def range_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import range_join_binned
+
+    e = load(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clk = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    pairs = range_join_binned(
+        err, clk, on="user_id", left_ts="ts", right_ts="ts",
+        lower_s=-600, upper_s=0,
+    )
+    counts = pairs.groupBy("event_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clicks")
+    )
+    return (
+        err.select(
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("error_ts_us"),
+        )
+        .join(counts, on="event_id", how="left")
+        .select(
+            "event_id",
+            "user_id",
+            "error_ts_us",
+            F.coalesce(F.col("n_clicks"), F.lit(0).cast("bigint")).alias("n_clicks"),
+        )
+    )

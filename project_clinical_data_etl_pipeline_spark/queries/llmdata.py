@@ -315,17 +315,12 @@ _TOPK_SQL = """
 """
 
 
-@spec(
-    QUERIES,
-    "embed_topk_bruteforce",
-    sql=_TOPK_SQL,
-    doc="Exact cosine top-5 for query vectors vec_id<8 — the ANN "
-    "correctness baseline. Query side broadcasts; corpus scanned once; "
-    "dot products via zip_with+aggregate (JVM, element-order identical to "
-    "the oracle → bit-exact doubles).",
-    tags=("llm", "bench"),
-)
 def embed_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for query vectors vec_id<8 — the ANN
+    correctness baseline. Query side broadcasts; corpus scanned once;
+    dot products via zip_with+aggregate (JVM, element-order identical
+    to the oracle → bit-exact doubles). Registered through
+    embed_topk_suite (method='brute')."""
     e = load(spark, sf_dir, "embeddings")
     return S.brute_force_topk(e.filter(F.col("vec_id") < 8), e, k=5, dim=64)
 
@@ -381,22 +376,17 @@ def _lsh_topk_sql(
     """
 
 
-@spec(
-    QUERIES,
-    "embed_topk_lsh",
-    sql=_lsh_topk_sql(),
-    doc="Approximate top-5 via MULTI-TABLE random-hyperplane LSH (4 "
-    "planes × 8 independent tables) — the 100 TB path: corpus bucketed "
-    "in one map pass, candidates from per-table bucket equi-joins "
-    "deduped before exact scoring. Single-table 8-plane LSH measured "
-    "recall@5 = 0.0 on this corpus (weakly clustered vectors almost "
-    "never agree on 8 signs); the multi-table OR restores recall ≥ 0.6 "
-    "while scoring ~40% of the corpus per query — gated by "
-    "tests/test_ann_recall.py against the brute-force baseline. "
-    "Hyperplanes are hash-derived constants → same buckets in the oracle.",
-    tags=("llm",),
-)
 def embed_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-5 via MULTI-TABLE random-hyperplane LSH (4
+    planes × 8 independent tables) — the 100 TB path: corpus bucketed
+    in one map pass, candidates from per-table bucket equi-joins
+    deduped before exact scoring. Single-table 8-plane LSH measured
+    recall@5 = 0.0 on this corpus (weakly clustered vectors almost
+    never agree on 8 signs); the multi-table OR restores recall ≥ 0.6
+    while scoring ~40% of the corpus per query — gated by
+    tests/test_ann_recall.py against the brute-force baseline.
+    Hyperplanes are hash-derived constants → same buckets in the
+    oracle. Registered through embed_topk_suite (method='lsh')."""
     e = load(spark, sf_dir, "embeddings")
     return S.lsh_bucket_topk(e.filter(F.col("vec_id") < 8), e, dim=64, k=5)
 
@@ -635,20 +625,48 @@ _IVF_SQL = f"""
 """
 
 
-@spec(
-    QUERIES,
-    "embed_topk_ivf",
-    sql=_IVF_SQL,
-    doc="IVF-style approximate top-5: corpus partitioned into 16 Voronoi "
-    "cells (deterministic min-id centroid seed — k-means at warehouse "
-    "scale), queries probe their 4 nearest cells. Assignment is one map "
-    "pass vs broadcast centroids; each query scores ~n_probe/n_centroids "
-    "of the corpus. Complements the hyperplane-LSH variant.",
-    tags=("llm",),
-)
 def embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-5: corpus partitioned into 16 Voronoi
+    cells (deterministic min-id centroid seed — k-means at warehouse
+    scale), queries probe their 4 nearest cells. Assignment is one map
+    pass vs broadcast centroids; each query scores ~n_probe/n_centroids
+    of the corpus. Complements the hyperplane-LSH variant. Registered
+    through embed_topk_suite (method='ivf')."""
     e = load(spark, sf_dir, "embeddings")
     return S.ivf_topk(e.filter(F.col("vec_id") < 8), e, k=5, dim=64)
+
+
+@spec(
+    QUERIES,
+    "embed_topk_suite",
+    sql=f"""
+        SELECT 'brute' AS method, * FROM ({_TOPK_SQL})
+        UNION ALL
+        SELECT 'lsh' AS method, * FROM ({_lsh_topk_sql()})
+        UNION ALL
+        SELECT 'ivf' AS method, * FROM ({_IVF_SQL})
+    """,
+    doc="All three ANN retrieval strategies over one oracle: exact "
+    "brute-force cosine top-5 (the correctness baseline), multi-table "
+    "random-hyperplane LSH, and IVF cell-probing — discriminated by a "
+    "`method` column. One registry slot covers the whole family; the "
+    "recall@5 gate (tests/test_ann_recall.py) separately asserts the "
+    "approximate methods actually retrieve the true neighbors. Each "
+    "branch scans the corpus independently (methods share no state), "
+    "so suite cost = sum of parts — at 100 TB you run ONE method, "
+    "chosen by the recall/probe-cost tradeoff.",
+    tags=("llm", "bench"),
+)
+def embed_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        embed_topk_bruteforce(spark, sf_dir).withColumn("method", F.lit("brute"))
+        .unionByName(
+            embed_topk_lsh(spark, sf_dir).withColumn("method", F.lit("lsh"))
+        )
+        .unionByName(
+            embed_topk_ivf(spark, sf_dir).withColumn("method", F.lit("ivf"))
+        )
+    )
 
 
 @spec(

@@ -135,3 +135,30 @@ def test_decontaminate_fuzzy_broadcasts_eval_side(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "LeftAnti" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_asof_join_is_single_shuffle_no_join(spark, sf_dir):
+    """The union-trick as-of join must contain NO join operator at all
+    (the naive formulation is an O(n*m)-per-key inequality join) and
+    exactly ONE exchange on the join key — the same shuffle a plain
+    equi-join would pay. The final project joins nothing back."""
+    plan = _plan(REGISTRY["asof_click_before_purchase"].run(spark, sf_dir))
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert join_op not in plan, join_op
+    assert plan.count("hashpartitioning(user_id") == 1
+    assert "Union" in plan
+
+
+def test_range_join_is_binned_equi_join_not_nested_loop(spark, sf_dir):
+    """The bounded range join must execute as a shuffled EQUI-join on
+    (key, bucket) — never a BroadcastNestedLoopJoin/CartesianProduct,
+    which is what Spark plans for a raw BETWEEN theta-join and what
+    dies at scale."""
+    plan = _plan(REGISTRY["range_clicks_before_error"].run(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan)
+    # candidate fan-out comes from the 2-element bucket array explode
+    assert "Generate explode" in plan or "explode" in plan
