@@ -801,3 +801,94 @@ def keep_canonical_components(
         F.col("id").alias(id_col)
     )
     return df.join(losers, on=id_col, how="left_anti")
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    centroids: list[list[float]] | None = None,
+    n_centroids: int = 16,
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings into k cells, then examine
+    cosine similarity only WITHIN each cell — near-duplicate pairs
+    (cosine ≥ threshold) drop the higher-id member, keeping the min-id
+    representative (the repo-wide canonical-keep convention; exact
+    transitive resolution, if wanted, is ``keep_canonical_components``
+    over the same pairs).
+
+    Returns ``df``'s columns plus ``cell`` (int) and ``semdedup_keep``
+    (bool) — a flag column like the curation pipeline's, so callers
+    filter or audit.
+
+    Scale shape (the entire point of SemDeDup vs ``embedding_near_dups``):
+    the O(n²) pair loop becomes O(Σ|cell|²) ≈ n²/k for balanced cells —
+    pair generation is a plain equi-join on ``cell`` (shuffled, AQE-
+    splittable), never a cartesian product. Cell assignment is one
+    map pass against broadcast centroids. ``max_cell_size`` bounds the
+    residual quadratic risk: over-size cells (degenerate embedding
+    mass) are SKIPPED — their members are kept un-deduped (recall
+    trade, the safe direction for training data) — so worst-case pair
+    work is capped at cells × max_cell_size². At warehouse scale,
+    raise ``n_centroids`` so cells stay ~10³-10⁴ docs.
+    """
+    from .similarity import assign_cells, dot, kmeans_centroids
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            df, dim=dim, id_col=id_col, vec_col=vec_col,
+            n_centroids=n_centroids,
+        )
+    assigned = assign_cells(
+        df, centroids, dim=dim, id_col=id_col, vec_col=vec_col
+    ).select(
+        F.col("neighbor_id").alias("__id"),
+        F.col("__cv"),
+        F.col("__cn"),
+        "cell",
+    )
+
+    examined = assigned
+    if max_cell_size is not None:
+        examined = _drop_hot_keys(examined, "cell", max_cell_size)
+
+    l = examined.select(
+        F.col("cell"),
+        F.col("__id").alias("__ida"),
+        F.col("__cv").alias("__va"),
+        F.col("__cn").alias("__na"),
+    )
+    r = examined.select(
+        F.col("cell"),
+        F.col("__id").alias("__idb"),
+        F.col("__cv").alias("__vb"),
+        F.col("__cn").alias("__nb"),
+    )
+    cos = dot("__va", "__vb", dim) / (F.col("__na") * F.col("__nb"))
+    losers = (
+        l.join(r, on="cell")
+        .filter(F.col("__ida") < F.col("__idb"))
+        .filter(cos >= threshold)
+        .select(F.col("__idb").alias("__loser"))
+        .distinct()
+    )
+    return (
+        df.join(
+            assigned.select(F.col("__id").alias(id_col), "cell"),
+            on=id_col,
+            how="left",
+        )
+        .join(
+            losers.withColumnRenamed("__loser", id_col).withColumn(
+                "__dropped", F.lit(True)
+            ),
+            on=id_col,
+            how="left",
+        )
+        .withColumn("semdedup_keep", F.col("__dropped").isNull())
+        .drop("__dropped")
+    )

@@ -138,3 +138,88 @@ def test_range_join_no_duplicate_pairs_from_candidate_buckets(spark):
     pairs = range_join_binned(left, right, on="user_id", left_ts="ts",
                               right_ts="ts", lower_s=-600, upper_s=0)
     assert pairs.count() == 1
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup) — pure-Python oracle on hand-built vectors
+
+
+def _py_semdedup(vectors, centroids, threshold):
+    """Reference implementation: assign each vector to its max-cosine
+    centroid (ties → lowest centroid id), then within each cell drop
+    any id having a near-dup (cosine ≥ threshold) with a smaller id."""
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(x * x for x in b)))
+
+    cells = {}
+    for vid, v in vectors.items():
+        best = max(range(len(centroids)),
+                   key=lambda c: (cos(v, centroids[c]), -c))
+        cells[vid] = best
+    keep = {}
+    for vid, v in vectors.items():
+        dropped = any(
+            cells[o] == cells[vid] and o < vid and cos(vectors[o], v) >= threshold
+            for o in vectors
+        )
+        keep[vid] = not dropped
+    return cells, keep
+
+
+def test_semantic_dedup_matches_python_oracle(spark):
+    from project_clinical_data_etl_pipeline_spark.operators.dedup import semantic_dedup
+
+    # two well-separated directions, with near-dups inside each
+    vectors = {
+        0: [1.0, 0.02, 0.0, 0.0],
+        1: [0.99, 0.0, 0.01, 0.0],     # near-dup of 0
+        2: [0.0, 0.0, 1.0, 0.03],
+        3: [0.01, 0.0, 0.98, 0.0],     # near-dup of 2
+        4: [0.0, 1.0, 0.0, 0.0],       # alone in its direction
+        5: [1.0, 0.03, 0.0, 0.01],     # near-dup of 0 AND 1
+    }
+    centroids = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0], [0.0, 1.0, 0.0, 0.0]]
+    df = spark.createDataFrame(
+        [(k, v) for k, v in vectors.items()], ["vec_id", "embedding"]
+    )
+    out = semantic_dedup(df, "vec_id", "embedding", dim=4, threshold=0.95,
+                         centroids=centroids)
+    got = {r["vec_id"]: (r["cell"], r["semdedup_keep"]) for r in out.collect()}
+    cells, keep = _py_semdedup(vectors, centroids, 0.95)
+    assert got == {vid: (cells[vid], keep[vid]) for vid in vectors}
+    # sanity on the scenario itself: 1 and 5 drop (near 0), 3 drops (near 2)
+    assert [v for v, (_, k) in sorted(got.items()) if k] == [0, 2, 4]
+
+
+def test_semantic_dedup_cell_cap_skips_oversize_cells(spark):
+    from project_clinical_data_etl_pipeline_spark.operators.dedup import semantic_dedup
+
+    # 4 near-identical vectors in one cell, 2 in another
+    rows = [(i, [1.0, 0.001 * i, 0.0, 0.0]) for i in range(4)]
+    rows += [(10, [0.0, 0.0, 1.0, 0.0]), (11, [0.0, 0.001, 1.0, 0.0])]
+    centroids = [[1.0, 0.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = semantic_dedup(df, "vec_id", "embedding", dim=4, threshold=0.95,
+                         centroids=centroids, max_cell_size=3)
+    got = {r["vec_id"]: r["semdedup_keep"] for r in out.collect()}
+    # oversize cell (4 > 3): all kept un-deduped; small cell: 11 drops
+    assert all(got[i] for i in range(4))
+    assert got[10] and not got[11]
+
+
+def test_semantic_dedup_pair_join_is_equi_join_on_cell(spark):
+    """The within-cell pair loop must be an equi-join on cell — never a
+    cartesian product over the corpus (the SemDeDup scale contract)."""
+    from project_clinical_data_etl_pipeline_spark.operators.dedup import semantic_dedup
+
+    df = spark.createDataFrame(
+        [(i, [float(i % 3 == j) for j in range(4)]) for i in range(9)],
+        ["vec_id", "embedding"],
+    )
+    cents = [[1.0, 0.0, 0.0, 0.0], [0.0, 1.0, 0.0, 0.0], [0.0, 0.0, 1.0, 0.0]]
+    out = semantic_dedup(df, "vec_id", "embedding", dim=4, centroids=cents)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
