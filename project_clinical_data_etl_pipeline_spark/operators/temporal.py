@@ -140,8 +140,9 @@ def range_join_binned(
     local exact filter. Candidate volume is bounded by 2·|left| join
     fan-in, NOT by |left|·|right| per key like a BETWEEN theta-join
     (which Spark executes as a nested loop inside each key group).
-    Output carries all left columns plus the right ts (µs) — aggregate
-    downstream as needed.
+    Output carries all left columns, every other right column prefixed
+    ``right_`` (the asof_join convention), and both timestamps in µs —
+    aggregate downstream as needed.
     """
     width_us = (upper_s - lower_s) * 1_000_000
     lo_us = lower_s * 1_000_000
@@ -150,6 +151,11 @@ def range_join_binned(
     r = right.select(
         F.col(on),
         _micros(F.col(right_ts)).alias("__rt"),
+        *[
+            F.col(c).alias(f"right_{c}")
+            for c in right.columns
+            if c not in (on, right_ts)
+        ],
     ).withColumn("__bucket", F.floor(F.col("__rt") / width_us))
 
     # interval start bucket and its successor — 2× fan-out, constant.

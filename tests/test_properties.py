@@ -225,3 +225,67 @@ def test_keep_canonical_components_resolves_non_cliques(spark):
         for r in D.keep_canonical_components(df, "doc_id", pairs).collect()
     }
     assert exact == (set(range(16)) - {1, 2} - set(range(6, 13)))
+
+
+# ---------------------------------------------------------------------------
+# Temporal joins vs brute-force Python oracles on random event sets
+
+_EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),        # key
+        st.integers(min_value=0, max_value=2_000),    # seconds offset
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_EVENTS, _EVENTS)
+def test_asof_join_matches_bruteforce(spark, lefts, rights):
+    from project_clinical_data_etl_pipeline_spark.operators.temporal import asof_join
+
+    base = 1_700_000_000  # epoch seconds
+    lrows = [(i, k, (base + s) * 1_000_000) for i, (k, s) in enumerate(lefts)]
+    rrows = [(i, k, (base + s) * 1_000_000) for i, (k, s) in enumerate(rights)]
+    l = spark.createDataFrame(lrows, "event_id long, k long, us long").select(
+        "event_id", "k", F.timestamp_micros("us").alias("ts"))
+    r = spark.createDataFrame(rrows, "event_id long, k long, us long").select(
+        "event_id", "k", F.timestamp_micros("us").alias("ts"))
+    out = asof_join(l, r, on="k", left_ts="ts", right_ts="ts",
+                    payload_cols=["event_id"])
+    got = {row["event_id"]: row["right_event_id"] for row in out.collect()}
+
+    expect = {}
+    for li, lk, lt in lrows:
+        cands = [(t, i) for i, k, t in rrows if k == lk and t <= lt]
+        expect[li] = max(cands)[1] if cands else None
+    assert got == expect
+
+
+@settings(max_examples=15, deadline=None)
+@given(_EVENTS, _EVENTS)
+def test_range_join_matches_bruteforce(spark, lefts, rights):
+    from project_clinical_data_etl_pipeline_spark.operators.temporal import (
+        range_join_binned,
+    )
+
+    base = 1_700_000_000
+    lrows = [(i, k, (base + s) * 1_000_000) for i, (k, s) in enumerate(lefts)]
+    rrows = [(i, k, (base + s) * 1_000_000) for i, (k, s) in enumerate(rights)]
+    l = spark.createDataFrame(lrows, "event_id long, k long, us long").select(
+        "event_id", "k", F.timestamp_micros("us").alias("ts"))
+    r = spark.createDataFrame(rrows, "rid long, k long, us long").select(
+        "rid", "k", F.timestamp_micros("us").alias("ts"))
+    pairs = range_join_binned(l, r, on="k", left_ts="ts", right_ts="ts",
+                              lower_s=-600, upper_s=0)
+    got = sorted((row["event_id"], row["right_rid"]) for row in pairs.collect())
+
+    lo, up = -600 * 1_000_000, 0
+    expect = sorted(
+        (li, ri)
+        for li, lk, lt in lrows
+        for ri, rk, rt in rrows
+        if rk == lk and lo < rt - lt <= up
+    )
+    assert got == expect

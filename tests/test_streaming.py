@@ -278,3 +278,78 @@ def test_session_window_builtin_equals_lag_cumsum_form(spark, sf_dir):
         .toString()
     )
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_stream_range_join_equals_batch_binned_join(spark, sf_dir):
+    """The watermarked stream-stream range join must produce exactly the
+    batch binned range join's pair set (same (lower, upper] µs
+    semantics) — errors x clicks within the preceding 10 minutes."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from project_clinical_data_etl_pipeline_spark.operators.temporal import (
+        range_join_binned,
+    )
+    from project_clinical_data_etl_pipeline_spark.streaming.incremental import (
+        _event_stream,
+    )
+    from project_clinical_data_etl_pipeline_spark.streaming.temporal import (
+        stream_range_join,
+    )
+    from project_clinical_data_etl_pipeline_spark.tables import load
+
+    s = _event_stream(spark, sf_dir)
+    err_s = s.filter(F.col("event_type") == "error").select(
+        F.col("event_id"), "user_id", "ts"
+    )
+    clk_s = s.filter(F.col("event_type") == "click").select(
+        F.col("event_id"), "user_id", "ts"
+    )
+    name = f"range_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_range_join(err_s, clk_s, on="user_id", left_ts="ts",
+                          right_ts="ts", lower_s=-600, upper_s=0)
+        .select("event_id", "right_event_id")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        (r["event_id"], r["right_event_id"])
+        for r in spark.table(name).collect()
+    }
+
+    e = load(spark, sf_dir, "events")
+    err = e.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clk = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    batch = {
+        (r["event_id"], r["right_event_id"])
+        for r in range_join_binned(
+            err, clk, on="user_id", left_ts="ts", right_ts="ts",
+            lower_s=-600, upper_s=0,
+        ).collect()
+    }
+    assert streamed == batch
+    assert len(batch) > 0
+
+
+def test_stream_range_join_rejects_undersized_watermark():
+    import pytest as _pytest
+
+    from project_clinical_data_etl_pipeline_spark.streaming.temporal import (
+        stream_range_join,
+    )
+
+    with _pytest.raises(ValueError, match="watermark"):
+        stream_range_join(None, None, on="k", left_ts="ts", right_ts="ts",
+                          lower_s=-600, upper_s=0, watermark_s=300)
