@@ -110,3 +110,80 @@ def repartition_by_range_for_write(
     evenly-sized files (sampled range bounds), the layout that makes
     min/max row-group skipping effective for time-series scans."""
     return df.repartitionByRange(target_partitions, *cols)
+
+
+def zorder_value(
+    df: DataFrame, cols: list[str], bits: int = 12
+) -> tuple[DataFrame, str]:
+    """Append a Morton (Z-order) key column interleaving ``cols`` (2+
+    numeric columns) and return (df, key_col_name).
+
+    Each column is affinely mapped onto ``bits``-bit integer grid
+    coordinates using its global min/max (one tiny two-row agg collect —
+    driver-side CONTROL data, same class as the k-means centroid
+    collect), then bits interleave into a single long via pure
+    shift/or expressions — whole-stage-codegen arithmetic, no UDF.
+
+    Why: sorting a 100 TB table by (a, b) gives perfect file-level
+    min/max pruning on `a` and NONE on `b`; sorting by the Z-value
+    gives good pruning on BOTH — every file covers a small hyper-
+    rectangle of the key space, so any single-dimension predicate
+    skips most files. The classic lakehouse OPTIMIZE ZORDER BY, as a
+    plain column expression.
+
+    Caveats (documented, not hidden): min/max mapping is skew-sensitive
+    (a heavy hitter collapses grid cells — use a quantile mapping if a
+    dimension is Zipfian), and pruning quality decays past ~4 columns
+    (bits per dimension shrink).
+    """
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
+    ).collect()[0]
+    n = len(cols)
+    grid_max = (1 << bits) - 1
+    coords = []
+    for c in cols:
+        lo, hi = bounds[f"__lo_{c}"], bounds[f"__hi_{c}"]
+        span = (hi - lo) or 1.0
+        coords.append(
+            F.least(
+                F.lit(grid_max),
+                F.greatest(
+                    F.lit(0),
+                    F.floor((F.col(c).cast("double") - F.lit(lo))
+                            / F.lit(span) * F.lit(grid_max + 1)).cast("bigint"),
+                ),
+            )
+        )
+    z = F.lit(0).cast("bigint")
+    for i in range(bits):
+        for j, coord in enumerate(coords):
+            bit = F.shiftright(coord, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    key = "__zorder"
+    return df.withColumn(key, z), key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    cols: list[str],
+    bits: int = 12,
+    target_partitions: int = 8,
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write ``df`` Z-order-clustered on ``cols``: range-partition +
+    sort on the Morton key so every output file covers a compact
+    hyper-rectangle — multi-dimension min/max file skipping for the
+    price of one write (tested quantitatively in test_layout)."""
+    zdf, key = zorder_value(df, cols, bits)
+    writer = (
+        zdf.repartitionByRange(target_partitions, F.col(key))
+        .sortWithinPartitions(key)
+        .drop(key)
+        .write.mode("overwrite")
+    )
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)

@@ -125,3 +125,80 @@ def test_range_partitioned_write_orders_files(spark, sf_dir, tmp_path):
     stats.sort(key=lambda x: x[1])
     for (_, _, prev_max), (_, nxt_min, _) in zip(stats, stats[1:]):
         assert prev_max <= nxt_min
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering: quantitative multi-dimension file-skipping test
+
+
+def _avg_candidate_file_fraction(path: str, col: str, probes: int = 50) -> float:
+    """Average fraction of parquet files whose [min, max] span contains
+    a probe point, over equal-spaced probes across the column domain —
+    the file-skipping effectiveness a min/max-stats reader would see."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in sorted(glob.glob(path + "/*.parquet")):
+        t = pq.read_table(f, columns=[col])[col]
+        if len(t):
+            import pyarrow.compute as pc
+
+            spans.append((pc.min(t).as_py(), pc.max(t).as_py()))
+    lo = min(s[0] for s in spans)
+    hi = max(s[1] for s in spans)
+    hits = 0
+    for i in range(probes):
+        p = lo + (hi - lo) * (i + 0.5) / probes
+        hits += sum(1 for s in spans if s[0] <= p <= s[1])
+    return hits / (probes * len(spans))
+
+
+def test_zorder_prunes_both_dimensions_linear_sort_only_one(
+    spark, sf_dir, tmp_path
+):
+    """Sorting lineitem by l_orderkey gives perfect orderkey pruning and
+    ~zero partkey pruning; Z-ordering (l_orderkey, l_partkey) must give
+    substantial pruning on BOTH dimensions — the whole point of the
+    layout. Thresholds carry wide margins over measured values."""
+    from project_clinical_data_etl_pipeline_spark.plans.layout import write_zordered
+    from project_clinical_data_etl_pipeline_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    n_files = 16
+
+    linear = str(tmp_path / "linear")
+    (li.repartitionByRange(n_files, "l_orderkey")
+       .sortWithinPartitions("l_orderkey")
+       .write.mode("overwrite").parquet(linear))
+    zpath = str(tmp_path / "zorder")
+    write_zordered(li, zpath, ["l_orderkey", "l_partkey"],
+                   target_partitions=n_files)
+
+    lin_ok = _avg_candidate_file_fraction(linear, "l_orderkey")
+    lin_pk = _avg_candidate_file_fraction(linear, "l_partkey")
+    z_ok = _avg_candidate_file_fraction(zpath, "l_orderkey")
+    z_pk = _avg_candidate_file_fraction(zpath, "l_partkey")
+
+    assert lin_ok < 0.2          # single-dim sort: near-perfect on its key
+    assert lin_pk > 0.9          # ...and useless on the other
+    assert z_ok < 0.7            # z-order: substantial pruning on BOTH
+    assert z_pk < 0.7
+    # z-order must beat the linear layout on the unsorted dimension by a lot
+    assert z_pk < lin_pk - 0.3
+
+
+def test_zorder_value_is_codegen_expression_no_udf(spark, sf_dir):
+    from project_clinical_data_etl_pipeline_spark.plans.layout import zorder_value
+    from project_clinical_data_etl_pipeline_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    zdf, key = zorder_value(li, ["l_orderkey", "l_partkey"])
+    plan = zdf._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # deterministic: same input row → same z-value
+    a = sorted(r[key] for r in zdf.limit(100).collect())
+    b = sorted(r[key] for r in zorder_value(li, ["l_orderkey", "l_partkey"])[0]
+               .limit(100).collect())
+    assert a == b
