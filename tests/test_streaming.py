@@ -353,3 +353,140 @@ def test_stream_range_join_rejects_undersized_watermark():
     with _pytest.raises(ValueError, match="watermark"):
         stream_range_join(None, None, on="k", left_ts="ts", right_ts="ts",
                           lower_s=-600, upper_s=0, watermark_s=300)
+
+
+def test_stream_asof_join_matches_batch_for_finalized_lefts(spark, sf_dir):
+    """Every finalized streamed as-of row must equal the batch
+    asof_join answer for that left row (purchases enriched with the
+    latest preceding click); only lefts inside the final watermark
+    horizon may be withheld."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from project_clinical_data_etl_pipeline_spark.operators.temporal import asof_join
+    from project_clinical_data_etl_pipeline_spark.streaming.asof import (
+        stream_asof_join,
+    )
+    from project_clinical_data_etl_pipeline_spark.streaming.incremental import (
+        _event_stream,
+    )
+    from project_clinical_data_etl_pipeline_spark.tables import load
+
+    s = _event_stream(spark, sf_dir)
+    p_s = s.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    c_s = s.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    name = f"asof_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_asof_join(p_s, c_s, watermark_s=600)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    streamed = {
+        r["left_event_id"]: (r["matched_event_id"], r["matched_ts_us"])
+        for r in spark.table(name).collect()
+    }
+
+    e = load(spark, sf_dir, "events")
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    c = e.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    batch = {
+        r["event_id"]: (r["right_event_id"], r["right_ts_us"])
+        for r in asof_join(p, c, on="user_id", left_ts="ts", right_ts="ts",
+                           payload_cols=["event_id"]).collect()
+    }
+    assert streamed, "no as-of rows finalized"
+    for lid, match in streamed.items():
+        assert match == batch[lid], lid
+    # the watermark tail may withhold some lefts, but not most of them
+    assert len(streamed) >= len(batch) // 2
+
+
+def test_stream_asof_pruned_right_state_serves_later_batches(spark, tmp_path):
+    """A right event finalized below the watermark in batch 1 must still
+    match a left that only arrives in batch 2 (the latest-right prune
+    keeps exactly enough state), including across a long quiet gap."""
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from project_clinical_data_etl_pipeline_spark.streaming.asof import (
+        stream_asof_join,
+    )
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    schema = "user_id bigint, ts timestamp, side bigint, event_id bigint"
+
+    def write_batch(fname, rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(tmp_path / "stage"))
+        import glob
+        import shutil
+
+        part = glob.glob(str(tmp_path / "stage" / "*.parquet"))[0]
+        shutil.copy(part, str(src / fname))
+
+    from datetime import datetime
+
+    def ts(minute, second=0):
+        return datetime(2024, 1, 1, minute // 60, minute % 60, second)
+
+    # batch 1: the right (click 500) plus a slightly-later right for
+    # user 2 that moves the watermark just past click 500's event time
+    write_batch("b1.parquet", [
+        (1, ts(10), 0, 500),
+        (2, ts(11), 0, 900),
+    ])
+
+    stream = (
+        spark.readStream.schema(schema.replace("bigint", "long"))
+        .parquet(str(src))
+    )
+    lefts = stream.filter(F.col("side") == 1).select("user_id", "ts", "event_id")
+    rights = stream.filter(F.col("side") == 0).select("user_id", "ts", "event_id")
+    name = f"asof2_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_asof_join(lefts, rights, watermark_s=60)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # batch 2: a left for user 1 (above the watermark!) after click
+        # 500 was pruned to latest-right state, plus a later user-2 row
+        # that advances the watermark past the left
+        write_batch("b2.parquet", [
+            (1, ts(12), 1, 7000),
+            (2, ts(14), 0, 901),
+        ])
+        q.processAllAvailable()
+        # batch 3: user 1 gets no traffic — the left must flush via the
+        # event-time TIMEOUT as the watermark advances
+        write_batch("b3.parquet", [(2, ts(16), 0, 902)])
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {
+        r["left_event_id"]: r["matched_event_id"]
+        for r in spark.table(name).collect()
+    }
+    assert got.get(7000) == 500
