@@ -1,0 +1,114 @@
+"""Physical-plan linting: the 100 TB red-flag checklist as a reusable
+audit instead of ad-hoc string asserts scattered through tests.
+
+``audit_plan(df)`` inspects the executed plan for the failure modes
+that are invisible at test scale but fatal at warehouse scale:
+
+- a cartesian product or non-broadcast nested-loop join (per-key O(n·m));
+- row-at-a-time Python in the plan (``BatchEvalPython`` — the 10-100×
+  slow path; Arrow kernels ``ArrowEvalPython``/``FlatMapGroupsInPandas``
+  are allowed only when declared);
+- a parquet scan with no column pruning (reading every column to
+  project a few);
+- a sort-merge join where a declared-small side should broadcast.
+
+Each finding is a human-readable string; an empty list is a clean
+plan. Tests call ``assert not audit_plan(df, ...)`` so failures print
+the exact red flags; pipeline authors can call it interactively the
+same way. This is advisory lint on plan STRUCTURE — it cannot see
+cardinalities, so size-dependent judgments (skew, spill) stay with
+AQE and the bench.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+#: Python-execution operators that are legitimate when declared.
+_ARROW_OPS = (
+    "ArrowEvalPython",
+    "FlatMapGroupsInPandas",
+    "MapInPandas",
+    "FlatMapGroupsInPandasWithState",
+)
+
+
+def plan_string(df: DataFrame) -> str:
+    """The final (post-AQE if already executed) physical plan text."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def audit_plan(
+    df: DataFrame,
+    allow_python_kernels: bool = False,
+    allow_broadcast_nlj: bool = False,
+    allow_cartesian: bool = False,
+    expect_broadcast_only: bool = False,
+    max_scan_columns: int | None = None,
+) -> list[str]:
+    """Return scale red-flags found in ``df``'s physical plan (empty =
+    clean). ``allow_python_kernels`` permits the declared Arrow ops
+    (never row-at-a-time ``BatchEvalPython``). ``expect_broadcast_only``
+    additionally flags any shuffle-side join — for plans whose joins
+    should all be dimension broadcasts. ``max_scan_columns`` flags any
+    parquet scan reading more than that many columns — a proxy for
+    "projection never reached the scan"."""
+    plan = plan_string(df)
+    findings: list[str] = []
+
+    if "CartesianProduct" in plan and not allow_cartesian:
+        findings.append(
+            "CartesianProduct: unconditioned cross join materializes |L|x|R| "
+            "rows — add a join key or broadcast a bounded side (or declare a "
+            "literal 1-row side with allow_cartesian=True)"
+        )
+    if not allow_broadcast_nlj:
+        for m in re.finditer(r"BroadcastNestedLoopJoin (\w+)", plan):
+            findings.append(
+                f"BroadcastNestedLoopJoin ({m.group(1)}): non-equi join "
+                "condition — fine only if the broadcast side is provably "
+                "tiny and declared (allow_broadcast_nlj=True, e.g. a "
+                "centroid/query-vector set); at scale prefer binning/"
+                "bucketing the condition into an equi-join"
+            )
+
+    if "BatchEvalPython" in plan:
+        findings.append(
+            "BatchEvalPython: row-at-a-time Python UDF in the plan — use "
+            "built-in expressions or an Arrow kernel (pandas_udf/mapInPandas)"
+        )
+    if not allow_python_kernels:
+        for op in _ARROW_OPS:
+            if op in plan:
+                findings.append(
+                    f"{op}: Python kernel in a plan declared JVM-only — "
+                    "either expected (pass allow_python_kernels=True) or a "
+                    "regression out of whole-stage codegen"
+                )
+
+    if expect_broadcast_only:
+        for op in ("SortMergeJoin", "ShuffledHashJoin"):
+            if op in plan:
+                findings.append(
+                    f"{op}: shuffle-side join in a plan expected to broadcast "
+                    "all dimensions — check autoBroadcastJoinThreshold or an "
+                    "unexpected fact-fact join"
+                )
+
+    if max_scan_columns is not None:
+        # the plan text truncates long schemas ("struct<a:bigint,...")
+        # with no closing bracket — capture to end of line and count the
+        # name:type fields actually shown (a truncated schema already
+        # shows more than any sane max_scan_columns)
+        for m in re.finditer(r"ReadSchema: struct<([^\n]*)", plan):
+            cols = [c for c in m.group(1).split(",") if ":" in c]
+            if len(cols) > max_scan_columns:
+                findings.append(
+                    f"scan reads {len(cols)} columns (> {max_scan_columns}): "
+                    "projection did not prune the scan — check for a "
+                    "select(*) or a UDF blocking column pruning"
+                )
+
+    return findings

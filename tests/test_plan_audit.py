@@ -1,0 +1,103 @@
+"""plans.audit: the 100 TB red-flag lint must (a) catch each failure
+mode on a purpose-built bad plan and (b) pass EVERY registered query —
+the repo-wide guarantee that no query ships a scale anti-pattern."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from project_clinical_data_etl_pipeline_spark.plans.audit import audit_plan
+from project_clinical_data_etl_pipeline_spark.queries import REGISTRY
+from project_clinical_data_etl_pipeline_spark.tables import load
+
+# ---------------------------------------------------------------------------
+# (a) each red flag fires on a plan built to contain it
+
+
+def test_flags_cartesian_product(spark):
+    a = spark.range(10)
+    b = spark.range(10).withColumnRenamed("id", "id2")
+    spark.conf.set("spark.sql.crossJoin.enabled", "true")
+    bad = a.crossJoin(b).filter("id + id2 > 5")
+    bad.count()
+    assert any("CartesianProduct" in f or "NestedLoop" in f
+               for f in audit_plan(bad))
+
+
+def test_flags_row_at_a_time_python_udf(spark):
+    from pyspark.sql.types import LongType
+
+    slow = F.udf(lambda x: x + 1, LongType())
+    bad = spark.range(10).select(slow("id").alias("y"))
+    bad.count()
+    findings = audit_plan(bad)
+    assert any("BatchEvalPython" in f for f in findings)
+
+
+def test_flags_undeclared_arrow_kernel_and_allows_declared(spark):
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def fast(x):  # no type hints: the future-annotations import would
+        return x + 1  # stringify them, which pandas_udf rejects
+
+    df = spark.range(10).select(fast("id").alias("y"))
+    df.count()
+    assert any("ArrowEvalPython" in f for f in audit_plan(df))
+    assert not audit_plan(df, allow_python_kernels=True)
+
+
+def test_flags_unpruned_scan(spark, sf_dir):
+    wide = load(spark, sf_dir, "lineitem")  # 16 columns
+    wide.count()
+    findings = audit_plan(wide, max_scan_columns=4)
+    assert any("columns" in f for f in findings)
+    two = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    two.count()
+    assert not audit_plan(two, max_scan_columns=4)
+
+
+def test_flags_shuffle_join_when_broadcast_expected(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    li = load(spark, sf_dir, "lineitem")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = o.join(li, o.o_orderkey == li.l_orderkey)
+        j.count()
+        assert any("broadcast" in f.lower()
+                   for f in audit_plan(j, expect_broadcast_only=True))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+                       str(64 * 1024 * 1024))
+
+
+# ---------------------------------------------------------------------------
+# (b) every registered query passes the lint
+
+#: queries whose WHOLE POINT is a declared Arrow kernel
+_PYTHON_KERNEL = {"op44_vectorized_udf", "multimodal_decode",
+                  "multimodal_frame_sample", "sessionize_events"}
+#: queries that broadcast a declared-tiny side into a non-equi join
+#: (query vectors / centroid sets — bounded by construction)
+_TINY_BNLJ = {"embed_topk_suite", "embed_near_dup_pairs",
+              "dedup_ngram_jaccard", "fhir_conditional_create"}
+#: literal 1-row construction side (documented in fhir_q) — a cross
+#: join against a constant, not a data-sized cartesian
+_ONE_ROW_CROSS = {"fhir_pipeline_suite", "fhir_conditional_create"}
+#: runs a stream / writes side effects — audited via their own tests
+_SKIP = {"op41_streaming_hourly_counts", "op03_04_07_08_roundtrip"}
+
+
+@pytest.mark.parametrize("name", [n for n in REGISTRY if n not in _SKIP])
+def test_registered_query_plan_is_scale_clean(spark, sf_dir, name):
+    df = REGISTRY[name].run(spark, sf_dir)
+    df.count()  # finalize AQE so the audited plan is the executed one
+    findings = audit_plan(
+        df,
+        allow_python_kernels=name in _PYTHON_KERNEL,
+        allow_broadcast_nlj=name in _TINY_BNLJ,
+        allow_cartesian=name in _ONE_ROW_CROSS,
+    )
+    assert not findings, f"{name}:\n" + "\n".join(findings)
