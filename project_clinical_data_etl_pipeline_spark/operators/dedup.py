@@ -803,6 +803,76 @@ def keep_canonical_components(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def _assign_for_semdedup(df, id_col, vec_col, dim, centroids, n_centroids):
+    """Cell assignment (+ vec/norm carried) for the semantic-dedup
+    family; min-id-seeded k-means when no centroids are given."""
+    from .similarity import assign_cells, kmeans_centroids
+
+    if centroids is None:
+        centroids = kmeans_centroids(
+            df, dim=dim, id_col=id_col, vec_col=vec_col,
+            n_centroids=n_centroids,
+        )
+    return assign_cells(
+        df, centroids, dim=dim, id_col=id_col, vec_col=vec_col
+    ).select(
+        F.col("neighbor_id").alias("__id"),
+        F.col("__cv"),
+        F.col("__cn"),
+        "cell",
+    )
+
+
+def _cell_pairs(assigned, dim, threshold, max_cell_size):
+    """Within-cell cosine pairs ≥ threshold from an assignment frame:
+    equi-join on cell — the O(n²/k) SemDeDup pair loop."""
+    from .similarity import dot
+
+    examined = assigned
+    if max_cell_size is not None:
+        examined = _drop_hot_keys(examined, "cell", max_cell_size)
+    l = examined.select(
+        F.col("cell"),
+        F.col("__id").alias("id_a"),
+        F.col("__cv").alias("__va"),
+        F.col("__cn").alias("__na"),
+    )
+    r = examined.select(
+        F.col("cell"),
+        F.col("__id").alias("id_b"),
+        F.col("__cv").alias("__vb"),
+        F.col("__cn").alias("__nb"),
+    )
+    cos = dot("__va", "__vb", dim) / (F.col("__na") * F.col("__nb"))
+    return (
+        l.join(r, on="cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("cell", "id_a", "id_b", "cosine")
+    )
+
+
+def semantic_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    threshold: float = 0.95,
+    centroids: list[list[float]] | None = None,
+    n_centroids: int = 16,
+    max_cell_size: int | None = None,
+) -> DataFrame:
+    """The pair stage of :func:`semantic_dedup` exposed directly:
+    (cell, id_a, id_b, cosine) for within-cell pairs ≥ threshold —
+    what you audit before committing to a drop policy. Cross-cell
+    near-dups are invisible by design (the SemDeDup recall trade);
+    compare against ``embedding_near_dups`` on a sample to measure it."""
+    assigned = _assign_for_semdedup(df, id_col, vec_col, dim, centroids,
+                                    n_centroids)
+    return _cell_pairs(assigned, dim, threshold, max_cell_size)
+
+
 def semantic_dedup(
     df: DataFrame,
     id_col: str,
@@ -836,44 +906,11 @@ def semantic_dedup(
     work is capped at cells × max_cell_size². At warehouse scale,
     raise ``n_centroids`` so cells stay ~10³-10⁴ docs.
     """
-    from .similarity import assign_cells, dot, kmeans_centroids
-
-    if centroids is None:
-        centroids = kmeans_centroids(
-            df, dim=dim, id_col=id_col, vec_col=vec_col,
-            n_centroids=n_centroids,
-        )
-    assigned = assign_cells(
-        df, centroids, dim=dim, id_col=id_col, vec_col=vec_col
-    ).select(
-        F.col("neighbor_id").alias("__id"),
-        F.col("__cv"),
-        F.col("__cn"),
-        "cell",
-    )
-
-    examined = assigned
-    if max_cell_size is not None:
-        examined = _drop_hot_keys(examined, "cell", max_cell_size)
-
-    l = examined.select(
-        F.col("cell"),
-        F.col("__id").alias("__ida"),
-        F.col("__cv").alias("__va"),
-        F.col("__cn").alias("__na"),
-    )
-    r = examined.select(
-        F.col("cell"),
-        F.col("__id").alias("__idb"),
-        F.col("__cv").alias("__vb"),
-        F.col("__cn").alias("__nb"),
-    )
-    cos = dot("__va", "__vb", dim) / (F.col("__na") * F.col("__nb"))
+    assigned = _assign_for_semdedup(df, id_col, vec_col, dim, centroids,
+                                    n_centroids)
     losers = (
-        l.join(r, on="cell")
-        .filter(F.col("__ida") < F.col("__idb"))
-        .filter(cos >= threshold)
-        .select(F.col("__idb").alias("__loser"))
+        _cell_pairs(assigned, dim, threshold, max_cell_size)
+        .select(F.col("id_b").alias("__loser"))
         .distinct()
     )
     return (

@@ -48,11 +48,16 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str],
     tolerance_s: int | None = None,
+    bucket_s: int | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join: for every left row, attach the payload of
-    the most recent right row of the same ``on`` key with
-    ``right_ts <= left_ts`` (LEFT semantics — unmatched left rows keep
-    NULL payloads). Ties on equal ``right_ts`` within a key resolve to
+    """As-of join: for every left row, attach the payload of the
+    nearest right row of the same ``on`` key — the most recent with
+    ``right_ts <= left_ts`` (``direction="backward"``, the default) or
+    the earliest with ``right_ts >= left_ts`` (``"forward"`` — e.g.
+    next-event attribution). LEFT semantics — unmatched left rows keep
+    NULL payloads. Internally forward is backward on negated
+    timestamps: one shared code path, verified by mirrored tests. Ties on equal ``right_ts`` within a key resolve to
     the lexicographically-last payload tuple (deterministic — required
     for oracle hashing). ``tolerance_s`` drops matches older than the
     window (payloads revert to NULL, left row is kept).
@@ -62,17 +67,35 @@ def asof_join(
     rows. Shuffle volume is |left| + |right| rows of (key, ts,
     payload) — never a pairwise blow-up. Skew profile equals a plain
     join on ``on`` (AQE skew handling applies to the exchange).
-    Forward as-of = negate both ts columns.
+
+    ``bucket_s`` is the SKEW escape hatch: a window partitioned by key
+    alone sorts a mega-key's entire history in one task. With
+    ``bucket_s`` set, the window partitions by (key, time-bucket) — a
+    hot key splits across its timeline — and matches crossing a bucket
+    boundary come from a per-(key, bucket) latest-right summary (one
+    row per bucket with right traffic) carried forward by a second,
+    tiny window over bucket indexes. Identical output (property-tested
+    equivalence); worst-case task ≈ the hot key's densest bucket, not
+    its life. Pick bucket_s so a busy key sees ~10⁴-10⁶ rows per
+    bucket.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    sign = 1 if direction == "backward" else -1
+
     # The whole right payload rides in ONE struct: last(ignorenulls)
     # over the struct keeps the matched tuple atomic (per-column
     # last() would stitch together values from different right rows
-    # whenever a payload field is legitimately NULL).
+    # whenever a payload field is legitimately NULL). Its first field
+    # is the direction-signed sort key so struct ordering (window ties,
+    # bucket-summary max) follows the join direction; ts_us is the true
+    # event time for output and tolerance.
     r = right.select(
         F.col(on),
-        _micros(F.col(right_ts)).alias("__t"),
+        (F.lit(sign) * _micros(F.col(right_ts))).alias("__t"),
         F.lit(0).alias("__side"),
         F.struct(
+            (F.lit(sign) * _micros(F.col(right_ts))).alias("__s"),
             _micros(F.col(right_ts)).alias("ts_us"),
             *[F.col(c).alias(c) for c in payload_cols],
         ).alias("__p"),
@@ -82,7 +105,7 @@ def asof_join(
     payload_type = r.schema["__p"].dataType
     l = left.select(
         F.col(on),
-        _micros(F.col(left_ts)).alias("__t"),
+        (F.lit(sign) * _micros(F.col(left_ts))).alias("__t"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(payload_type).alias("__p"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
@@ -92,22 +115,74 @@ def asof_join(
     # (side 0 < 1), so an exactly-simultaneous right row IS matched.
     # Equal-ts right rows order by the payload struct → last() is the
     # max tuple — deterministic under duplicate timestamps.
-    w = (
-        Window.partitionBy(on)
-        .orderBy("__t", "__side", "__p")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    out = (
-        r.unionByName(l)
-        .withColumn("__m", F.last("__p", ignorenulls=True).over(w))
-        .filter(F.col("__side") == 1)
-    )
+    if bucket_s is None:
+        w = (
+            Window.partitionBy(on)
+            .orderBy("__t", "__side", "__p")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = (
+            r.unionByName(l)
+            .withColumn("__m", F.last("__p", ignorenulls=True).over(w))
+            .filter(F.col("__side") == 1)
+        )
+    else:
+        width_us = bucket_s * 1_000_000
+        b_r = r.withColumn("__b", F.floor(F.col("__t") / width_us))
+        b_l = l.withColumn("__b", F.floor(F.col("__t") / width_us))
+        # in-bucket pass: same algorithm, partitions bounded by the
+        # densest (key, bucket) slice
+        w1 = (
+            Window.partitionBy(on, "__b")
+            .orderBy("__t", "__side", "__p")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        out = (
+            b_r.unionByName(b_l)
+            .withColumn("__m", F.last("__p", ignorenulls=True).over(w1))
+            .filter(F.col("__side") == 1)
+        )
+        # cross-bucket carry: ONE summary row per (key, bucket) with
+        # right traffic (max payload struct = latest right, same tie
+        # order as the window), as-of-joined to the left buckets over
+        # bucket INDEXES — probes sort before same-bucket summaries
+        # (side -1 < 0) because in-bucket rights were already handled.
+        # This window sees #buckets rows per key, not #events.
+        summaries = b_r.groupBy(on, "__b").agg(F.max("__p").alias("__p")).select(
+            F.col(on), F.col("__b"), F.lit(0).alias("__side"), F.col("__p")
+        )
+        probes = (
+            out.select(on, "__b").distinct()
+            .select(
+                F.col(on), F.col("__b"), F.lit(-1).alias("__side"),
+                F.lit(None).cast(payload_type).alias("__p"),
+            )
+        )
+        w2 = (
+            Window.partitionBy(on)
+            .orderBy("__b", "__side")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        carried = (
+            summaries.unionByName(probes)
+            .withColumn("__c", F.last("__p", ignorenulls=True).over(w2))
+            .filter(F.col("__side") == -1)
+            .select(on, "__b", "__c")
+        )
+        out = (
+            out.join(carried, on=[on, "__b"], how="left")
+            # an in-bucket match always beats the carry (its ts is in a
+            # strictly later bucket than anything carried forward)
+            .withColumn("__m", F.coalesce(F.col("__m"), F.col("__c")))
+        )
 
     if tolerance_s is not None:
+        # signed-key form covers both directions: backward ⇒
+        # ts ≥ left−tol, forward ⇒ ts ≤ left+tol
         out = out.withColumn(
             "__m",
             F.when(
-                F.col("__m.ts_us") >= F.col("__t") - F.lit(tolerance_s * 1_000_000),
+                F.col("__m.__s") >= F.col("__t") - F.lit(tolerance_s * 1_000_000),
                 F.col("__m"),
             ),
         )

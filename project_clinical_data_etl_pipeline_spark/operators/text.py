@@ -313,3 +313,40 @@ def with_rolling_fingerprint(df, text_col: str, out: str, window: int = 8):
     return w.withColumn(out, _rolling_from_words(F.col("__words"), window)).drop(
         "__words"
     )
+
+
+def corpus_top_ngrams(
+    df,
+    text_col: str,
+    n: int = 2,
+    k: int = 20,
+    by_doc_freq: bool = False,
+):
+    """Corpus-wide top-k n-grams — the vocabulary/boilerplate/
+    contamination probe (which templates dominate a crawl, which eval
+    phrases leak). Returns (ngram, cnt) with a deterministic total
+    order (cnt desc, ngram asc).
+
+    ``by_doc_freq`` counts each n-gram once per document (document
+    frequency — boilerplate detection) instead of every occurrence
+    (term frequency — vocabulary mass).
+
+    Scale shape: explode → hash-agg → top-k. The count aggregation is
+    partial (map-side combine collapses each partition's n-grams before
+    the exchange shuffles only distinct (ngram, partial) pairs), and
+    the final top-k compiles to TakeOrderedAndProject — no global sort
+    of the n-gram vocabulary ever materializes.
+    """
+    from pyspark.sql import functions as F
+
+    words = words_array(F.col(text_col))
+    grams = ngrams_array(words, n)
+    if by_doc_freq:
+        grams = F.array_distinct(grams)
+    return (
+        df.select(F.explode(grams).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("ngram").asc())
+        .limit(k)
+    )

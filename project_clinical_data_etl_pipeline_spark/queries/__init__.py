@@ -75,7 +75,7 @@ _ORDER: tuple[str, ...] = (
     "text_metrics_suite",
     "corpus_curation_pipeline",
     "embed_topk_suite",
-    "embed_near_dup_pairs",
+    "embed_neardup_suite",
     "multimodal_frame_sample",
     # --- streaming (§2.8) ---
     "op41_streaming_hourly_counts",

@@ -427,29 +427,72 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NDCOS = (
+    "list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) "
+    "* sqrt(list_dot_product({b}, {b})))"
+)
+
+_NEARDUP_SUITE_SQL = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    brute AS (
+        SELECT l.vec_id AS id_a, r.vec_id AS id_b,
+               {_NDCOS.format(a='l.e', b='r.e')} AS cosine
+        FROM v l JOIN v r ON l.vec_id < r.vec_id
+        WHERE {_NDCOS.format(a='l.e', b='r.e')} >= 0.45
+    ),
+    cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
+                    e AS c
+             FROM v ORDER BY vec_id LIMIT 16),
+    assigned AS (
+        SELECT vec_id, e, centroid_id FROM (
+            SELECT v.vec_id, v.e, cent.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_NDCOS.format(a='v.e', b='cent.c')} DESC,
+                                cent.centroid_id ASC) AS rn
+            FROM v CROSS JOIN cent
+        ) WHERE rn = 1
+    ),
+    cellp AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               {_NDCOS.format(a='a.e', b='b.e')} AS cosine
+        FROM assigned a JOIN assigned b
+          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
+        WHERE {_NDCOS.format(a='a.e', b='b.e')} >= 0.45
+    )
+    SELECT 'brute' AS method, id_a, id_b, cosine FROM brute
+    UNION ALL
+    SELECT 'semdedup_cell' AS method, id_a, id_b, cosine FROM cellp
+"""
+
+
 @spec(
     QUERIES,
-    "embed_near_dup_pairs",
-    sql="""
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings)
-        SELECT l.vec_id AS id_a, r.vec_id AS id_b,
-               list_dot_product(l.e, r.e)
-                 / (sqrt(list_dot_product(l.e, l.e)) * sqrt(list_dot_product(r.e, r.e)))
-                 AS cosine
-        FROM v l JOIN v r ON l.vec_id < r.vec_id
-        WHERE list_dot_product(l.e, r.e)
-                 / (sqrt(list_dot_product(l.e, l.e)) * sqrt(list_dot_product(r.e, r.e)))
-              >= 0.99
-    """,
-    doc="Embedding-cosine near-duplicate pairs (threshold 0.99), the exact "
-    "verification baseline for semantic dedup. At 100 TB route through the "
-    "LSH-bucketed variant (embed_topk_lsh path); this brute-force form is "
-    "the correctness oracle.",
+    "embed_neardup_suite",
+    sql=_NEARDUP_SUITE_SQL,
+    doc="Embedding near-duplicate pairs two ways under one oracle: the "
+    "exact corpus-wide brute force (the verification baseline) and the "
+    "SemDeDup within-cell form (min-id seed centroids — deterministic "
+    "and SQL-expressible, like the IVF oracle; the trained-k-means "
+    "variant is Python-oracle-tested in test_temporal). Discriminated "
+    "by `method`: cell-restricted pairs ⊆ brute pairs, making the "
+    "SemDeDup recall trade directly visible in the output. Threshold "
+    "0.45 sits under this corpus's max pairwise cosine (~0.49) so the "
+    "check exercises non-empty results.",
     tags=("llm",),
 )
-def embed_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embed_neardup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import kmeans_centroids
+
     e = load(spark, sf_dir, "embeddings")
-    return D.embedding_near_dups(e, "vec_id", "embedding", threshold=0.99, dim=64)
+    brute = D.embedding_near_dups(
+        e, "vec_id", "embedding", threshold=0.45, dim=64
+    ).select(F.lit("brute").alias("method"), "id_a", "id_b", "cosine")
+    seed = kmeans_centroids(e, dim=64, n_iter=0)
+    cellp = D.semantic_near_dup_pairs(
+        e, "vec_id", "embedding", dim=64, threshold=0.45, centroids=seed
+    ).select(F.lit("semdedup_cell").alias("method"), "id_a", "id_b", "cosine")
+    return brute.unionByName(cellp)
 
 
 @spec(

@@ -81,7 +81,7 @@ _PYTHON_KERNEL = {"op44_vectorized_udf", "multimodal_decode",
                   "multimodal_frame_sample", "sessionize_events"}
 #: queries that broadcast a declared-tiny side into a non-equi join
 #: (query vectors / centroid sets — bounded by construction)
-_TINY_BNLJ = {"embed_topk_suite", "embed_near_dup_pairs",
+_TINY_BNLJ = {"embed_topk_suite", "embed_neardup_suite",
               "dedup_ngram_jaccard", "fhir_conditional_create"}
 #: literal 1-row construction side (documented in fhir_q) — a cross
 #: join against a constant, not a data-sized cartesian

@@ -252,15 +252,22 @@ def test_asof_join_matches_bruteforce(spark, lefts, rights):
         "event_id", "k", F.timestamp_micros("us").alias("ts"))
     r = spark.createDataFrame(rrows, "event_id long, k long, us long").select(
         "event_id", "k", F.timestamp_micros("us").alias("ts"))
-    out = asof_join(l, r, on="k", left_ts="ts", right_ts="ts",
-                    payload_cols=["event_id"])
-    got = {row["event_id"]: row["right_event_id"] for row in out.collect()}
-
     expect = {}
     for li, lk, lt in lrows:
         cands = [(t, i) for i, k, t in rrows if k == lk and t <= lt]
         expect[li] = max(cands)[1] if cands else None
+
+    out = asof_join(l, r, on="k", left_ts="ts", right_ts="ts",
+                    payload_cols=["event_id"])
+    got = {row["event_id"]: row["right_event_id"] for row in out.collect()}
     assert got == expect
+
+    # the skew-bucketed path must be output-identical (300 s buckets →
+    # plenty of cross-bucket matches at this time spread)
+    bucketed = asof_join(l, r, on="k", left_ts="ts", right_ts="ts",
+                         payload_cols=["event_id"], bucket_s=300)
+    got_b = {row["event_id"]: row["right_event_id"] for row in bucketed.collect()}
+    assert got_b == expect
 
 
 @settings(max_examples=15, deadline=None)

@@ -223,3 +223,105 @@ def test_semantic_dedup_pair_join_is_equi_join_on_cell(spark):
     out = semantic_dedup(df, "vec_id", "embedding", dim=4, centroids=cents)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_asof_bucketed_carries_match_across_buckets(spark):
+    """With 60 s buckets, a right row several buckets before the left
+    must still match via the per-bucket summary carry, and an in-bucket
+    right must beat any carried one."""
+    left = _ts_df(spark, [(1, 10, "2024-01-01 00:10:30"),
+                          (2, 10, "2024-01-01 00:20:30")],
+                  ["event_id", "user_id", "ts"])
+    right = _ts_df(spark, [(100, 10, "2024-01-01 00:02:00"),   # bucket far back
+                           (101, 10, "2024-01-01 00:03:00"),   # later far back
+                           (102, 10, "2024-01-01 00:20:10")],  # in-bucket for 2
+                   ["event_id", "user_id", "ts"])
+    out = asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts",
+                    payload_cols=["event_id"], bucket_s=60)
+    pairs = _asof_pairs(out)
+    assert pairs[1][0] == 101  # carried across ~7 empty buckets
+    assert pairs[2][0] == 102  # in-bucket match wins over the carry
+
+
+def test_asof_forward_matches_earliest_at_or_after(spark):
+    left = _ts_df(spark, [(1, 10, "2024-01-01 00:10:00")],
+                  ["event_id", "user_id", "ts"])
+    right = _ts_df(spark, [(100, 10, "2024-01-01 00:05:00"),   # past → ignored
+                           (101, 10, "2024-01-01 00:12:00"),
+                           (102, 10, "2024-01-01 00:30:00")],
+                   ["event_id", "user_id", "ts"])
+    out = asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts",
+                    payload_cols=["event_id"], direction="forward")
+    assert _asof_pairs(out)[1][0] == 101
+
+
+def test_asof_forward_tolerance_and_bucketed(spark):
+    left = _ts_df(spark, [(1, 10, "2024-01-01 00:10:00")],
+                  ["event_id", "user_id", "ts"])
+    right = _ts_df(spark, [(100, 10, "2024-01-01 00:40:00")],
+                   ["event_id", "user_id", "ts"])
+    hit = asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts",
+                    payload_cols=["event_id"], direction="forward",
+                    tolerance_s=1800)
+    miss = asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts",
+                     payload_cols=["event_id"], direction="forward",
+                     tolerance_s=1799)
+    assert _asof_pairs(hit)[1][0] == 100
+    assert _asof_pairs(miss)[1] == (None, None)
+    # bucketed forward: carry works on the negated timeline too
+    bucketed = asof_join(left, right, on="user_id", left_ts="ts",
+                         right_ts="ts", payload_cols=["event_id"],
+                         direction="forward", bucket_s=60)
+    assert _asof_pairs(bucketed)[1][0] == 100
+
+
+# ---------------------------------------------------------------------------
+# Corpus top-n-grams vs a DuckDB oracle on the documents table
+
+
+def test_corpus_top_ngrams_matches_duckdb(spark, sf_dir):
+    import duckdb
+
+    from project_clinical_data_etl_pipeline_spark.operators.text import (
+        corpus_top_ngrams,
+    )
+    from project_clinical_data_etl_pipeline_spark.queries.llmdata import _NORM
+    from project_clinical_data_etl_pipeline_spark.tables import load
+
+    d = load(spark, sf_dir, "documents")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf_dir}/documents.parquet'"
+    )
+
+    for by_df, df_expr in ((False, "g"), (True, "list_distinct(g)")):
+        got = [
+            (r["ngram"], r["cnt"])
+            for r in corpus_top_ngrams(
+                d, "text", n=2, k=15, by_doc_freq=by_df
+            ).collect()
+        ]
+        want = con.execute(f"""
+            WITH w AS (SELECT string_split({_NORM}, ' ') AS ws FROM documents),
+            sh AS (SELECT {df_expr} AS grams FROM (
+                SELECT list_transform(
+                    generate_series(1, greatest(len(ws) - 1, 1)),
+                    i -> array_to_string(ws[i:i+1], ' ')) AS g, ws FROM w)
+                WHERE len(ws) >= 2)
+            SELECT gram, CAST(count(*) AS BIGINT) FROM (
+                SELECT unnest(grams) AS gram FROM sh)
+            GROUP BY gram ORDER BY 2 DESC, 1 ASC LIMIT 15
+        """).fetchall()
+        assert got == [tuple(r) for r in want], f"by_doc_freq={by_df}"
+
+
+def test_corpus_top_ngrams_plan_is_partial_agg_topk(spark, sf_dir):
+    from project_clinical_data_etl_pipeline_spark.operators.text import (
+        corpus_top_ngrams,
+    )
+    from project_clinical_data_etl_pipeline_spark.tables import load
+
+    df = corpus_top_ngrams(load(spark, sf_dir, "documents"), "text", n=2, k=10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan  # no global sort
+    assert plan.count("HashAggregate") >= 2  # partial + final (map-side combine)
