@@ -113,16 +113,27 @@ def repartition_by_range_for_write(
 
 
 def zorder_value(
-    df: DataFrame, cols: list[str], bits: int = 12
+    df: DataFrame, cols: list[str], bits: int = 12, mapping: str = "minmax"
 ) -> tuple[DataFrame, str]:
     """Append a Morton (Z-order) key column interleaving ``cols`` (2+
     numeric columns) and return (df, key_col_name).
 
-    Each column is affinely mapped onto ``bits``-bit integer grid
-    coordinates using its global min/max (one tiny two-row agg collect —
-    driver-side CONTROL data, same class as the k-means centroid
-    collect), then bits interleave into a single long via pure
-    shift/or expressions — whole-stage-codegen arithmetic, no UDF.
+    Each column maps onto a ``bits``-bit integer grid coordinate, then
+    bits interleave into a single long via pure shift/or expressions —
+    whole-stage-codegen arithmetic, no UDF. Two mappings:
+
+    - ``"minmax"`` (default): affine map over the global min/max (one
+      tiny two-row agg collect — driver-side CONTROL data, same class
+      as the k-means centroid collect). Right for roughly uniform
+      columns; a heavy hitter collapses grid cells.
+    - ``"quantile"``: equi-depth map via ``approxQuantile`` edges
+      (capped at 2⁸ grid cells — 257 edges is plenty of resolution for
+      file-level skipping), applied through a broadcast range-table
+      join: each row finds its bucket by a (lo ≤ v < hi) condition
+      against ≤256 broadcast rows — a BroadcastNestedLoopJoin with a
+      provably tiny side, the same declared pattern as centroid
+      assignment. Skew-proof: every grid cell holds ~1/cells of the
+      rows no matter how Zipfian the column.
 
     Why: sorting a 100 TB table by (a, b) gives perfect file-level
     min/max pruning on `a` and NONE on `b`; sorting by the Z-value
@@ -131,38 +142,73 @@ def zorder_value(
     skips most files. The classic lakehouse OPTIMIZE ZORDER BY, as a
     plain column expression.
 
-    Caveats (documented, not hidden): min/max mapping is skew-sensitive
-    (a heavy hitter collapses grid cells — use a quantile mapping if a
-    dimension is Zipfian), and pruning quality decays past ~4 columns
-    (bits per dimension shrink).
+    Pruning quality decays past ~4 columns (bits per dimension
+    shrink).
     """
-    bounds = df.agg(
-        *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
-        *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
-    ).collect()[0]
+    if mapping not in ("minmax", "quantile"):
+        raise ValueError(f"mapping must be minmax|quantile, got {mapping!r}")
     n = len(cols)
-    grid_max = (1 << bits) - 1
+    out = df
     coords = []
-    for c in cols:
-        lo, hi = bounds[f"__lo_{c}"], bounds[f"__hi_{c}"]
-        span = (hi - lo) or 1.0
-        coords.append(
-            F.least(
-                F.lit(grid_max),
-                F.greatest(
-                    F.lit(0),
-                    F.floor((F.col(c).cast("double") - F.lit(lo))
-                            / F.lit(span) * F.lit(grid_max + 1)).cast("bigint"),
-                ),
+    if mapping == "minmax":
+        bounds = df.agg(
+            *[F.min(c).cast("double").alias(f"__lo_{c}") for c in cols],
+            *[F.max(c).cast("double").alias(f"__hi_{c}") for c in cols],
+        ).collect()[0]
+        grid_max = (1 << bits) - 1
+        for c in cols:
+            lo, hi = bounds[f"__lo_{c}"], bounds[f"__hi_{c}"]
+            span = (hi - lo) or 1.0
+            coords.append(
+                F.least(
+                    F.lit(grid_max),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor((F.col(c).cast("double") - F.lit(lo))
+                                / F.lit(span) * F.lit(grid_max + 1)).cast("bigint"),
+                    ),
+                )
             )
-        )
+    else:
+        bits = min(bits, 8)
+        cells = 1 << bits
+        spark = df.sparkSession
+        probs = [i / cells for i in range(1, cells)]
+        for c in cols:
+            edges = df.select(F.col(c).cast("double").alias(c)).approxQuantile(
+                c, probs, 0.001
+            )
+            # collapse duplicate edges (heavy hitters span buckets);
+            # ranges: (-inf, e0), [e0, e1), ..., [ek, +inf)
+            uniq = sorted(set(edges))
+            rows = []
+            lo = None
+            for idx, e in enumerate(uniq + [None]):
+                rows.append((idx, lo, e))
+                lo = e
+            ranges = spark.createDataFrame(
+                rows, f"__q_{c} bigint, __lo_{c} double, __hi_{c} double"
+            )
+            cond = (
+                (F.col(f"__lo_{c}").isNull()
+                 | (F.col(c).cast("double") >= F.col(f"__lo_{c}")))
+                & (F.col(f"__hi_{c}").isNull()
+                   | (F.col(c).cast("double") < F.col(f"__hi_{c}")))
+            )
+            out = out.join(F.broadcast(ranges), on=cond, how="left").drop(
+                f"__lo_{c}", f"__hi_{c}"
+            )
+            coords.append(F.coalesce(F.col(f"__q_{c}"), F.lit(0)))
     z = F.lit(0).cast("bigint")
     for i in range(bits):
         for j, coord in enumerate(coords):
             bit = F.shiftright(coord, i).bitwiseAND(F.lit(1))
             z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
     key = "__zorder"
-    return df.withColumn(key, z), key
+    out = out.withColumn(key, z)
+    if mapping == "quantile":
+        out = out.drop(*[f"__q_{c}" for c in cols])
+    return out, key
 
 
 def write_zordered(
@@ -172,12 +218,13 @@ def write_zordered(
     bits: int = 12,
     target_partitions: int = 8,
     max_records_per_file: int | None = None,
+    mapping: str = "minmax",
 ) -> None:
     """Write ``df`` Z-order-clustered on ``cols``: range-partition +
     sort on the Morton key so every output file covers a compact
     hyper-rectangle — multi-dimension min/max file skipping for the
     price of one write (tested quantitatively in test_layout)."""
-    zdf, key = zorder_value(df, cols, bits)
+    zdf, key = zorder_value(df, cols, bits, mapping=mapping)
     writer = (
         zdf.repartitionByRange(target_partitions, F.col(key))
         .sortWithinPartitions(key)

@@ -202,3 +202,53 @@ def test_zorder_value_is_codegen_expression_no_udf(spark, sf_dir):
     b = sorted(r[key] for r in zorder_value(li, ["l_orderkey", "l_partkey"])[0]
                .limit(100).collect())
     assert a == b
+
+
+def _data_probe_candidate_fraction(path: str, col: str, probes) -> float:
+    """Candidate-file fraction for DATA-distributed probe values (what
+    real point queries hit), not domain-uniform ones."""
+    import glob
+
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in sorted(glob.glob(path + "/*.parquet")):
+        t = pq.read_table(f, columns=[col])[col]
+        if len(t):
+            spans.append((pc.min(t).as_py(), pc.max(t).as_py()))
+    hits = sum(
+        sum(1 for s in spans if s[0] <= p <= s[1]) for p in probes
+    )
+    return hits / (len(probes) * len(spans))
+
+
+def test_zorder_quantile_mapping_beats_minmax_on_powerlaw_column(
+    spark, tmp_path
+):
+    """On a power-law column, the min/max affine map crushes most rows
+    into a few grid cells (the bulk of the mass sits far below the
+    domain midpoint), so z-order files stay wide on that dimension.
+    The equi-depth quantile map must prune data-distributed probes
+    substantially better, without giving up the uniform dimension."""
+    from pyspark.sql import functions as F
+
+    from project_clinical_data_etl_pipeline_spark.plans.layout import write_zordered
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("a"),
+        F.pow(F.lit(10.0), (F.col("id") % 1000) / 250.0).alias("b"),
+    )
+    probes = [10.0 ** ((i * 97 % 1000) / 250.0) for i in range(50)]
+
+    mm = str(tmp_path / "mm")
+    qt = str(tmp_path / "qt")
+    write_zordered(df, mm, ["a", "b"], bits=8, target_partitions=16)
+    write_zordered(df, qt, ["a", "b"], bits=8, target_partitions=16,
+                   mapping="quantile")
+
+    mm_b = _data_probe_candidate_fraction(mm, "b", probes)
+    qt_b = _data_probe_candidate_fraction(qt, "b", probes)
+    qt_a = _avg_candidate_file_fraction(qt, "a")
+    assert qt_b < mm_b - 0.2, (mm_b, qt_b)
+    assert qt_a < 0.8
