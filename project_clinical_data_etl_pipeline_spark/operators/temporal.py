@@ -43,7 +43,7 @@ def _micros(col: Column) -> Column:
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    on: str | list[str],
     left_ts: str,
     right_ts: str,
     payload_cols: list[str],
@@ -52,7 +52,8 @@ def asof_join(
     direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for every left row, attach the payload of the
-    nearest right row of the same ``on`` key — the most recent with
+    nearest right row of the same ``on`` key (a column name or a
+    composite-key list) — the most recent with
     ``right_ts <= left_ts`` (``direction="backward"``, the default) or
     the earliest with ``right_ts >= left_ts`` (``"forward"`` — e.g.
     next-event attribution). LEFT semantics — unmatched left rows keep
@@ -82,6 +83,7 @@ def asof_join(
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     sign = 1 if direction == "backward" else -1
+    keys = [on] if isinstance(on, str) else list(on)
 
     # The whole right payload rides in ONE struct: last(ignorenulls)
     # over the struct keeps the matched tuple atomic (per-column
@@ -91,7 +93,7 @@ def asof_join(
     # bucket-summary max) follows the join direction; ts_us is the true
     # event time for output and tolerance.
     r = right.select(
-        F.col(on),
+        *[F.col(k) for k in keys],
         (F.lit(sign) * _micros(F.col(right_ts))).alias("__t"),
         F.lit(0).alias("__side"),
         F.struct(
@@ -104,7 +106,7 @@ def asof_join(
     )
     payload_type = r.schema["__p"].dataType
     l = left.select(
-        F.col(on),
+        *[F.col(k) for k in keys],
         (F.lit(sign) * _micros(F.col(left_ts))).alias("__t"),
         F.lit(1).alias("__side"),
         F.lit(None).cast(payload_type).alias("__p"),
@@ -117,7 +119,7 @@ def asof_join(
     # max tuple — deterministic under duplicate timestamps.
     if bucket_s is None:
         w = (
-            Window.partitionBy(on)
+            Window.partitionBy(*keys)
             .orderBy("__t", "__side", "__p")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
@@ -133,7 +135,7 @@ def asof_join(
         # in-bucket pass: same algorithm, partitions bounded by the
         # densest (key, bucket) slice
         w1 = (
-            Window.partitionBy(on, "__b")
+            Window.partitionBy(*keys, "__b")
             .orderBy("__t", "__side", "__p")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
@@ -148,18 +150,20 @@ def asof_join(
         # bucket INDEXES — probes sort before same-bucket summaries
         # (side -1 < 0) because in-bucket rights were already handled.
         # This window sees #buckets rows per key, not #events.
-        summaries = b_r.groupBy(on, "__b").agg(F.max("__p").alias("__p")).select(
-            F.col(on), F.col("__b"), F.lit(0).alias("__side"), F.col("__p")
+        summaries = b_r.groupBy(*keys, "__b").agg(F.max("__p").alias("__p")).select(
+            *[F.col(k) for k in keys], F.col("__b"),
+            F.lit(0).alias("__side"), F.col("__p")
         )
         probes = (
-            out.select(on, "__b").distinct()
+            out.select(*keys, "__b").distinct()
             .select(
-                F.col(on), F.col("__b"), F.lit(-1).alias("__side"),
+                *[F.col(k) for k in keys], F.col("__b"),
+                F.lit(-1).alias("__side"),
                 F.lit(None).cast(payload_type).alias("__p"),
             )
         )
         w2 = (
-            Window.partitionBy(on)
+            Window.partitionBy(*keys)
             .orderBy("__b", "__side")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow)
         )
@@ -167,10 +171,10 @@ def asof_join(
             summaries.unionByName(probes)
             .withColumn("__c", F.last("__p", ignorenulls=True).over(w2))
             .filter(F.col("__side") == -1)
-            .select(on, "__b", "__c")
+            .select(*keys, "__b", "__c")
         )
         out = (
-            out.join(carried, on=[on, "__b"], how="left")
+            out.join(carried, on=[*keys, "__b"], how="left")
             # an in-bucket match always beats the carry (its ts is in a
             # strictly later bucket than anything carried forward)
             .withColumn("__m", F.coalesce(F.col("__m"), F.col("__c")))
@@ -197,7 +201,7 @@ def asof_join(
 def range_join_binned(
     left: DataFrame,
     right: DataFrame,
-    on: str,
+    on: str | list[str],
     left_ts: str,
     right_ts: str,
     lower_s: int,
@@ -222,14 +226,15 @@ def range_join_binned(
     width_us = (upper_s - lower_s) * 1_000_000
     lo_us = lower_s * 1_000_000
     up_us = upper_s * 1_000_000
+    keys = [on] if isinstance(on, str) else list(on)
 
     r = right.select(
-        F.col(on),
+        *[F.col(k) for k in keys],
         _micros(F.col(right_ts)).alias("__rt"),
         *[
             F.col(c).alias(f"right_{c}")
             for c in right.columns
-            if c not in (on, right_ts)
+            if c not in (*keys, right_ts)
         ],
     ).withColumn("__bucket", F.floor(F.col("__rt") / width_us))
 
@@ -246,7 +251,7 @@ def range_join_binned(
 
     gap = F.col("__rt") - F.col("__lt")
     return (
-        l.join(r, on=[on, "__bucket"])
+        l.join(r, on=[*keys, "__bucket"])
         .filter((gap > lo_us) & (gap <= up_us))
         .drop("__bucket")
         .withColumnRenamed("__lt", "left_ts_us")

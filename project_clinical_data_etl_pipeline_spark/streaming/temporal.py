@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 def stream_range_join(
     left_stream: DataFrame,
     right_stream: DataFrame,
-    on: str,
+    on: str | list[str],
     left_ts: str,
     right_ts: str,
     lower_s: int,
@@ -46,24 +46,26 @@ def stream_range_join(
             f"watermark_s={watermark_s} < window span {upper_s - lower_s}: "
             "in-window matches would be dropped as late"
         )
+    keys = [on] if isinstance(on, str) else list(on)
     l = left_stream.withWatermark(left_ts, f"{watermark_s} seconds")
     r = right_stream.withWatermark(right_ts, f"{watermark_s} seconds")
     r = r.select(
-        F.col(on).alias("__r_on"),
+        *[F.col(k).alias(f"__r_{k}") for k in keys],
         F.col(right_ts).alias("__r_ts"),
         *[
             F.col(c).alias(f"right_{c}")
             for c in right_stream.columns
-            if c not in (on, right_ts)
+            if c not in (*keys, right_ts)
         ],
     )
     cond = (
-        (F.col(on) == F.col("__r_on"))
-        & (F.col("__r_ts") > F.col(left_ts) + F.expr(f"INTERVAL {lower_s} SECONDS"))
+        (F.col("__r_ts") > F.col(left_ts) + F.expr(f"INTERVAL {lower_s} SECONDS"))
         & (F.col("__r_ts") <= F.col(left_ts) + F.expr(f"INTERVAL {upper_s} SECONDS"))
     )
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"__r_{k}"))
     return (
         l.join(r, cond, "inner")
         .withColumn("right_ts_us", F.unix_micros(F.col("__r_ts").cast("timestamp")))
-        .drop("__r_on", "__r_ts")
+        .drop(*[f"__r_{k}" for k in keys], "__r_ts")
     )

@@ -325,3 +325,28 @@ def test_corpus_top_ngrams_plan_is_partial_agg_topk(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan  # no global sort
     assert plan.count("HashAggregate") >= 2  # partial + final (map-side combine)
+
+
+def test_temporal_joins_accept_composite_keys(spark):
+    left = spark.createDataFrame(
+        [(1, 10, "us", "2024-01-01 00:10:00")],
+        ["event_id", "user_id", "region", "ts"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(100, 10, "us", "2024-01-01 00:05:00"),
+         (101, 10, "eu", "2024-01-01 00:09:00"),   # wrong region
+         (102, 11, "us", "2024-01-01 00:09:30")],  # wrong user
+        ["event_id", "user_id", "region", "ts"],
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    out = asof_join(left, right, on=["user_id", "region"], left_ts="ts",
+                    right_ts="ts", payload_cols=["event_id"])
+    assert _asof_pairs(out)[1][0] == 100
+    bucketed = asof_join(left, right, on=["user_id", "region"], left_ts="ts",
+                         right_ts="ts", payload_cols=["event_id"], bucket_s=60)
+    assert _asof_pairs(bucketed)[1][0] == 100
+
+    pairs = range_join_binned(left, right, on=["user_id", "region"],
+                              left_ts="ts", right_ts="ts",
+                              lower_s=-600, upper_s=0)
+    assert [r["right_event_id"] for r in pairs.collect()] == [100]
