@@ -34,8 +34,10 @@ RUNTIME_CONF: dict[str, str] = {
     # Oracle comparison (DuckDB is UTC-naive) — pin the session TZ.
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
-    # events.parquet stores TIMESTAMP(NANOS), which the vectorized reader
-    # rejects; read as long and convert at load (tables._convert_event_ts).
+    # events.parquet stores TIMESTAMP(NANOS). Older Spark rejects it
+    # without this conf (then it reads as a nanos long); Spark 4.1+
+    # reads it natively as TIMESTAMP_NTZ and IGNORES this conf. Kept
+    # for old runtimes — tables.convert_event_ts normalizes both forms.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 

@@ -350,3 +350,28 @@ def test_temporal_joins_accept_composite_keys(spark):
                               left_ts="ts", right_ts="ts",
                               lower_s=-600, upper_s=0)
     assert [r["right_event_id"] for r in pairs.collect()] == [100]
+
+
+def test_convert_event_ts_normalizes_long_ntz_and_timestamp(spark):
+    """The loader's ts normalization must produce an identical micros
+    TimestampType from all three runtime forms: a nanos long (older
+    Spark + legacy conf), TIMESTAMP_NTZ (Spark 4.1+ native NANOS read),
+    and an already-correct TIMESTAMP (idempotence)."""
+    from pyspark.sql.types import TimestampType
+
+    from project_clinical_data_etl_pipeline_spark.tables import convert_event_ts
+
+    us = 1_704_067_798_778_549  # 2024-01-01 00:09:58.778549 UTC
+    as_long = spark.createDataFrame([(us * 1000 + 999,)], "ts long")
+    as_ntz = spark.createDataFrame([(us,)], "us long").select(
+        F.timestamp_micros("us").cast("timestamp_ntz").alias("ts")
+    )
+    as_ts = spark.createDataFrame([(us,)], "us long").select(
+        F.timestamp_micros("us").alias("ts")
+    )
+    vals = []
+    for df in (as_long, as_ntz, as_ts):
+        out = convert_event_ts(df)
+        assert isinstance(out.schema["ts"].dataType, TimestampType)
+        vals.append(out.select(F.unix_micros("ts")).collect()[0][0])
+    assert vals == [us, us, us]  # nanos floored, NTZ/LTZ wall-clock kept
