@@ -71,8 +71,32 @@ def exists_in_array(df: DataFrame, arr: Column, pred) -> DataFrame:
 def array_remove_matching(arr: Column, pred) -> Column:
     """OP-13: array-element deletion by predicate (reference
     src/coding_task_1.py:199-204 removes the first 'us-ssn' identifier;
-    per SURVEY.md §2.10 we adopt remove-ALL — ``filter(a, NOT pred)``)."""
+    per SURVEY.md §2.10 we adopt remove-ALL — ``filter(a, NOT pred)``).
+    For the reference's exact first-only semantics use
+    :func:`array_remove_first_matching`."""
     return F.filter(arr, lambda x: ~pred(x))
+
+
+def array_remove_first_matching(arr: Column, pred) -> Column:
+    """OP-13 with the reference's EXACT semantics: delete only the
+    FIRST element satisfying ``pred`` (src/coding_task_1.py:199-204
+    ``break``s after one removal — a second matching identifier
+    survives there, and now here too). Closes the deliberate deviation
+    noted in SURVEY.md §2.3/§2.10 for callers that need bug-for-bug
+    parity.
+
+    Pure expressions, JVM-side: ``filter``'s positional lambda drops
+    the element whose index equals the first matching index. NULL and
+    no-match arrays pass through unchanged."""
+    first_idx = F.array_min(
+        F.filter(
+            F.transform(arr, lambda x, i: F.when(pred(x), i)),
+            lambda i: i.isNotNull(),
+        )
+    )
+    return F.when(
+        first_idx.isNull(), arr
+    ).otherwise(F.filter(arr, lambda x, i: i != first_idx))
 
 
 # ---------------------------------------------------------------------------

@@ -269,6 +269,22 @@ def test_asof_join_matches_bruteforce(spark, lefts, rights):
     got_b = {row["event_id"]: row["right_event_id"] for row in bucketed.collect()}
     assert got_b == expect
 
+    # forward direction vs its own brute force (earliest at-or-after)
+    fwd = asof_join(l, r, on="k", left_ts="ts", right_ts="ts",
+                    payload_cols=["event_id"], direction="forward")
+    got_f = {row["event_id"]: row["right_event_id"] for row in fwd.collect()}
+    expect_f = {}
+    for li, lk, lt in lrows:
+        cands = [(t, i) for i, k, t in rrows if k == lk and t >= lt]
+        if cands:
+            t0 = min(t for t, _ in cands)
+            # ties at the earliest ts resolve to the max payload tuple,
+            # same rule as backward
+            expect_f[li] = max(i for t, i in cands if t == t0)
+        else:
+            expect_f[li] = None
+    assert got_f == expect_f
+
 
 @settings(max_examples=15, deadline=None)
 @given(_EVENTS, _EVENTS)

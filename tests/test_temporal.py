@@ -375,3 +375,34 @@ def test_convert_event_ts_normalizes_long_ntz_and_timestamp(spark):
         assert isinstance(out.schema["ts"].dataType, TimestampType)
         vals.append(out.select(F.unix_micros("ts")).collect()[0][0])
     assert vals == [us, us, us]  # nanos floored, NTZ/LTZ wall-clock kept
+
+
+def test_array_remove_first_matching_exact_reference_semantics(spark):
+    """First-only removal (the reference breaks after one deletion):
+    a SECOND matching element must survive — the exact behavior the
+    remove-all form deliberately deviates from."""
+    from project_clinical_data_etl_pipeline_spark.operators.relational import (
+        array_remove_first_matching,
+        array_remove_matching,
+    )
+
+    df = spark.createDataFrame(
+        [(1, ["a-ssn", "b", "c-ssn", "d"]),
+         (2, ["x", "y"]),
+         (3, []),
+         (4, None)],
+        "id long, arr array<string>",
+    )
+    pred = lambda x: x.contains("ssn")  # noqa: E731
+    got = {
+        r["id"]: (r["first_only"], r["all"])
+        for r in df.select(
+            "id",
+            array_remove_first_matching(F.col("arr"), pred).alias("first_only"),
+            array_remove_matching(F.col("arr"), pred).alias("all"),
+        ).collect()
+    }
+    assert got[1] == (["b", "c-ssn", "d"], ["b", "d"])  # second match survives
+    assert got[2] == (["x", "y"], ["x", "y"])
+    assert got[3] == ([], [])
+    assert got[4] == (None, None)
