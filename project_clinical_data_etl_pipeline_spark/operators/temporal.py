@@ -85,6 +85,17 @@ def asof_join(
     sign = 1 if direction == "backward" else -1
     keys = [on] if isinstance(on, str) else list(on)
 
+    # Equi-join NULL semantics: a right row with a NULL key or NULL
+    # timestamp can never satisfy `r.key = l.key AND r.ts <= l.ts`, but
+    # partitionBy groups NULL keys together and a NULL sort key orders
+    # FIRST (a "-infinity" match) — so drop such right rows up front.
+    # Left rows with NULL key/ts stay and get NULL payloads (LEFT
+    # semantics), matching the SQL oracle.
+    right_valid = F.col(right_ts).isNotNull()
+    for k in keys:
+        right_valid = right_valid & F.col(k).isNotNull()
+    right = right.filter(right_valid)
+
     # The whole right payload rides in ONE struct: last(ignorenulls)
     # over the struct keeps the matched tuple atomic (per-column
     # last() would stitch together values from different right rows

@@ -337,8 +337,6 @@ def corpus_top_ngrams(
     the final top-k compiles to TakeOrderedAndProject — no global sort
     of the n-gram vocabulary ever materializes.
     """
-    from pyspark.sql import functions as F
-
     words = words_array(F.col(text_col))
     grams = ngrams_array(words, n)
     if by_doc_freq:

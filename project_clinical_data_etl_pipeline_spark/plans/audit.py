@@ -80,8 +80,13 @@ def audit_plan(
             "built-in expressions or an Arrow kernel (pandas_udf/mapInPandas)"
         )
     if not allow_python_kernels:
-        for op in _ARROW_OPS:
-            if op in plan:
+        # longest names first, consuming matches — otherwise
+        # FlatMapGroupsInPandasWithState would ALSO fire the plain
+        # FlatMapGroupsInPandas finding for the same operator
+        remaining = plan
+        for op in sorted(_ARROW_OPS, key=len, reverse=True):
+            if op in remaining:
+                remaining = remaining.replace(op, "")
                 findings.append(
                     f"{op}: Python kernel in a plan declared JVM-only — "
                     "either expected (pass allow_python_kernels=True) or a "
@@ -99,14 +104,24 @@ def audit_plan(
 
     if max_scan_columns is not None:
         # the plan text truncates long schemas ("struct<a:bigint,...")
-        # with no closing bracket — capture to end of line and count the
-        # name:type fields actually shown (a truncated schema already
-        # shows more than any sane max_scan_columns)
+        # with no closing bracket — capture to end of line and count
+        # TOP-LEVEL fields only (depth-0 commas; a nested
+        # struct<x:int,y:int> is one column, not two). A truncated
+        # schema already shows more than any sane max_scan_columns.
         for m in re.finditer(r"ReadSchema: struct<([^\n]*)", plan):
-            cols = [c for c in m.group(1).split(",") if ":" in c]
-            if len(cols) > max_scan_columns:
+            body, depth, n_cols = m.group(1), 0, 0
+            for i, ch in enumerate(body):
+                if ch == "<":
+                    depth += 1
+                elif ch == ">":
+                    depth -= 1
+                elif ch == ":" and depth == 0 and n_cols == 0:
+                    n_cols = 1
+                elif ch == "," and depth == 0:
+                    n_cols += 1
+            if n_cols > max_scan_columns:
                 findings.append(
-                    f"scan reads {len(cols)} columns (> {max_scan_columns}): "
+                    f"scan reads {n_cols} columns (> {max_scan_columns}): "
                     "projection did not prune the scan — check for a "
                     "select(*) or a UDF blocking column pruning"
                 )

@@ -148,6 +148,11 @@ def zorder_value(
     if mapping not in ("minmax", "quantile"):
         raise ValueError(f"mapping must be minmax|quantile, got {mapping!r}")
     n = len(cols)
+    # JVM shiftleft masks the shift amount to 6 bits, so interleaved
+    # positions ≥ 63 would silently wrap onto low-order bits (and 63
+    # itself is the sign bit, breaking the sort) — clamp per-dimension
+    # resolution to what one signed long can hold.
+    bits = min(bits, 63 // n)
     out = df
     coords = []
     if mapping == "minmax":
@@ -174,10 +179,12 @@ def zorder_value(
         cells = 1 << bits
         spark = df.sparkSession
         probs = [i / cells for i in range(1, cells)]
-        for c in cols:
-            edges = df.select(F.col(c).cast("double").alias(c)).approxQuantile(
-                c, probs, 0.001
-            )
+        # ONE approxQuantile action for every column (one input scan),
+        # not one scan per column
+        all_edges = df.select(
+            *[F.col(c).cast("double").alias(c) for c in cols]
+        ).approxQuantile(cols, probs, 0.001)
+        for c, edges in zip(cols, all_edges):
             # collapse duplicate edges (heavy hitters span buckets);
             # ranges: (-inf, e0), [e0, e1), ..., [ek, +inf)
             uniq = sorted(set(edges))

@@ -14,12 +14,12 @@ point no right row at-or-before it can still arrive — so every emitted
 match equals the batch ``asof_join`` answer. Lefts newer than the
 final watermark stay pending (the streaming tail, like open sessions).
 
-State per key is O(watermark horizon), not O(history): rights at or
-below the watermark are pruned to the single latest one (any older
-right is dominated by it for every still-pending or future left —
-both have event time above the watermark), rights above it are kept
-until the watermark passes them, and pending lefts drain at
-finalization. Keys partition across the cluster; a timeout flushes
+State per key is O(watermark horizon), not O(history): rights
+strictly below the watermark are pruned to the single latest one (any
+older right is dominated by it for every still-pending or future left
+— their event times are at or above the watermark), rights at or
+above it are kept until the watermark strictly passes them, and
+pending lefts drain at finalization. Keys partition across the cluster; a timeout flushes
 pending lefts when the watermark advances with no new key traffic.
 """
 
@@ -73,12 +73,16 @@ def _make_asof_fn():
 
         wm_us = state.getCurrentWatermarkMs() * 1000
 
-        # finalize lefts the watermark has passed: argmax right with
-        # ts ≤ left ts, ties by (ts, id) — the batch payload-struct order
+        # finalize lefts the watermark has STRICTLY passed: Spark's
+        # contract only guarantees no more data with event time < the
+        # watermark, so a right at exactly the watermark may still
+        # arrive — a left at lt == wm must keep pending. Argmax right
+        # with ts ≤ left ts, ties by (ts, id) — the batch
+        # payload-struct order.
         out = []
         keep_l_ids, keep_l_ts = [], []
         for lid, lt in zip(l_ids, l_ts):
-            if lt <= wm_us:
+            if lt < wm_us:
                 cands = [(rt, rid) for rid, rt in zip(r_ids, r_ts) if rt <= lt]
                 if cands:
                     mt, mid = max(cands)
@@ -88,10 +92,12 @@ def _make_asof_fn():
             else:
                 keep_l_ids.append(lid); keep_l_ts.append(lt)
 
-        # prune rights: latest at-or-below watermark dominates the rest
-        below = [(rt, rid) for rid, rt in zip(r_ids, r_ts) if rt <= wm_us]
+        # prune rights: the latest one strictly below the watermark
+        # dominates the rest for every pending/future left (their event
+        # times are ≥ the watermark); rights at or above it stay whole
+        below = [(rt, rid) for rid, rt in zip(r_ids, r_ts) if rt < wm_us]
         keep = [max(below)] if below else []
-        keep += [(rt, rid) for rid, rt in zip(r_ids, r_ts) if rt > wm_us]
+        keep += [(rt, rid) for rid, rt in zip(r_ids, r_ts) if rt >= wm_us]
         keep_r_ts = [rt for rt, _ in keep]
         keep_r_ids = [rid for _, rid in keep]
 

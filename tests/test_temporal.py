@@ -406,3 +406,42 @@ def test_array_remove_first_matching_exact_reference_semantics(spark):
     assert got[2] == (["x", "y"], ["x", "y"])
     assert got[3] == ([], [])
     assert got[4] == (None, None)
+
+
+def test_asof_null_right_ts_and_null_keys_never_match(spark):
+    """SQL equi-join semantics: a right row with NULL ts or NULL key
+    can never satisfy `r.key = l.key AND r.ts <= l.ts` — it must not
+    become a '-infinity' match, and NULL keys must not match each
+    other. Left rows keep LEFT semantics (returned with NULL match)."""
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 00:10:00"), (2, None, "2024-01-01 00:10:00")],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(100, 10, None),                      # NULL ts: never matches
+         (101, None, "2024-01-01 00:01:00")],  # NULL key: never matches
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    for kwargs in ({}, {"bucket_s": 60}):
+        out = asof_join(left, right, on="user_id", left_ts="ts",
+                        right_ts="ts", payload_cols=["event_id"], **kwargs)
+        pairs = _asof_pairs(out)
+        assert pairs == {1: (None, None), 2: (None, None)}, kwargs
+
+
+def test_zorder_bits_clamped_to_long_capacity(spark):
+    """bits × n_cols beyond 63 would wrap JVM shift amounts (masked to
+    6 bits) and silently corrupt the Morton key — the clamp must keep
+    every interleaved position inside a signed long and the key
+    non-negative."""
+    from pyspark.sql import functions as F_
+
+    from project_clinical_data_etl_pipeline_spark.plans.layout import zorder_value
+
+    df = spark.range(100).select(
+        *[(F_.col("id") * (i + 1) % 97).alias(f"c{i}") for i in range(6)]
+    )
+    zdf, key = zorder_value(df, [f"c{i}" for i in range(6)], bits=16)
+    mn, mx = zdf.agg(F_.min(key), F_.max(key)).collect()[0]
+    assert mn >= 0
+    assert mx < (1 << 60)  # 6 cols × clamped 10 bits
