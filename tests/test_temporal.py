@@ -445,3 +445,23 @@ def test_zorder_bits_clamped_to_long_capacity(spark):
     mn, mx = zdf.agg(F_.min(key), F_.max(key)).collect()[0]
     assert mn >= 0
     assert mx < (1 << 60)  # 6 cols × clamped 10 bits
+
+
+def test_range_join_null_keys_and_ts_never_match(spark):
+    """The binned range join is an equi-join, so NULL keys/timestamps
+    must drop out on both sides — pinned so a future reformulation
+    (e.g. null-safe join) can't silently change semantics."""
+    left = spark.createDataFrame(
+        [(1, 10, "2024-01-01 00:10:00"), (2, None, "2024-01-01 00:10:00"),
+         (3, 10, None)],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(100, 10, "2024-01-01 00:05:00"), (101, None, "2024-01-01 00:05:00"),
+         (102, 10, None)],
+        "event_id long, user_id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    pairs = range_join_binned(left, right, on="user_id", left_ts="ts",
+                              right_ts="ts", lower_s=-600, upper_s=0)
+    got = [(r["event_id"], r["right_event_id"]) for r in pairs.collect()]
+    assert got == [(1, 100)]
