@@ -465,3 +465,19 @@ def test_range_join_null_keys_and_ts_never_match(spark):
                               right_ts="ts", lower_s=-600, upper_s=0)
     got = [(r["event_id"], r["right_event_id"]) for r in pairs.collect()]
     assert got == [(1, 100)]
+
+
+def test_asof_bucketed_window_partitions_by_key_and_bucket(spark):
+    """The skew variant's whole point is the shuffle key: the in-bucket
+    window must hash-partition on (key, bucket), not on the key alone —
+    pinned so the hot-key split can't silently regress."""
+    left = _ts_df(spark, [(1, 10, "2024-01-01 00:10:00")],
+                  ["event_id", "user_id", "ts"])
+    right = _ts_df(spark, [(100, 10, "2024-01-01 00:05:00")],
+                   ["event_id", "user_id", "ts"])
+    out = asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts",
+                    payload_cols=["event_id"], bucket_s=60)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(user_id#" in plan.replace("L", "")
+    assert plan.count("hashpartitioning(user_id") >= 2  # in-bucket + carry
+    assert "__b" in plan
