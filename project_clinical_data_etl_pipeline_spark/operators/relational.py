@@ -224,10 +224,40 @@ def time_bucket_trend(
 def latest_per_key(df: DataFrame, key: str, ts: str) -> DataFrame:
     """OP-40 ranking variant: latest row per key ("latest observation per
     patient", insights.md:173). One shuffle on the key; ties broken by
-    the key column for determinism."""
+    the key column for determinism. For skewed keys prefer
+    :func:`argmax_per_key` — same answer, no window."""
     w = Window.partitionBy(key).orderBy(F.col(ts).desc())
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def argmax_per_key(
+    df: DataFrame,
+    keys: str | list[str],
+    order_cols: list[str],
+    desc: bool = True,
+) -> DataFrame:
+    """Top-1 row per key WITHOUT a window: ``max_by(struct(all columns),
+    struct(order_cols))`` in a plain aggregation. Same answer as the
+    row_number()-window form (ties resolve to the max/min order tuple —
+    make it unique by appending a tiebreak column), equivalence-tested.
+
+    Why it matters at scale: a ranking window sorts every key group in
+    ONE task — a hot key becomes a straggler sorting its whole history.
+    An aggregate gets map-side partial combine: each partition reduces
+    a hot key to a single candidate row before the exchange, so the
+    shuffle carries one row per (partition × key) and no task ever
+    sorts a key's full history. Skew-robust top-1 for free; for top-k
+    with small k, aggregate k-element sorted arrays similarly.
+
+    ``desc=True`` keeps the MAX order tuple (latest-by-timestamp);
+    ``desc=False`` the MIN (first-by-timestamp)."""
+    key_list = [keys] if isinstance(keys, str) else list(keys)
+    order = F.struct(*[F.col(c) for c in order_cols])
+    payload = F.struct(*[F.col(c) for c in df.columns])
+    agg = F.max_by(payload, order) if desc else F.min_by(payload, order)
+    picked = df.groupBy(*key_list).agg(agg.alias("__row"))
+    return picked.select(*[F.col(f"__row.{c}").alias(c) for c in df.columns])

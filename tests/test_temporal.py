@@ -481,3 +481,49 @@ def test_asof_bucketed_window_partitions_by_key_and_bucket(spark):
     assert "hashpartitioning(user_id#" in plan.replace("L", "")
     assert plan.count("hashpartitioning(user_id") >= 2  # in-bucket + carry
     assert "__b" in plan
+
+
+# ---------------------------------------------------------------------------
+# Windowless argmax (skew-robust top-1 per key)
+
+
+def test_argmax_per_key_equals_window_form_on_events(spark, sf_dir):
+    """The max_by aggregation must return exactly the ranking-window
+    answer on real data (ties pinned by event_id), while its plan is a
+    partial-combine aggregate — no Window, no per-key sort."""
+    from project_clinical_data_etl_pipeline_spark.operators.relational import (
+        argmax_per_key,
+    )
+    from project_clinical_data_etl_pipeline_spark.tables import load
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    windowed = {
+        (r["user_id"], r["event_id"])
+        for r in e.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1").select("user_id", "event_id").collect()
+    }
+    agged = argmax_per_key(e, "user_id", ["ts", "event_id"])
+    got = {(r["user_id"], r["event_id"]) for r in agged.collect()}
+    assert got == windowed
+
+    plan = agged._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert plan.count("HashAggregate") >= 2 or plan.count("SortAggregate") >= 2
+
+    # min_by twin: earliest per key
+    first = argmax_per_key(e, "user_id", ["ts", "event_id"], desc=False)
+    w2 = Window.partitionBy("user_id").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    want_first = {
+        (r["user_id"], r["event_id"])
+        for r in e.withColumn("rn", F.row_number().over(w2))
+        .filter("rn = 1").select("user_id", "event_id").collect()
+    }
+    assert {(r["user_id"], r["event_id"]) for r in first.collect()} == want_first
