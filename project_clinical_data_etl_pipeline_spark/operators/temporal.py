@@ -35,9 +35,26 @@ from pyspark.sql import functions as F
 def _micros(col: Column) -> Column:
     """Strict-µs epoch for any timestamp flavor: TIMESTAMP passes the
     cast untouched; TIMESTAMP_NTZ (Spark 4.1+ reads parquet NANOS as
-    NTZ) converts via the session TZ (pinned UTC). Differences and
-    orderings are TZ-invariant either way."""
+    NTZ) converts via the SESSION TIMEZONE. Differences/orderings after
+    the cast are offset-invariant ONLY for fixed-offset zones — under a
+    DST zone the NTZ→TIMESTAMP cast is non-linear and windows could
+    shift by an hour across transitions. Correctness therefore depends
+    on session.py pinning spark.sql.session.timeZone=UTC
+    (RUNTIME_CONF, applied by tune()); do not relax that pin."""
     return F.unix_micros(col.cast("timestamp"))
+
+
+def _check_right_prefix_collisions(left_cols: list[str], right_out: list[str]) -> None:
+    """Both temporal joins emit right payload columns as ``right_<name>``
+    while passing left columns through unrenamed — a left column already
+    named ``right_<payload>`` would silently produce duplicate output
+    names. Fail fast instead."""
+    clash = sorted(set(left_cols) & set(right_out))
+    if clash:
+        raise ValueError(
+            f"left columns {clash} collide with generated right_* output "
+            "names; rename them before the temporal join"
+        )
 
 
 def asof_join(
@@ -84,6 +101,9 @@ def asof_join(
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     sign = 1 if direction == "backward" else -1
     keys = [on] if isinstance(on, str) else list(on)
+    _check_right_prefix_collisions(
+        left.columns, [f"right_{c}" for c in payload_cols] + ["right_ts_us"]
+    )
 
     # Equi-join NULL semantics: a right row with a NULL key or NULL
     # timestamp can never satisfy `r.key = l.key AND r.ts <= l.ts`, but
@@ -234,10 +254,20 @@ def range_join_binned(
     ``right_`` (the asof_join convention), and both timestamps in µs —
     aggregate downstream as needed.
     """
+    if upper_s <= lower_s:
+        # width 0/negative would make F.floor(col/width) NULL under
+        # non-ANSI mode — a silent zero-row join. Fail fast like
+        # asof_join's direction validation.
+        raise ValueError(f"upper_s ({upper_s}) must be > lower_s ({lower_s})")
     width_us = (upper_s - lower_s) * 1_000_000
     lo_us = lower_s * 1_000_000
     up_us = upper_s * 1_000_000
     keys = [on] if isinstance(on, str) else list(on)
+    _check_right_prefix_collisions(
+        left.columns,
+        [f"right_{c}" for c in right.columns if c not in (*keys, right_ts)]
+        + ["right_ts_us", "left_ts_us"],
+    )
 
     r = right.select(
         *[F.col(k) for k in keys],

@@ -41,6 +41,8 @@ def stream_range_join(
     Output columns: left columns unprefixed, right columns prefixed
     ``right_`` (the temporal-operator convention).
     """
+    if upper_s <= lower_s:
+        raise ValueError(f"upper_s ({upper_s}) must be > lower_s ({lower_s})")
     if watermark_s < (upper_s - lower_s):
         raise ValueError(
             f"watermark_s={watermark_s} < window span {upper_s - lower_s}: "

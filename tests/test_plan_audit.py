@@ -18,11 +18,15 @@ from project_clinical_data_etl_pipeline_spark.tables import load
 def test_flags_cartesian_product(spark):
     a = spark.range(10)
     b = spark.range(10).withColumnRenamed("id", "id2")
+    prior = spark.conf.get("spark.sql.crossJoin.enabled")
     spark.conf.set("spark.sql.crossJoin.enabled", "true")
-    bad = a.crossJoin(b).filter("id + id2 > 5")
-    bad.count()
-    assert any("CartesianProduct" in f or "NestedLoop" in f
-               for f in audit_plan(bad))
+    try:
+        bad = a.crossJoin(b).filter("id + id2 > 5")
+        bad.count()
+        assert any("CartesianProduct" in f or "NestedLoop" in f
+                   for f in audit_plan(bad))
+    finally:
+        spark.conf.set("spark.sql.crossJoin.enabled", prior)
 
 
 def test_flags_row_at_a_time_python_udf(spark):
@@ -62,6 +66,7 @@ def test_flags_unpruned_scan(spark, sf_dir):
 def test_flags_shuffle_join_when_broadcast_expected(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")
+    prior = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
         j = o.join(li, o.o_orderkey == li.l_orderkey)
@@ -69,8 +74,7 @@ def test_flags_shuffle_join_when_broadcast_expected(spark, sf_dir):
         assert any("broadcast" in f.lower()
                    for f in audit_plan(j, expect_broadcast_only=True))
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
-                       str(64 * 1024 * 1024))
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prior)
 
 
 # ---------------------------------------------------------------------------

@@ -527,3 +527,37 @@ def test_argmax_per_key_equals_window_form_on_events(spark, sf_dir):
         .filter("rn = 1").select("user_id", "event_id").collect()
     }
     assert {(r["user_id"], r["event_id"]) for r in first.collect()} == want_first
+
+
+def test_range_join_rejects_degenerate_interval(spark):
+    import pytest
+    from project_clinical_data_etl_pipeline_spark.streaming.temporal import (
+        stream_range_join,
+    )
+
+    left = _ts_df(spark, [(1, 10, "2024-01-01 00:10:00")],
+                  ["event_id", "user_id", "ts"])
+    right = _ts_df(spark, [(100, 10, "2024-01-01 00:09:00")],
+                   ["event_id", "user_id", "ts"])
+    for lo, up in [(0, 0), (5, -5), (7, 7)]:
+        with pytest.raises(ValueError, match="must be > lower_s"):
+            range_join_binned(left, right, on="user_id", left_ts="ts",
+                              right_ts="ts", lower_s=lo, upper_s=up)
+        with pytest.raises(ValueError, match="must be > lower_s"):
+            stream_range_join(left, right, on="user_id", left_ts="ts",
+                              right_ts="ts", lower_s=lo, upper_s=up)
+
+
+def test_temporal_joins_reject_right_prefix_collisions(spark):
+    import pytest
+
+    left = _ts_df(spark, [(1, 10, "2024-01-01 00:10:00", "x")],
+                  ["event_id", "user_id", "ts", "right_event_id"])
+    right = _ts_df(spark, [(100, 10, "2024-01-01 00:09:00")],
+                   ["event_id", "user_id", "ts"])
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts",
+                  payload_cols=["event_id"])
+    with pytest.raises(ValueError, match="collide"):
+        range_join_binned(left, right, on="user_id", left_ts="ts",
+                          right_ts="ts", lower_s=-600, upper_s=0)
