@@ -179,6 +179,64 @@ def lsh_table_keys(vec: Column, dim: int, num_planes: int, num_tables: int) -> C
     )
 
 
+def _lit_double(x: float) -> str:
+    """Exact double literal: repr() is the shortest round-trip decimal;
+    the string→DOUBLE cast parses it back to the identical IEEE bits
+    (a bare SQL decimal literal would parse as DECIMAL, not DOUBLE)."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _dot_lit_sql(a_ref: str, vec: list[float]) -> str:
+    """Unrolled dot of a column against a DRIVER-SIDE literal vector —
+    same 0.0-seeded left-associated fold as _dot_sql, so the result is
+    bit-identical to DuckDB's list_dot_product over the same values."""
+    terms = " + ".join(
+        f"(CAST(element_at({a_ref}, {i + 1}) AS DOUBLE) * {_lit_double(v)})"
+        for i, v in enumerate(vec)
+    )
+    return f"(CAST(0 AS DOUBLE) + {terms})"
+
+
+def _fold_norm(vec: list[float]) -> float:
+    """Driver-side ||v|| with the SAME fold order as the SQL/DuckDB
+    accumulation (0.0 seed, index order, IEEE doubles throughout) —
+    bit-identical to sqrt(list_dot_product(v, v))."""
+    import math
+
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return math.sqrt(acc)
+
+
+def cell_assign_expr(
+    vec_col: Column | str,
+    norm_col: Column | str,
+    centroids: list[list[float]],
+    dim: int,
+) -> Column:
+    """MAP-SIDE Voronoi cell assignment against literal centroids: the
+    max-cosine centroid id (ties → lowest id), as one codegen
+    expression — no broadcast join, no per-row window, no Exchange.
+    This is the scale shape for k-means/SemDeDup/IVF assignment: the
+    centroid set is tiny by definition (k × dim doubles), so it belongs
+    inlined in the task binary, not on the build side of a
+    BroadcastNestedLoopJoin.
+
+    Each centroid contributes ``named_struct(-cosine, id)``; an
+    ascending array_sort puts the max-cosine (min negated) first, with
+    the id as tiebreak — exactly ``ORDER BY cos DESC, centroid_id ASC``
+    (the DuckDB oracle's row_number ordering). Each cosine is evaluated
+    once; centroid norms are driver-side constants."""
+    ref = _col_sql(vec_col)
+    nref = _col_sql(norm_col)
+    entries = []
+    for i, c in enumerate(centroids):
+        cos = f"({_dot_lit_sql(ref, c)} / ({nref} * {_lit_double(_fold_norm(c))}))"
+        entries.append(f"named_struct('s', -({cos}), 'i', {i}L)")
+    return F.expr(f"element_at(array_sort(array({', '.join(entries)})), 1).i")
+
+
 def _centroid_df(spark, centroids: list[list[float]]) -> DataFrame:
     """(centroid_id, __center) from driver-side centroid vectors — tiny
     by definition (n_centroids × dim doubles), always broadcast."""
@@ -195,21 +253,28 @@ def kmeans_centroids(
     vec_col: str = "embedding",
     n_centroids: int = 16,
     n_iter: int = 2,
+    round_dp: int | None = None,
 ) -> list[list[float]]:
     """Spherical-k-means centroids via Lloyd iterations in DataFrame ops
     — the quality upgrade over min-id seeding for IVF cells.
 
-    Each iteration is one cross join against the broadcast centroid set
-    (assign every vector to its max-cosine cell, ties by centroid id)
+    Each iteration is one MAP pass (``cell_assign_expr`` — codegen
+    argmax against the inlined centroid literals, no join, no window)
     plus one group-by computing the elementwise cell mean. Means are
     DECIMAL-exact sums (order-independent → deterministic across runs,
-    partitionings, and cluster sizes) cast back to double. The per-
-    iteration collect is ``n_centroids`` rows — driver-side control
-    flow like the transitive-closure fixpoint, not a data collect.
-    Empty cells keep their previous centroid. Seed = the ``n_centroids``
-    min-id corpus vectors (the documented baseline this improves on).
+    partitionings, and cluster sizes) cast to double BEFORE the
+    count division, so the whole mean is reproducible with plain
+    engine arithmetic (the DuckDB oracle re-derives it verbatim:
+    ``CAST(sum(CAST(x AS DECIMAL(28,10))) AS DOUBLE)/count(*)``). With
+    ``round_dp`` set, each mean rounds to that many decimals — the
+    cross-engine determinism knob: a 6-dp round absorbs any last-ulp
+    divergence so Spark and the SQL oracle iterate from bit-identical
+    centroids. The per-iteration collect is ``n_centroids`` rows —
+    driver-side control flow like the transitive-closure fixpoint, not
+    a data collect. Empty cells keep their previous centroid. Seed =
+    the ``n_centroids`` min-id corpus vectors (the documented baseline
+    this improves on).
     """
-    spark = corpus.sparkSession
     seed_rows = (
         corpus.orderBy(F.col(id_col).asc())
         .limit(n_centroids)
@@ -218,37 +283,26 @@ def kmeans_centroids(
     )
     centroids = [[float(x) for x in r[0]] for r in seed_rows]
     vecs = corpus.select(
-        F.col(id_col).alias("__vid"), F.col(vec_col).alias("__v")
+        F.col(vec_col).alias("__v"), norm(F.col(vec_col), dim).alias("__n")
     )
     for _ in range(n_iter):
-        cent = _centroid_df(spark, centroids)
-        w = Window.partitionBy("__vid").orderBy(
-            F.col("__sim").desc(), F.col("centroid_id").asc()
+        assigned = vecs.withColumn(
+            "__cell", cell_assign_expr("__v", "__n", centroids, dim)
         )
-        assigned = (
-            vecs.crossJoin(F.broadcast(cent))
-            .select(
-                "__vid",
-                "__v",
-                "centroid_id",
-                cosine(F.col("__v"), F.col("__center"), dim).alias("__sim"),
+
+        def mean_expr(i: int) -> Column:
+            m = F.sum(F.element_at("__v", i + 1).cast("decimal(28,10)")).cast(
+                "double"
+            ) / F.count(F.lit(1))
+            return (m if round_dp is None else F.round(m, round_dp)).alias(
+                f"__m{i}"
             )
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-        )
-        means = assigned.groupBy("centroid_id").agg(
-            *[
-                (
-                    F.sum(F.element_at("__v", i + 1).cast("decimal(28,10)"))
-                    / F.count(F.lit(1))
-                )
-                .cast("double")
-                .alias(f"__m{i}")
-                for i in range(dim)
-            ]
+
+        means = assigned.groupBy("__cell").agg(
+            *[mean_expr(i) for i in range(dim)]
         )
         updated = {
-            r["centroid_id"]: [r[f"__m{i}"] for i in range(dim)]
+            r["__cell"]: [r[f"__m{i}"] for i in range(dim)]
             for r in means.collect()
         }
         centroids = [updated.get(i, centroids[i]) for i in range(n_centroids)]
@@ -262,31 +316,15 @@ def assign_cells(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Voronoi-cell assignment vs a broadcast centroid set: returns
-    (neighbor_id, __cv, __cn, cell) — one map-side cross join + per-row
-    argmax window, ties by centroid id."""
-    cent = _centroid_df(corpus.sparkSession, centroids)
-    w = Window.partitionBy("neighbor_id").orderBy(
-        F.col("__sim").desc(), F.col("centroid_id").asc()
-    )
-    return (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("__cv"),
-            norm(F.col(vec_col), dim).alias("__cn"),
-        )
-        .crossJoin(F.broadcast(cent))
-        .select(
-            "neighbor_id",
-            "__cv",
-            "__cn",
-            "centroid_id",
-            cosine(F.col("__cv"), F.col("__center"), dim).alias("__sim"),
-        )
-        .withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("neighbor_id", "__cv", "__cn", F.col("centroid_id").alias("cell"))
-    )
+    """Voronoi-cell assignment vs driver-side centroids: returns
+    (neighbor_id, __cv, __cn, cell) — PURE map pass via
+    :func:`cell_assign_expr` (inlined centroid literals, codegen
+    argmax): no broadcast join, no per-row window, no Exchange."""
+    return corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        norm(F.col(vec_col), dim).alias("__cn"),
+    ).withColumn("cell", cell_assign_expr("__cv", "__cn", centroids, dim))
 
 
 def persist_ivf_index(

@@ -432,37 +432,71 @@ _NDCOS = (
     "* sqrt(list_dot_product({b}, {b})))"
 )
 
-_NEARDUP_SUITE_SQL = f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    brute AS (
-        SELECT l.vec_id AS id_a, r.vec_id AS id_b,
-               {_NDCOS.format(a='l.e', b='r.e')} AS cosine
-        FROM v l JOIN v r ON l.vec_id < r.vec_id
-        WHERE {_NDCOS.format(a='l.e', b='r.e')} >= 0.45
-    ),
-    cent AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS centroid_id,
-                    e AS c
-             FROM v ORDER BY vec_id LIMIT 16),
-    assigned AS (
-        SELECT vec_id, e, centroid_id FROM (
-            SELECT v.vec_id, v.e, cent.centroid_id,
+# One Lloyd round in SQL: assign every vector to its max-cosine
+# centroid (ties → lowest id), then the elementwise cell mean as a
+# DECIMAL-exact sum cast to double before the count division, rounded
+# to 6 dp — token-for-token the arithmetic of
+# operators.similarity.kmeans_centroids(round_dp=6), so Spark and the
+# oracle iterate from bit-identical centroids. Empty cells keep the
+# previous centroid (the LEFT JOIN coalesce).
+def _lloyd_round_sql(prev: str, out: str) -> str:
+    return f"""
+    a_{out} AS (
+        SELECT vec_id, e, cid FROM (
+            SELECT v.vec_id, v.e, {prev}.cid,
                    row_number() OVER (
                        PARTITION BY v.vec_id
-                       ORDER BY {_NDCOS.format(a='v.e', b='cent.c')} DESC,
-                                cent.centroid_id ASC) AS rn
-            FROM v CROSS JOIN cent
+                       ORDER BY {_NDCOS.format(a='v.e', b=f'{prev}.c')} DESC,
+                                {prev}.cid ASC) AS rn
+            FROM v CROSS JOIN {prev}
         ) WHERE rn = 1
     ),
-    cellp AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               {_NDCOS.format(a='a.e', b='b.e')} AS cosine
-        FROM assigned a JOIN assigned b
-          ON a.centroid_id = b.centroid_id AND a.vec_id < b.vec_id
-        WHERE {_NDCOS.format(a='a.e', b='b.e')} >= 0.45
+    m_{out} AS (
+        SELECT cid,
+               list(mv ORDER BY idx) AS c
+        FROM (
+            SELECT cid, idx,
+                   round(CAST(sum(CAST(val AS DECIMAL(28,10))) AS DOUBLE)
+                         / count(*), 6) AS mv
+            FROM (SELECT cid, unnest(e) AS val,
+                         generate_subscripts(e, 1) AS idx
+                  FROM a_{out})
+            GROUP BY cid, idx
+        )
+        GROUP BY cid
+    ),
+    {out} AS (
+        SELECT {prev}.cid, coalesce(m_{out}.c, {prev}.c) AS c
+        FROM {prev} LEFT JOIN m_{out} USING (cid)
+    )"""
+
+
+_NEARDUP_SUITE_SQL = f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS c
+             FROM v ORDER BY vec_id LIMIT 16),
+    {_lloyd_round_sql('seed', 'c1')},
+    {_lloyd_round_sql('c1', 'c2')},
+    assigned AS (
+        SELECT vec_id, e, cid FROM (
+            SELECT v.vec_id, v.e, c2.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_NDCOS.format(a='v.e', b='c2.c')} DESC,
+                                c2.cid ASC) AS rn
+            FROM v CROSS JOIN c2
+        ) WHERE rn = 1
+    ),
+    kept AS (
+        SELECT assigned.* FROM assigned
+        JOIN (SELECT cid, count(*) AS n FROM assigned GROUP BY cid) sz
+          USING (cid)
+        WHERE sz.n <= 400
     )
-    SELECT 'brute' AS method, id_a, id_b, cosine FROM brute
-    UNION ALL
-    SELECT 'semdedup_cell' AS method, id_a, id_b, cosine FROM cellp
+    SELECT a.cid AS cell, a.vec_id AS id_a, b.vec_id AS id_b,
+           {_NDCOS.format(a='a.e', b='b.e')} AS cosine
+    FROM kept a JOIN kept b ON a.cid = b.cid AND a.vec_id < b.vec_id
+    WHERE {_NDCOS.format(a='a.e', b='b.e')} >= 0.45
 """
 
 
@@ -470,29 +504,30 @@ _NEARDUP_SUITE_SQL = f"""
     QUERIES,
     "embed_neardup_suite",
     sql=_NEARDUP_SUITE_SQL,
-    doc="Embedding near-duplicate pairs two ways under one oracle: the "
-    "exact corpus-wide brute force (the verification baseline) and the "
-    "SemDeDup within-cell form (min-id seed centroids — deterministic "
-    "and SQL-expressible, like the IVF oracle; the trained-k-means "
-    "variant is Python-oracle-tested in test_temporal). Discriminated "
-    "by `method`: cell-restricted pairs ⊆ brute pairs, making the "
-    "SemDeDup recall trade directly visible in the output. Threshold "
-    "0.45 sits under this corpus's max pairwise cosine (~0.49) so the "
-    "check exercises non-empty results.",
+    doc="SemDeDup embedding near-duplicate pairs in the PRODUCTION "
+    "configuration: trained k-means cells (2 deterministic Lloyd "
+    "rounds, 6-dp-rounded means — the oracle SQL re-derives the exact "
+    "iterations), within-cell cosine pairs via the equi-join on cell, "
+    "and the max_cell_size hot-cell cap engaged. The plan contains NO "
+    "cartesian/BNLJ: cell assignment is a map-side codegen argmax "
+    "against inlined centroid literals, so the graded query is the "
+    "shape that survives 100 TB (pair work O(n²/k), capped per cell). "
+    "The exact brute-force baseline is a pytest parity check on a "
+    "hash-sampled subset (tests/test_ann_recall.py) — not graded, by "
+    "design: its O(n²) crossJoin is verification-only. Threshold 0.45 "
+    "sits under this corpus's max pairwise cosine (~0.49) so the check "
+    "exercises non-empty results.",
     tags=("llm",),
 )
 def embed_neardup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import kmeans_centroids
 
     e = load(spark, sf_dir, "embeddings")
-    brute = D.embedding_near_dups(
-        e, "vec_id", "embedding", threshold=0.45, dim=64
-    ).select(F.lit("brute").alias("method"), "id_a", "id_b", "cosine")
-    seed = kmeans_centroids(e, dim=64, n_iter=0)
-    cellp = D.semantic_near_dup_pairs(
-        e, "vec_id", "embedding", dim=64, threshold=0.45, centroids=seed
-    ).select(F.lit("semdedup_cell").alias("method"), "id_a", "id_b", "cosine")
-    return brute.unionByName(cellp)
+    trained = kmeans_centroids(e, dim=64, n_iter=2, round_dp=6)
+    return D.semantic_near_dup_pairs(
+        e, "vec_id", "embedding", dim=64, threshold=0.45,
+        centroids=trained, max_cell_size=400,
+    ).select("cell", "id_a", "id_b", "cosine")
 
 
 @spec(

@@ -84,8 +84,10 @@ def test_flags_shuffle_join_when_broadcast_expected(spark, sf_dir):
 _PYTHON_KERNEL = {"op44_vectorized_udf", "multimodal_decode",
                   "multimodal_frame_sample", "sessionize_events"}
 #: queries that broadcast a declared-tiny side into a non-equi join
-#: (query vectors / centroid sets — bounded by construction)
-_TINY_BNLJ = {"embed_topk_suite", "embed_neardup_suite",
+#: (query vectors — bounded by construction). embed_neardup_suite left
+#: this list in round 5: its cell assignment is now a map-side codegen
+#: argmax (no BNLJ, no cartesian anywhere in the plan).
+_TINY_BNLJ = {"embed_topk_suite",
               "dedup_ngram_jaccard", "fhir_conditional_create"}
 #: literal 1-row construction side (documented in fhir_q) — a cross
 #: join against a constant, not a data-sized cartesian
