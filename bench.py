@@ -41,6 +41,15 @@ BENCH_QUERIES = [
     "dedup_minhash_pairs",
     "text_metrics_suite",
     "embed_topk_bruteforce",
+    # round-5 additions (families landed in round 4 with no perf
+    # telemetry): temporal joins, trained SemDeDup, iterative closure.
+    # Methodology (min-of-2, warmup set) is FROZEN from r4 — the r4
+    # totals remain comparable on the original 11; the total line now
+    # covers 15.
+    "asof_click_before_purchase",
+    "range_clicks_before_error",
+    "embed_neardup_suite",
+    "hierarchy_transitive_closure",
 ]
 
 #: Bench entries that are no longer standalone registry queries (merged

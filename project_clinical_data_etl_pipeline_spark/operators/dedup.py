@@ -813,7 +813,7 @@ def _assign_for_semdedup(df, id_col, vec_col, dim, centroids, n_centroids):
             df, dim=dim, id_col=id_col, vec_col=vec_col,
             n_centroids=n_centroids,
         )
-    return assign_cells(
+    assigned = assign_cells(
         df, centroids, dim=dim, id_col=id_col, vec_col=vec_col
     ).select(
         F.col("neighbor_id").alias("__id"),
@@ -821,6 +821,16 @@ def _assign_for_semdedup(df, id_col, vec_col, dim, centroids, n_centroids):
         F.col("__cn"),
         "cell",
     )
+    # assign-once: the downstream self-join (and the hot-cell count)
+    # would otherwise recompute the k×dim assignment expression on
+    # every branch — same localCheckpoint pattern as the MinHash
+    # sign-once. Assignment output is (id, vec, norm, cell): small
+    # relative to recomputing, and the lineage cut keeps ONE copy of
+    # the centroid argmax in the executed plan. fan_out FIRST: the
+    # checkpoint freezes the scan's partitioning, and a single small
+    # parquet file would otherwise serialize the entire O(n²/k) pair
+    # loop into one task (measured 3s+ single-threaded at sf0.1).
+    return fan_out(assigned).localCheckpoint(eager=False)
 
 
 def _cell_pairs(assigned, dim, threshold, max_cell_size):

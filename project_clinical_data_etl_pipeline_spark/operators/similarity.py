@@ -187,14 +187,21 @@ def _lit_double(x: float) -> str:
 
 
 def _dot_lit_sql(a_ref: str, vec: list[float]) -> str:
-    """Unrolled dot of a column against a DRIVER-SIDE literal vector —
-    same 0.0-seeded left-associated fold as _dot_sql, so the result is
-    bit-identical to DuckDB's list_dot_product over the same values."""
-    terms = " + ".join(
-        f"(CAST(element_at({a_ref}, {i + 1}) AS DOUBLE) * {_lit_double(v)})"
-        for i, v in enumerate(vec)
+    """HOF-fold dot of a column against a DRIVER-SIDE literal vector —
+    the same 0.0-seeded left-associated index-order accumulation as the
+    unrolled _dot_sql and DuckDB's list_dot_product, so the value is
+    bit-identical to both. HOF (not unrolled) ON PURPOSE: assignment is
+    per-ROW work (n·k·dim), where interpreted HOF cost is noise, while
+    an unrolled k×dim expression makes Catalyst/Janino re-analyze and
+    re-compile a multi-hundred-KB method per occurrence — measured 20s+
+    of pure compile overhead in the SemDeDup plan. Unrolling pays only
+    in per-PAIR loops (O(n²) evaluations amortize one compile)."""
+    arr = ", ".join(_lit_double(v) for v in vec)
+    return (
+        f"aggregate(zip_with({a_ref}, array({arr}), "
+        f"(x, y) -> CAST(x AS DOUBLE) * y), "
+        f"CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
     )
-    return f"(CAST(0 AS DOUBLE) + {terms})"
 
 
 def _fold_norm(vec: list[float]) -> float:
@@ -285,26 +292,26 @@ def kmeans_centroids(
     vecs = corpus.select(
         F.col(vec_col).alias("__v"), norm(F.col(vec_col), dim).alias("__n")
     )
+    mean_sql = "CAST(sum(CAST(__val AS DECIMAL(28,10))) AS DOUBLE) / count(1)"
+    if round_dp is not None:
+        mean_sql = f"round({mean_sql}, {round_dp})"
     for _ in range(n_iter):
         assigned = vecs.withColumn(
             "__cell", cell_assign_expr("__v", "__n", centroids, dim)
         )
-
-        def mean_expr(i: int) -> Column:
-            m = F.sum(F.element_at("__v", i + 1).cast("decimal(28,10)")).cast(
-                "double"
-            ) / F.count(F.lit(1))
-            return (m if round_dp is None else F.round(m, round_dp)).alias(
-                f"__m{i}"
+        # Elementwise cell mean via posexplode → ONE aggregate over
+        # (cell, idx) — the same shape as the oracle SQL's
+        # unnest/generate_subscripts GROUP BY, and a k·dim-row collect.
+        means = (
+            assigned.select(
+                "__cell", F.posexplode("__v").alias("__idx", "__val")
             )
-
-        means = assigned.groupBy("__cell").agg(
-            *[mean_expr(i) for i in range(dim)]
+            .groupBy("__cell", "__idx")
+            .agg(F.expr(mean_sql).alias("__mv"))
         )
-        updated = {
-            r["__cell"]: [r[f"__m{i}"] for i in range(dim)]
-            for r in means.collect()
-        }
+        updated: dict[int, list[float]] = {}
+        for r in means.collect():
+            updated.setdefault(r["__cell"], [0.0] * dim)[r["__idx"]] = r["__mv"]
         centroids = [updated.get(i, centroids[i]) for i in range(n_centroids)]
     return centroids
 
