@@ -57,6 +57,49 @@ def _check_right_prefix_collisions(left_cols: list[str], right_out: list[str]) -
         )
 
 
+#: auto-bucket target: aim for roughly this many rows per (key, bucket)
+#: window partition on the hottest key. Large enough that normal keys
+#: never split; small enough that a mega-key's sort task stays bounded.
+_AUTO_BUCKET_TARGET_ROWS = 100_000
+
+#: don't bother bucketing unless the hottest key exceeds this multiple
+#: of the target — below it the single-task sort is already fine.
+_AUTO_BUCKET_TRIGGER = 4
+
+
+def _auto_asof_bucket(
+    tagged: DataFrame,
+    keys: list[str],
+    target_rows: int | None = None,
+    trigger: int | None = None,
+) -> int | None:
+    """Derive the as-of skew bucket width from per-key event density so
+    a hot key is split without the caller knowing it's hot.
+
+    One aggregation over (keys, __t): count + min/max per key with
+    map-side partial combine (the shuffle carries ONE row per
+    partition × key — the same skew-detection pass adaptive engines
+    run), then a driver-side top-1 pull (control flow, 1 row). If the
+    hottest key holds ≤ trigger × target_rows rows, returns None (the
+    unbucketed single-window plan is fine); otherwise returns the width
+    in seconds that puts ~target_rows rows in the hot key's AVERAGE
+    bucket (its densest bucket bounds the worst task).
+    """
+    if target_rows is None:
+        target_rows = _AUTO_BUCKET_TARGET_ROWS
+    if trigger is None:
+        trigger = _AUTO_BUCKET_TRIGGER
+    stats = tagged.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("__n"),
+        ((F.max("__t") - F.min("__t")) / 1_000_000.0).alias("__span_s"),
+    )
+    hot = stats.orderBy(F.col("__n").desc()).select("__n", "__span_s").first()
+    if hot is None or hot["__n"] <= trigger * target_rows:
+        return None
+    span_s = max(float(hot["__span_s"]), 1.0)
+    return max(1, int(span_s * target_rows / float(hot["__n"])))
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -65,7 +108,7 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str],
     tolerance_s: int | None = None,
-    bucket_s: int | None = None,
+    bucket_s: int | str | None = None,
     direction: str = "backward",
 ) -> DataFrame:
     """As-of join: for every left row, attach the payload of the
@@ -95,7 +138,11 @@ def asof_join(
     tiny window over bucket indexes. Identical output (property-tested
     equivalence); worst-case task ≈ the hot key's densest bucket, not
     its life. Pick bucket_s so a busy key sees ~10⁴-10⁶ rows per
-    bucket.
+    bucket — or pass ``bucket_s="auto"`` to derive it from per-key
+    density (one partial-combine aggregation + a 1-row driver pull;
+    see :func:`_auto_asof_bucket`): a hot key is split without the
+    caller knowing it's hot, and uniform data keeps the unbucketed
+    single-window plan.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -143,6 +190,11 @@ def asof_join(
         F.lit(None).cast(payload_type).alias("__p"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
+
+    if bucket_s == "auto":
+        bucket_s = _auto_asof_bucket(
+            r.select(*keys, "__t").unionByName(l.select(*keys, "__t")), keys
+        )
 
     # Within a key: right rows sort before left rows at the same ts
     # (side 0 < 1), so an exactly-simultaneous right row IS matched.

@@ -39,8 +39,7 @@ _ORDER: tuple[str, ...] = (
     "op44_vectorized_udf",
     # --- joins / enrichment (§2.6) ---
     "op10_semi_join",
-    "op24_dim_enrichment",
-    "op25_child_expansion",
+    "op24_25_concept_suite",
     "op26_first_match_lookup",
     "op29_care_gap_anti_join",
     # --- temporal joins (as-of / bounded range — extension ops) ---
@@ -48,8 +47,7 @@ _ORDER: tuple[str, ...] = (
     "range_clicks_before_error",
     # --- aggregation / window / set ops (§2.5, §2.8) ---
     "op39_group_pivot_counts",
-    "op40_weekly_trend",
-    "op40_latest_per_user",
+    "op40_window_suite",
     "op42_quality_flags",
     "op43_union_distinct",
     # --- format conversion / validation (§2.9) ---
@@ -73,6 +71,7 @@ _ORDER: tuple[str, ...] = (
     "corpus_decontaminate",
     "dedup_ngram_jaccard",
     "text_metrics_suite",
+    "corpus_top_ngrams",
     "corpus_curation_pipeline",
     "embed_topk_suite",
     "embed_neardup_suite",
@@ -80,13 +79,14 @@ _ORDER: tuple[str, ...] = (
     # --- streaming (§2.8) ---
     "op41_streaming_hourly_counts",
     "sessionize_events",
+    "stream_temporal_suite",
+    "incremental_dedup_corpus",
     # --- clinical domain pipelines (literal golden oracles) ---
     "fhir_pipeline_suite",
     "fhir_conditional_create",
     # --- rows-only tail: no SQL twin exists (xxhash64 / binary kernels);
     #     the driver's check for these is identical at any position ---
-    "dedup_minhash_pairs",
-    "dedup_simhash_pairs",
+    "dedup_sketch_pairs_suite",
     "text_rolling_fingerprint",
     "multimodal_decode",
 )

@@ -80,19 +80,11 @@ def op16_27_construct_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spec(
-    QUERIES,
-    "op25_child_expansion",
-    sql="""
-        SELECT r_name, n_name
-        FROM region JOIN nation ON n_regionkey = r_regionkey
-        WHERE r_name IN ('ASIA', 'EUROPE')
-    """,
-    doc="OP-25 child-concept lookup — 1-hop DOWN the hierarchy (reference "
-    "ECL <!code, src/coding_task_2.py:115-153), the reversed-edge variant "
-    "of OP-24. Edge table broadcast; roots filtered first.",
-)
 def op25_child_expansion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-25 child-concept lookup — 1-hop DOWN the hierarchy (reference
+    ECL <!code, src/coding_task_2.py:115-153), the reversed-edge variant
+    of OP-24. Edge table broadcast; roots filtered first. Graded as the
+    'children' leg of op24_25_concept_suite (queries/joins.py)."""
     roots = (
         load(spark, sf_dir, "region")
         .filter(F.col("r_name").isin("ASIA", "EUROPE"))

@@ -223,6 +223,41 @@ def text_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_TOP_NGRAMS_SQL = """
+    WITH w AS (
+        SELECT string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents
+    ),
+    g AS (
+        SELECT unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 1)),
+                      i -> array_to_string(ws[i:i+1], ' '))) AS ngram
+        FROM w
+    )
+    SELECT ngram, CAST(count(*) AS BIGINT) AS cnt
+    FROM g GROUP BY ngram
+    ORDER BY cnt DESC, ngram ASC
+    LIMIT 20
+"""
+
+
+@spec(
+    QUERIES,
+    "corpus_top_ngrams",
+    sql=_TOP_NGRAMS_SQL,
+    doc="Corpus-wide top-20 word 2-grams by term frequency — the "
+    "vocabulary/boilerplate/contamination probe (which templates "
+    "dominate a crawl). explode → hash-agg with map-side partial "
+    "combine (each partition collapses its grams before the exchange) "
+    "→ TakeOrderedAndProject top-k; no global sort of the vocabulary "
+    "ever materializes. Deterministic total order (cnt desc, ngram asc) "
+    "pins the k-boundary ties identically in both engines.",
+    tags=("llm",),
+)
+def corpus_top_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return X.corpus_top_ngrams(
+        load(spark, sf_dir, "documents"), "text", n=2, k=20
+    )
+
+
 _JACCARD_SQL = f"""
     WITH sh AS (
         SELECT doc_id,
@@ -263,36 +298,57 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spec(
-    QUERIES,
-    "dedup_minhash_pairs",
-    sql=None,  # xxhash64 signatures have no DuckDB twin → rows-only check
-    doc="MinHash(32)+LSH(8 bands) candidate pairs with signature-estimated "
-    "Jaccard. Map-side signatures (fixed 256 B/doc), band-bucket "
-    "equi-join — text never shuffles. The scale path for fuzzy dedup; "
-    "boilerplate mega-buckets are boundable via max_bucket_size "
-    "(operators.dedup.minhash_lsh_pairs, tested in test_scale_behaviors).",
-    tags=("llm", "bench"),
-)
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32)+LSH(8 bands) candidate pairs with signature-estimated
+    Jaccard. Map-side signatures (fixed 256 B/doc), band-bucket
+    equi-join — text never shuffles. The scale path for fuzzy dedup;
+    boilerplate mega-buckets are boundable via max_bucket_size
+    (operators.dedup.minhash_lsh_pairs, tested in test_scale_behaviors).
+    Graded as the 'minhash' leg of dedup_sketch_pairs_suite; standalone
+    for bench.py's timing series and the bit-exact Python oracle."""
     return D.minhash_lsh_pairs(
         load(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=32, bands=8
     )
 
 
-@spec(
-    QUERIES,
-    "dedup_simhash_pairs",
-    sql=None,  # xxhash64-based bit votes → rows-only check
-    doc="SimHash64 near-dup pairs via 4×16-bit block LSH (Hamming ≤ 3 ⇒ "
-    "pigeonhole guarantees a shared block). Candidate generation is an "
-    "equi-join on block keys.",
-    tags=("llm",),
-)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash64 near-dup pairs via 4×16-bit block LSH (Hamming ≤ 3 ⇒
+    pigeonhole guarantees a shared block). Candidate generation is an
+    equi-join on block keys. Graded as the 'simhash' leg of
+    dedup_sketch_pairs_suite; Python-oracle-tested bit-exactly."""
     return D.simhash_near_dups(
         load(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
     )
+
+
+@spec(
+    QUERIES,
+    "dedup_sketch_pairs_suite",
+    sql=None,  # xxhash64-based sketches have no DuckDB twin → rows-only
+    # check; BOTH legs carry bit-exact Python oracles + adversarial fuzz
+    # in tests/test_python_oracles.py
+    doc="xxhash64 sketch dedup suite: MinHash(32)+LSH(8 bands) "
+    "estimated-Jaccard pairs ('minhash' leg, score=est_jaccard) unioned "
+    "with SimHash64 4×16-bit-block pairs ('simhash' leg, "
+    "score=hamming). Both legs are banded/blocked equi-joins shuffling "
+    "fixed-width (key, id, sketch) tuples only — never text, never "
+    "all-pairs.",
+    tags=("llm", "bench"),
+)
+def dedup_sketch_pairs_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    mh = dedup_minhash_pairs(spark, sf_dir).select(
+        F.lit("minhash").alias("part"),
+        "id_a",
+        "id_b",
+        F.col("est_jaccard").alias("score"),
+    )
+    sh = dedup_simhash_pairs(spark, sf_dir).select(
+        F.lit("simhash").alias("part"),
+        "id_a",
+        "id_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return mh.unionByName(sh)
 
 
 _TOPK_SQL = """

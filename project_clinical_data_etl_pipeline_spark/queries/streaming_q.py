@@ -80,3 +80,227 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         F.col("total_value"),
     )
+
+
+#: Watermark/late-arrival horizon for the streamed temporal joins (s).
+_HORIZON_S = 600
+
+_STREAM_TEMPORAL_SQL = f"""
+    WITH lim AS (
+        SELECT (epoch_us(max(ts)) // 1000 - {_HORIZON_S * 1000}) * 1000
+                   - 1000000 AS lim_us
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    p AS (SELECT event_id, user_id, epoch_us(ts) AS t
+          FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id, user_id, epoch_us(ts) AS t
+          FROM events WHERE event_type = 'click'),
+    m AS (
+        SELECT p.event_id, p.user_id, p.t,
+               c.event_id AS match_event_id, c.t AS match_ts_us,
+               row_number() OVER (PARTITION BY p.event_id
+                                  ORDER BY c.t DESC, c.event_id DESC) AS rn
+        FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.t <= p.t
+    )
+    SELECT 'asof' AS part, event_id, user_id, t AS ts_us,
+           match_event_id, match_ts_us,
+           CAST(NULL AS BIGINT) AS n_right
+    FROM m, lim WHERE rn = 1 AND t < lim_us
+    UNION ALL
+    SELECT 'range' AS part, er.event_id, er.user_id, er.t AS ts_us,
+           CAST(NULL AS BIGINT) AS match_event_id,
+           CAST(NULL AS BIGINT) AS match_ts_us,
+           CAST(count(*) AS BIGINT) AS n_right
+    FROM (SELECT event_id, user_id, epoch_us(ts) AS t
+          FROM events WHERE event_type = 'error') er
+    JOIN (SELECT user_id, epoch_us(ts) AS t
+          FROM events WHERE event_type = 'click') cl
+      ON cl.user_id = er.user_id
+         AND er.t - cl.t >= 0 AND er.t - cl.t < {_HORIZON_S * 1000000}
+    GROUP BY er.event_id, er.user_id, er.t
+"""
+
+
+@spec(
+    QUERIES,
+    "stream_temporal_suite",
+    sql=_STREAM_TEMPORAL_SQL,
+    doc="The streamed temporal-join kernels graded against the SAME "
+    "truth as their batch twins. 'asof' leg: the custom "
+    "applyInPandasWithState as-of kernel (streaming/asof.py) run to "
+    "completion over the events file source — every finalized purchase "
+    "carries the latest preceding click; the deterministic cutoff "
+    "(1 s below the engine's final watermark = max event time − "
+    f"{_HORIZON_S} s, re-derived by the oracle) restricts both sides to "
+    "rows the watermark contract guarantees emitted, independent of "
+    "the engine's ms truncation. 'range' leg: Spark's native "
+    "watermarked stream-stream inner join (streaming/temporal.py) — "
+    "clicks within the 10 minutes before each error, grouped to "
+    "per-error counts; a single micro-batch emits the complete pair "
+    "set, equal to the batch binned range join. State on both legs is "
+    "O(watermark horizon × key arrival rate), never history-sized.",
+    tags=("streaming", "temporal"),
+)
+def stream_temporal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from ..streaming.asof import stream_asof_join
+    from ..streaming.incremental import _event_stream
+    from ..streaming.temporal import stream_range_join
+
+    # --- asof leg: custom stateful kernel ---
+    s = _event_stream(spark, sf_dir)
+    p_s = s.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id"
+    )
+    c_s = s.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id"
+    )
+    name_a = f"stsuite_asof_{uuid.uuid4().hex[:8]}"
+    qa = (
+        stream_asof_join(p_s, c_s, watermark_s=_HORIZON_S)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name_a)
+        .start()
+    )
+    try:
+        qa.processAllAvailable()
+    finally:
+        qa.stop()
+
+    # Deterministic finalization cutoff, strictly below the engine's
+    # final watermark whatever its ms truncation: 1 s of slack. One
+    # 1-row scalar pull — control flow, not data movement (the same
+    # class as the IVF probe-cell enumeration).
+    e = load(spark, sf_dir, "events")
+    ux = F.unix_micros(F.col("ts").cast("timestamp"))
+    lim_us = int(
+        e.filter(F.col("event_type").isin("click", "purchase"))
+        .agg(
+            (
+                (F.floor(F.max(ux) / 1000).cast("bigint") - _HORIZON_S * 1000)
+                * 1000
+                - 1_000_000
+            ).alias("__lim_us")
+        )
+        .collect()[0][0]
+    )
+    asof_leg = (
+        spark.table(name_a)
+        .filter(F.col("left_ts_us") < F.lit(lim_us))
+        .select(
+            F.lit("asof").alias("part"),
+            F.col("left_event_id").alias("event_id"),
+            "user_id",
+            F.col("left_ts_us").alias("ts_us"),
+            F.col("matched_event_id").alias("match_event_id"),
+            F.col("matched_ts_us").alias("match_ts_us"),
+            F.lit(None).cast("bigint").alias("n_right"),
+        )
+    )
+
+    # --- range leg: native watermarked stream-stream join ---
+    s2 = _event_stream(spark, sf_dir)
+    err_s = s2.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clk_s = s2.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    name_r = f"stsuite_range_{uuid.uuid4().hex[:8]}"
+    qr = (
+        stream_range_join(
+            err_s, clk_s, on="user_id", left_ts="ts", right_ts="ts",
+            lower_s=-_HORIZON_S, upper_s=0, watermark_s=_HORIZON_S,
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name_r)
+        .start()
+    )
+    try:
+        qr.processAllAvailable()
+    finally:
+        qr.stop()
+    range_leg = (
+        spark.table(name_r)
+        .groupBy("event_id", "user_id", "ts")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_right"))
+        .select(
+            F.lit("range").alias("part"),
+            "event_id",
+            "user_id",
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+            F.lit(None).cast("bigint").alias("match_event_id"),
+            F.lit(None).cast("bigint").alias("match_ts_us"),
+            "n_right",
+        )
+    )
+    return asof_leg.unionByName(range_leg)
+
+
+@spec(
+    QUERIES,
+    "incremental_dedup_corpus",
+    sql="""
+        WITH fps AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(regexp_replace(lower(text),
+                       '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS fp
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, fp,
+                   row_number() OVER (PARTITION BY fp
+                                      ORDER BY doc_id % 2, doc_id) AS rn
+            FROM fps
+        )
+        SELECT doc_id, fp FROM ranked WHERE rn = 1
+    """,
+    doc="Incremental corpus dedup run as a REAL two-batch stream "
+    "(streaming/incremental.start_incremental_dedup_stream — the "
+    "reference's nightly-sync roadmap item, insights.md:169, composed "
+    "with the content fingerprint): batch 1 streams the even-doc_id "
+    "half of documents, batch 2 streams the odd half PLUS re-sent "
+    "batch-1 docs (doc_id % 10 == 0) that must idempotently anti-join "
+    "away against the accumulated corpus. Each micro-batch is "
+    "fingerprinted in-stream (md5 over canonicalized text, JVM-side), "
+    "deduped within the batch (min doc_id per fp), and anti-joined on "
+    "the 32-char fp only — accumulated text never joins. The oracle "
+    "re-derives arrival-order priority as ORDER BY (doc_id % 2, "
+    "doc_id): a fingerprint keeps its earliest-batch, lowest-id doc.",
+    tags=("streaming", "llm"),
+)
+def incremental_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from ..streaming.incremental import start_incremental_dedup_stream
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    root = tempfile.mkdtemp(prefix="spark_graft_incdedup_")
+    src = os.path.join(root, "incoming")
+    target = os.path.join(root, "corpus")
+    os.makedirs(src, exist_ok=True)
+
+    def drop(batch_df: DataFrame, label: str) -> None:
+        stage = os.path.join(root, f"stage_{label}")
+        batch_df.coalesce(1).write.mode("overwrite").json(stage)
+        part = glob.glob(os.path.join(stage, "part-*"))[0]
+        shutil.move(part, os.path.join(src, f"{label}.json"))
+
+    q = start_incremental_dedup_stream(spark, src, target)
+    try:
+        drop(docs.filter(F.col("doc_id") % 2 == 0), "b1")
+        q.processAllAvailable()
+        drop(
+            docs.filter((F.col("doc_id") % 2 == 1) | (F.col("doc_id") % 10 == 0)),
+            "b2",
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.read.parquet(target).select("doc_id", "fp")

@@ -38,7 +38,11 @@ def test_scan_prunes_columns(spark, sf_dir):
 
 
 def test_dim_enrichment_broadcasts(spark, sf_dir):
-    plan = _plan(REGISTRY["op24_dim_enrichment"].run(spark, sf_dir))
+    from project_clinical_data_etl_pipeline_spark.queries.joins import (
+        op24_dim_enrichment,
+    )
+
+    plan = _plan(op24_dim_enrichment(spark, sf_dir))
     assert plan.count("BroadcastHashJoin") >= 2
     assert "SortMergeJoin" not in plan
 

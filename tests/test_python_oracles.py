@@ -19,7 +19,7 @@ import re
 import pytest
 from pyspark.sql import functions as F
 
-from project_clinical_data_etl_pipeline_spark.queries import REGISTRY
+from project_clinical_data_etl_pipeline_spark.queries import REGISTRY, llmdata
 from project_clinical_data_etl_pipeline_spark.tables import load
 
 # ---------------------------------------------------------------------------
@@ -213,7 +213,7 @@ def test_minhash_pairs_match_python_oracle(spark, sf_dir):
     expected = minhash_pairs_oracle(docs)
     got = {
         (r["id_a"], r["id_b"]): r["est_jaccard"]
-        for r in REGISTRY["dedup_minhash_pairs"].run(spark, sf_dir).collect()
+        for r in llmdata.dedup_minhash_pairs(spark, sf_dir).collect()
     }
     assert got == expected
 
@@ -259,7 +259,7 @@ def test_simhash_pairs_match_python_oracle(spark, sf_dir):
     expected = simhash_pairs_oracle(docs)
     got = {
         (r["id_a"], r["id_b"]): r["hamming"]
-        for r in REGISTRY["dedup_simhash_pairs"].run(spark, sf_dir).collect()
+        for r in llmdata.dedup_simhash_pairs(spark, sf_dir).collect()
     }
     assert got == expected
 

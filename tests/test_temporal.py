@@ -561,3 +561,49 @@ def test_temporal_joins_reject_right_prefix_collisions(spark):
     with pytest.raises(ValueError, match="collide"):
         range_join_binned(left, right, on="user_id", left_ts="ts",
                           right_ts="ts", lower_s=-600, upper_s=0)
+
+
+def test_asof_auto_bucket_splits_synthetic_mega_key(spark):
+    """bucket_s='auto' must (a) pick a finite bucket width when one key
+    dwarfs the target density, (b) produce output identical to the
+    unbucketed plan, and (c) leave uniform data on the unbucketed
+    single-window path."""
+    import project_clinical_data_etl_pipeline_spark.operators.temporal as T
+
+    base_us = 1_700_000_000 * 1_000_000
+
+    def mk(rows):
+        return spark.createDataFrame(rows, ["event_id", "user_id", "ts_us"]) \
+            .withColumn("ts", F.timestamp_micros(F.col("ts_us"))).drop("ts_us")
+
+    # hot key 1: 2000 lefts + 2000 rights over ~2000 s; cold keys tiny
+    lefts = [(i, 1, base_us + i * 1_000_000) for i in range(2000)]
+    lefts += [(10_000 + i, 2 + i, base_us + i * 777_000) for i in range(20)]
+    rights = [(50_000 + i, 1, base_us + i * 1_000_000 + 500_000)
+              for i in range(2000)]
+    rights += [(60_000 + i, 2 + i, base_us + i * 333_000) for i in range(20)]
+    left, right = mk(lefts), mk(rights)
+
+    # shrink the auto thresholds so the synthetic mega-key trips them
+    orig_target, orig_trigger = T._AUTO_BUCKET_TARGET_ROWS, T._AUTO_BUCKET_TRIGGER
+    T._AUTO_BUCKET_TARGET_ROWS, T._AUTO_BUCKET_TRIGGER = 100, 4
+    try:
+        tagged = (
+            left.select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("__t"))
+            .unionByName(right.select("user_id", F.unix_micros(F.col("ts").cast("timestamp")).alias("__t")))
+        )
+        width = T._auto_asof_bucket(tagged, ["user_id"])
+        assert width is not None and 1 <= width <= 2000, width
+
+        auto = asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts",
+                         payload_cols=["event_id"], bucket_s="auto")
+        plain = asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts",
+                          payload_cols=["event_id"], bucket_s=None)
+        assert _asof_pairs(auto) == _asof_pairs(plain)
+
+        # uniform data: hottest key is far below trigger*target → None
+        assert T._auto_asof_bucket(
+            tagged.filter(F.col("user_id") > 1), ["user_id"]
+        ) is None
+    finally:
+        T._AUTO_BUCKET_TARGET_ROWS, T._AUTO_BUCKET_TRIGGER = orig_target, orig_trigger
