@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "range_clicks_before_error",
     "embed_neardup_suite",
     "hierarchy_transitive_closure",
+    # round-5 addition: interval x interval overlap join (new operator
+    # family this round; same frozen methodology).
+    "interval_overlap_shipments",
 ]
 
 #: Bench entries that are no longer standalone registry queries (merged

@@ -281,6 +281,134 @@ def asof_join(
     )
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_s: int | None = None,
+) -> DataFrame:
+    """Interval × interval overlap join: pairs (l, r) of the same ``on``
+    key whose CLOSED intervals ``[left_start, left_end]`` and
+    ``[right_start, right_end]`` overlap (``ls <= re AND rs <= le`` —
+    touching endpoints count). The clinical overlap primitive
+    (concurrent encounters, overlapping medication windows — the
+    reference's care-quality domain, insights.md roadmap) and the
+    segment-alignment primitive for multimodal pipelines.
+
+    Plan: both sides bucket their interval SPAN at width W
+    (``bucket_s``, default = the longest interval across both sides,
+    derived by one partial-combine agg + a 1-row driver pull) —
+    ``explode(sequence(floor(start/W), floor(end/W)))`` — so the pair
+    generation is a plain equi-join on (key, bucket). With W ≥ the max
+    span every row lands in ≤ 2 buckets: candidate volume is bounded by
+    4× the pair fan-in, never |l|·|r| per key like the BETWEEN
+    theta-join Spark would nested-loop. A pair sharing two buckets
+    would be emitted twice, so emission is restricted to the FIRST
+    common bucket — ``bucket == floor(greatest(ls, rs)/W)`` — which
+    every truly-overlapping pair contains exactly once (the later
+    start lies inside both intervals). Exact overlap then filters
+    locally.
+
+    Rows with a NULL key/endpoint or with ``end < start`` are dropped
+    on BOTH sides before the join (they have no well-defined span to
+    bucket); mirror the same WHERE in any SQL twin. Output: left
+    columns unprefixed, right columns prefixed ``right_`` (the
+    temporal-operator convention), plus ``overlap_us`` — the length of
+    the intersection in µs (0 for touching endpoints).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    right_payload = [c for c in right.columns if c not in keys]
+    _check_right_prefix_collisions(
+        left.columns, [f"right_{c}" for c in right_payload] + ["overlap_us"]
+    )
+
+    def well_formed(start: str, end: str, df: DataFrame) -> DataFrame:
+        cond = (
+            F.col(start).isNotNull()
+            & F.col(end).isNotNull()
+            & (_micros(F.col(end)) >= _micros(F.col(start)))
+        )
+        for k in keys:
+            cond = cond & F.col(k).isNotNull()
+        return df.filter(cond)
+
+    l0 = well_formed(left_start, left_end, left)
+    r0 = well_formed(right_start, right_end, right)
+
+    if bucket_s is None:
+        spans = (
+            l0.select(
+                (_micros(F.col(left_end)) - _micros(F.col(left_start))).alias("__s")
+            )
+            .unionByName(
+                r0.select(
+                    (_micros(F.col(right_end)) - _micros(F.col(right_start))).alias(
+                        "__s"
+                    )
+                )
+            )
+            .agg(F.max("__s"))
+            .first()[0]
+        )
+        bucket_s = max(1, -(-int(spans or 0) // 1_000_000))  # ceil µs → s
+    width_us = bucket_s * 1_000_000
+
+    l = (
+        l0.withColumn("__ls", _micros(F.col(left_start)))
+        .withColumn("__le", _micros(F.col(left_end)))
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__ls") / width_us),
+                    F.floor(F.col("__le") / width_us),
+                )
+            ),
+        )
+    )
+    r = (
+        r0.select(
+            *[F.col(k) for k in keys],
+            _micros(F.col(right_start)).alias("__rs"),
+            _micros(F.col(right_end)).alias("__re"),
+            *[F.col(c).alias(f"right_{c}") for c in right_payload],
+        )
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("__rs") / width_us),
+                    F.floor(F.col("__re") / width_us),
+                )
+            ),
+        )
+    )
+
+    first_common = F.col("__bucket") == F.floor(
+        F.greatest(F.col("__ls"), F.col("__rs")) / width_us
+    )
+    overlaps = (F.col("__ls") <= F.col("__re")) & (F.col("__rs") <= F.col("__le"))
+    # Both sides are fact-sized in the typical self-join case, but the
+    # explode keeps Catalyst's size estimate low enough that it happily
+    # BROADCASTS a million-row build side — slow here, catastrophic at
+    # 100 TB. Pin the scale-true shape: shuffled hash join on
+    # (key, bucket), AQE-skew-splittable.
+    return (
+        l.join(r.hint("shuffle_hash"), on=[*keys, "__bucket"])
+        .filter(first_common & overlaps)
+        .withColumn(
+            "overlap_us",
+            F.least(F.col("__le"), F.col("__re"))
+            - F.greatest(F.col("__ls"), F.col("__rs")),
+        )
+        .drop("__bucket", "__ls", "__le", "__rs", "__re")
+    )
+
+
 def range_join_binned(
     left: DataFrame,
     right: DataFrame,

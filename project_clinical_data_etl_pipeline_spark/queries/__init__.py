@@ -42,14 +42,14 @@ _ORDER: tuple[str, ...] = (
     "op24_25_concept_suite",
     "op26_first_match_lookup",
     "op29_care_gap_anti_join",
-    # --- temporal joins (as-of / bounded range — extension ops) ---
+    # --- temporal joins (as-of / range / interval overlap — extension ops) ---
     "asof_click_before_purchase",
     "range_clicks_before_error",
+    "interval_overlap_shipments",
     # --- aggregation / window / set ops (§2.5, §2.8) ---
-    "op39_group_pivot_counts",
+    "op39_43_agg_set_suite",
     "op40_window_suite",
     "op42_quality_flags",
-    "op43_union_distinct",
     # --- format conversion / validation (§2.9) ---
     "op45_er7_encode",
     "op33_live_timestamp",

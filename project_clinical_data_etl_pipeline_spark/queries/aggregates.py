@@ -130,21 +130,68 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spec(
-    QUERIES,
-    "op39_group_pivot_counts",
-    sql="""
+_OP39_43_SQL = """
+    SELECT 'pivot' AS part, o_orderstatus,
+           CAST(NULL AS BIGINT) AS c_custkey,
+           n_urgent, n_high, n_total
+    FROM (
         SELECT o_orderstatus,
-               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
-               CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+               CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_urgent,
+               CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_high,
                CAST(count(*) AS BIGINT) AS n_total
         FROM orders GROUP BY o_orderstatus
-    """,
-    doc="OP-39 group-count × pivot (reference hand-counted resource-type "
-    "chart, src/insights.py:12-29). Pivot with explicit value list → "
-    "single-pass pivoted hash agg, no second shuffle.",
+    )
+    UNION ALL
+    SELECT 'union' AS part, CAST(NULL AS VARCHAR) AS o_orderstatus, c_custkey,
+           CAST(NULL AS BIGINT) AS n_urgent,
+           CAST(NULL AS BIGINT) AS n_high,
+           CAST(NULL AS BIGINT) AS n_total
+    FROM (
+        SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
+        UNION
+        SELECT o_custkey AS c_custkey FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'
+    )
+"""
+
+
+@spec(
+    QUERIES,
+    "op39_43_agg_set_suite",
+    sql=_OP39_43_SQL,
+    doc="OP-39 + OP-43 suite: the group-count x pivot chart (single-pass "
+    "pivoted hash agg — reference hand-counted resource-type chart, "
+    "src/insights.py:12-29) unioned with the union-distinct key-set op "
+    "(reference implicit union of per-task outputs, insights.md:52-59). "
+    "Two independent single-shuffle legs; zero-shuffle concat.",
 )
+def op39_43_agg_set_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pivoted = op39_group_pivot_counts(spark, sf_dir).select(
+        F.lit("pivot").alias("part"),
+        "o_orderstatus",
+        F.lit(None).cast("bigint").alias("c_custkey"),
+        "n_urgent",
+        "n_high",
+        "n_total",
+    )
+    unioned = op43_union_distinct(spark, sf_dir).select(
+        F.lit("union").alias("part"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        "c_custkey",
+        F.lit(None).cast("bigint").alias("n_urgent"),
+        F.lit(None).cast("bigint").alias("n_high"),
+        F.lit(None).cast("bigint").alias("n_total"),
+    )
+    return pivoted.unionByName(unioned)
+
+
 def op39_group_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-39 group-count × pivot (reference hand-counted resource-type
+    chart, src/insights.py:12-29). Pivot with explicit value list →
+    single-pass pivoted hash agg, no second shuffle. Graded as the
+    'pivot' leg of op39_43_agg_set_suite."""
     o = load(spark, sf_dir, "orders")
     pivoted = (
         o.groupBy("o_orderstatus")
@@ -269,19 +316,10 @@ def op40_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trend.unionByName(latest)
 
 
-@spec(
-    QUERIES,
-    "op43_union_distinct",
-    sql="""
-        SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
-        UNION
-        SELECT o_custkey AS c_custkey FROM orders
-        WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'
-    """,
-    doc="OP-43 set op: union-distinct of two key sets (reference implicit "
-    "union of per-task outputs, insights.md:52-59).",
-)
 def op43_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-43 set op: union-distinct of two key sets (reference implicit
+    union of per-task outputs, insights.md:52-59). Graded as the
+    'union' leg of op39_43_agg_set_suite."""
     rich = (
         load(spark, sf_dir, "customer")
         .filter(F.col("c_acctbal") > 5000.0)

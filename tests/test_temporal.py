@@ -607,3 +607,79 @@ def test_asof_auto_bucket_splits_synthetic_mega_key(spark):
         ) is None
     finally:
         T._AUTO_BUCKET_TARGET_ROWS, T._AUTO_BUCKET_TRIGGER = orig_target, orig_trigger
+
+
+def test_interval_overlap_join_semantics_and_dedupe(spark):
+    """Closed-interval semantics (touching endpoints overlap, overlap_us
+    0), a pair sharing several buckets emits ONCE, NULL/malformed rows
+    drop, and the result equals a naive theta join on random data."""
+    import random
+
+    from project_clinical_data_etl_pipeline_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    def mk(rows):
+        df = spark.createDataFrame(rows, ["iid", "k", "s_us", "e_us"])
+        return df.select(
+            "iid", "k",
+            F.timestamp_micros(F.col("s_us")).alias("ws"),
+            F.timestamp_micros(F.col("e_us")).alias("we"),
+        )
+
+    m = 1_000_000
+    left = mk([
+        (1, 10, 0 * m, 100 * m),       # long interval spanning many buckets
+        (2, 10, 500 * m, 500 * m),     # degenerate point
+        (3, 10, None, 700 * m),        # NULL start → dropped
+        (4, None, 0, 10 * m),          # NULL key → dropped
+        (5, 10, 900 * m, 800 * m),     # end < start → dropped
+    ])
+    right = mk([
+        (100, 10, 50 * m, 60 * m),     # inside iid 1
+        (101, 10, 100 * m, 120 * m),   # touches iid 1's end exactly
+        (102, 10, 500 * m, 510 * m),   # covers the point interval
+        (103, 10, 130 * m, 140 * m),   # overlaps nothing
+        (104, 11, 50 * m, 60 * m),     # other key — never pairs
+    ])
+    # force multi-bucket sharing: bucket width 10 s << interval lengths
+    out = interval_overlap_join(
+        left, right, on="k", left_start="ws", left_end="we",
+        right_start="ws", right_end="we", bucket_s=10,
+    )
+    got = {(r["iid"], r["right_iid"]): r["overlap_us"] for r in out.collect()}
+    assert got == {
+        (1, 100): 10 * m,   # emitted once despite sharing 2 buckets
+        (1, 101): 0,        # touching endpoints = closed-interval overlap
+        (2, 102): 0,        # point interval covered
+    }
+
+    # randomized equivalence vs the naive theta join (auto bucket width)
+    rng = random.Random(11)
+
+    def rand_rows(base):
+        rows = []
+        for i in range(60):
+            start = rng.randint(0, 3000)
+            rows.append((base + i, rng.randint(1, 3), start * m,
+                         (start + rng.randint(0, 300)) * m))
+        return rows
+
+    lrows, rrows = rand_rows(0), rand_rows(1000)
+    lf, rf = mk(lrows), mk(rrows)
+    fast = interval_overlap_join(
+        lf, rf, on="k", left_start="ws", left_end="we",
+        right_start="ws", right_end="we",
+    )
+    naive = lf.alias("a").join(
+        rf.alias("b"),
+        (F.col("a.k") == F.col("b.k"))
+        & (F.col("a.ws") <= F.col("b.we"))
+        & (F.col("b.ws") <= F.col("a.we")),
+    ).select(F.col("a.iid").alias("l"), F.col("b.iid").alias("r"))
+    fast_pairs = {(r["iid"], r["right_iid"]) for r in fast.collect()}
+    naive_pairs = {(r["l"], r["r"]) for r in naive.collect()}
+    assert fast_pairs == naive_pairs
+    assert len(fast_pairs) > 0
+    # and the fast pair count has no duplicates
+    assert fast.count() == len(fast_pairs)
