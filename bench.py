@@ -53,6 +53,10 @@ BENCH_QUERIES = [
     # round-5 addition: interval x interval overlap join (new operator
     # family this round; same frozen methodology).
     "interval_overlap_shipments",
+    # round-5 addition: in-engine trained logistic-regression quality
+    # filter (8 GD aggregate jobs + map-side scoring; same frozen
+    # methodology).
+    "quality_classifier_suite",
 ]
 
 #: Bench entries that are no longer standalone registry queries (merged

@@ -55,8 +55,7 @@ _ORDER: tuple[str, ...] = (
     "op33_live_timestamp",
     "op46_validation_findings",
     # --- sources / sinks / serde (§2.2) ---
-    "op03_04_07_08_roundtrip",
-    "op37_json_extract",
+    "op03_37_serde_suite",
     # --- hierarchy (§4.3.1) ---
     "hierarchy_transitive_closure",
     # --- TPC-H-style headline bench queries ---
@@ -71,6 +70,7 @@ _ORDER: tuple[str, ...] = (
     "corpus_decontaminate",
     "dedup_ngram_jaccard",
     "text_metrics_suite",
+    "quality_classifier_suite",
     "corpus_top_ngrams",
     "corpus_curation_pipeline",
     "embed_topk_suite",

@@ -207,24 +207,16 @@ def op44_vectorized_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return c.select("c_custkey", to_cents_udf()("c_acctbal").alias("acctbal_cents"))
 
 
-@spec(
-    QUERIES,
-    "op03_04_07_08_roundtrip",
-    sql="""
-        SELECT c_custkey, c_name, c_acctbal,
-               (SELECT CAST(max(o_orderkey) AS VARCHAR) FROM orders) AS handoff
-        FROM customer WHERE c_custkey <= 100
-    """,
-    doc="Source/sink round-trip suite: OP-07 JSON file write + OP-03 JSON "
-    "document read (reference json.dump exports src/coding_task_1.py:382-386, "
-    "json.load reads :21-23) as a real write→read through a temp dir with "
-    "an explicit schema on re-read (schema-on-read, PERMISSIVE); OP-08 "
-    "scalar text write + OP-04 scalar text read + OP-28 cross-task key "
-    "handoff (primary_patient_id.txt, :451-452 → src/coding_task_3.py:42-52) "
-    "as a coalesce(1).write.text checkpoint re-read, trimmed, and "
-    "broadcast-joined onto the JSON rows.",
-)
 def op03_04_07_08_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source/sink round-trip: OP-07 JSON file write + OP-03 JSON
+    document read (reference json.dump exports src/coding_task_1.py:382-386,
+    json.load reads :21-23) as a real write→read through a temp dir with
+    an explicit schema on re-read (schema-on-read, PERMISSIVE); OP-08
+    scalar text write + OP-04 scalar text read + OP-28 cross-task key
+    handoff (primary_patient_id.txt, :451-452 → src/coding_task_3.py:42-52)
+    as a coalesce(1).write.text checkpoint re-read, trimmed, and
+    broadcast-joined onto the JSON rows. Graded as the 'roundtrip' leg
+    of op03_37_serde_suite."""
     tmp = tempfile.mkdtemp(prefix="etl_serde_")
     json_out = os.path.join(tmp, "customers")
     txt_out = os.path.join(tmp, "handoff")
@@ -256,24 +248,12 @@ def op03_04_07_08_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return reread.crossJoin(F.broadcast(handoff))
 
 
-@spec(
-    QUERIES,
-    "op37_json_extract",
-    sql="""
-        SELECT event_type,
-               CAST(count(*) AS BIGINT) AS n,
-               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
-                   AS total_k
-        FROM events
-        WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
-        GROUP BY event_type
-    """,
-    doc="OP-37 JSON deserialize (reference json.load throughout, e.g. "
-    "src/coding_task_1.py:21-23): from_json with an explicit schema over "
-    "the open-content props column, then filter+aggregate on the parsed "
-    "field — schema-on-read for semi-structured payloads.",
-)
 def op37_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-37 JSON deserialize (reference json.load throughout, e.g.
+    src/coding_task_1.py:21-23): from_json with an explicit schema over
+    the open-content props column, then filter+aggregate on the parsed
+    field — schema-on-read for semi-structured payloads. Graded as the
+    'json' leg of op03_37_serde_suite."""
     e = load(spark, sf_dir, "events")
     parsed = e.withColumn(
         "__p", F.from_json(F.col("props"), "k bigint")
@@ -286,6 +266,69 @@ def op37_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("k").cast("bigint").alias("total_k"),
         )
     )
+
+
+_SERDE_SUITE_SQL = """
+    SELECT 'roundtrip' AS part, c_custkey, c_name, c_acctbal, handoff,
+           CAST(NULL AS VARCHAR) AS event_type,
+           CAST(NULL AS BIGINT) AS n,
+           CAST(NULL AS BIGINT) AS total_k
+    FROM (
+        SELECT c_custkey, c_name, c_acctbal,
+               (SELECT CAST(max(o_orderkey) AS VARCHAR) FROM orders) AS handoff
+        FROM customer WHERE c_custkey <= 100
+    )
+    UNION ALL
+    SELECT 'json' AS part, CAST(NULL AS BIGINT) AS c_custkey,
+           CAST(NULL AS VARCHAR) AS c_name,
+           CAST(NULL AS DOUBLE) AS c_acctbal,
+           CAST(NULL AS VARCHAR) AS handoff,
+           event_type, n, total_k
+    FROM (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                   AS total_k
+        FROM events
+        WHERE CAST(json_extract(props, '$.k') AS BIGINT) >= 50
+        GROUP BY event_type
+    )
+"""
+
+
+@spec(
+    QUERIES,
+    "op03_37_serde_suite",
+    sql=_SERDE_SUITE_SQL,
+    doc="Serde suite: the OP-03/04/07/08/28 source/sink round-trip leg "
+    "(real JSON + text file write→read through a temp dir, schema-on-"
+    "read, cross-task key handoff) unioned with the OP-37 JSON "
+    "deserialize leg (from_json over the open-content props column, "
+    "filter+aggregate on the parsed field). Two independent legs; "
+    "zero-shuffle concat.",
+)
+def op03_37_serde_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    roundtrip = op03_04_07_08_roundtrip(spark, sf_dir).select(
+        F.lit("roundtrip").alias("part"),
+        "c_custkey",
+        "c_name",
+        "c_acctbal",
+        "handoff",
+        F.lit(None).cast("string").alias("event_type"),
+        F.lit(None).cast("bigint").alias("n"),
+        F.lit(None).cast("bigint").alias("total_k"),
+    )
+    json_leg = op37_json_extract(spark, sf_dir).select(
+        F.lit("json").alias("part"),
+        F.lit(None).cast("bigint").alias("c_custkey"),
+        F.lit(None).cast("string").alias("c_name"),
+        F.lit(None).cast("double").alias("c_acctbal"),
+        F.lit(None).cast("string").alias("handoff"),
+        "event_type",
+        "n",
+        "total_k",
+    )
+    return roundtrip.unionByName(json_leg)
 
 
 @spec(

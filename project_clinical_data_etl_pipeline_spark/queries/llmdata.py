@@ -823,3 +823,99 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decode_image_features(d, fake=True).select(
         "media_id", "width", "height", "n_channels"
     )
+
+
+# ---------------------------------------------------------------------------
+# Model-based quality filtering (operators.classify): the CCNet/Gopher-
+# style learned quality classifier — trained IN the engine, scored
+# map-side, and re-derived end-to-end by the DuckDB oracle.
+# ---------------------------------------------------------------------------
+
+#: Feature columns for the quality classifier (bias first). All are
+#: integer-exact-ratio doubles — the proven text_metrics formulations.
+_CLF_COLS = ["f_bias", "f_len", "f_stop", "f_wlen"]
+
+#: n_tokens with the empty-doc guard — shared by two feature ratios.
+_CLF_NTOK = (
+    "CASE WHEN trim(text) = '' THEN 0 "
+    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+)
+
+_CLF_FEATS_SQL = f"""
+    feats AS (
+        SELECT doc_id,
+               1.0 AS f_bias,
+               least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS f_len,
+               CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                    w -> w IN ('the', 'and', 'of', 'to', 'is'))) AS DOUBLE)
+                   / greatest({_CLF_NTOK}, 1) AS f_stop,
+               (CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)
+                   / greatest({_CLF_NTOK}, 1)) / 10.0 AS f_wlen,
+               CASE WHEN length(text) >= 300 THEN 1 ELSE 0 END AS label
+        FROM documents
+    )
+"""
+
+
+def _clf_suite_sql() -> str:
+    from ..operators.classify import score_sql, train_sql_cte
+
+    train = train_sql_cte("feats", _CLF_COLS, "label", lr=4.0, n_iter=8)
+    score = score_sql(_CLF_COLS, "w8", score_dp=6)
+    return f"""
+        WITH {_CLF_FEATS_SQL},
+        {train}
+        SELECT f.doc_id,
+               CAST(f.label AS INT) AS label,
+               {score} AS score,
+               {score} >= 0.5 AS keep
+        FROM feats f CROSS JOIN w8
+    """
+
+
+@spec(
+    QUERIES,
+    "quality_classifier_suite",
+    sql=_clf_suite_sql(),
+    doc="Learned quality filter (operators.classify) — the classifier "
+    "stage between rule filters and dedup in CCNet/Gopher-style "
+    "pipelines: weak label = length rule, features = the map-side "
+    "integer-exact text ratios, model = logistic regression trained by "
+    "EIGHT batch-GD iterations (lr=4 — powers of two scale exactly in "
+    "IEEE) where each iteration is ONE partial-"
+    "combine aggregate job (only k+1 scalars reach the driver — the "
+    "kmeans-centroid-pull pattern), scoring = trained weights inlined "
+    "as codegen literals (no join, no shuffle, pure map work at "
+    "100 TB). DECIMAL-exact gradient sums + per-row sigmoid rounding "
+    "make the training run bit-reproducible, so the oracle SQL "
+    "re-derives the SAME model via CTEs and the scores hash-match.",
+    tags=("llm", "bench"),
+)
+def quality_classifier_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators import classify as C
+
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    ntok = X.token_count(t)
+    feats = d.select(
+        "doc_id",
+        F.lit(1.0).alias("f_bias"),
+        F.least(F.length(t).cast("double") / F.lit(500.0), F.lit(1.0)).alias(
+            "f_len"
+        ),
+        X.stopword_ratio(t).alias("f_stop"),
+        (X.mean_word_length(t) / F.lit(10.0)).alias("f_wlen"),
+        F.when(F.length(t) >= 300, F.lit(1)).otherwise(F.lit(0)).alias("label"),
+    )
+    # Train over a materialized feature projection: the two GD jobs and
+    # the final scoring pass re-read 5 doubles/row, never the text
+    # (at scale: .persist() the projection; localCheckpoint here also
+    # severs lineage so the scoring plan inlines only literals).
+    feats = feats.localCheckpoint(eager=False)
+    weights = C.train_logistic(feats, _CLF_COLS, "label", lr=4.0, n_iter=8)
+    return C.score_documents(feats, _CLF_COLS, weights, score_dp=6).select(
+        "doc_id",
+        F.col("label").cast("int").alias("label"),
+        "score",
+        "keep",
+    )

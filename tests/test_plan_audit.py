@@ -93,7 +93,9 @@ _TINY_BNLJ = {"embed_topk_suite",
 #: join against a constant, not a data-sized cartesian
 _ONE_ROW_CROSS = {"fhir_pipeline_suite", "fhir_conditional_create"}
 #: runs a stream / writes side effects — audited via their own tests
-_SKIP = {"op41_streaming_hourly_counts", "op03_04_07_08_roundtrip"}
+#: (op03_37_serde_suite's roundtrip leg does real temp-dir file writes;
+#: its only join is a 1-row handoff broadcast)
+_SKIP = {"op41_streaming_hourly_counts", "op03_37_serde_suite"}
 
 
 @pytest.mark.parametrize("name", [n for n in REGISTRY if n not in _SKIP])

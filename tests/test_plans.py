@@ -15,7 +15,7 @@ from project_clinical_data_etl_pipeline_spark.tables import load
 #: ops whose WHOLE POINT is a Python kernel (Arrow-batched)
 PYTHON_KERNEL_OPS = {"op44_vectorized_udf", "multimodal_decode"}
 #: ops that run a stream or write side effects — explain separately
-NON_PLAIN_OPS = {"op41_streaming_hourly_counts", "op03_04_07_08_roundtrip"}
+NON_PLAIN_OPS = {"op41_streaming_hourly_counts", "op03_37_serde_suite"}
 
 
 def _plan(df) -> str:
