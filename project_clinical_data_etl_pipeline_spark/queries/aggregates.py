@@ -133,7 +133,9 @@ def q3_top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OP39_43_SQL = """
     SELECT 'pivot' AS part, o_orderstatus,
            CAST(NULL AS BIGINT) AS c_custkey,
-           n_urgent, n_high, n_total
+           n_urgent, n_high, n_total,
+           CAST(NULL AS DOUBLE) AS median_price,
+           CAST(NULL AS DOUBLE) AS p90_price
     FROM (
         SELECT o_orderstatus,
                CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
@@ -147,13 +149,24 @@ _OP39_43_SQL = """
     SELECT 'union' AS part, CAST(NULL AS VARCHAR) AS o_orderstatus, c_custkey,
            CAST(NULL AS BIGINT) AS n_urgent,
            CAST(NULL AS BIGINT) AS n_high,
-           CAST(NULL AS BIGINT) AS n_total
+           CAST(NULL AS BIGINT) AS n_total,
+           CAST(NULL AS DOUBLE) AS median_price,
+           CAST(NULL AS DOUBLE) AS p90_price
     FROM (
         SELECT c_custkey FROM customer WHERE c_acctbal > 5000.0
         UNION
         SELECT o_custkey AS c_custkey FROM orders
         WHERE o_orderdate >= TIMESTAMP '1998-06-01 00:00:00'
     )
+    UNION ALL
+    SELECT 'pctl' AS part, o_orderstatus,
+           CAST(NULL AS BIGINT) AS c_custkey,
+           CAST(NULL AS BIGINT) AS n_urgent,
+           CAST(NULL AS BIGINT) AS n_high,
+           CAST(NULL AS BIGINT) AS n_total,
+           quantile_cont(o_totalprice, 0.5) AS median_price,
+           quantile_cont(o_totalprice, 0.9) AS p90_price
+    FROM orders GROUP BY o_orderstatus
 """
 
 
@@ -161,13 +174,24 @@ _OP39_43_SQL = """
     QUERIES,
     "op39_43_agg_set_suite",
     sql=_OP39_43_SQL,
-    doc="OP-39 + OP-43 suite: the group-count x pivot chart (single-pass "
-    "pivoted hash agg — reference hand-counted resource-type chart, "
-    "src/insights.py:12-29) unioned with the union-distinct key-set op "
-    "(reference implicit union of per-task outputs, insights.md:52-59). "
-    "Two independent single-shuffle legs; zero-shuffle concat.",
+    doc="OP-39 + OP-43 + order-statistics suite: the group-count x pivot "
+    "chart (single-pass pivoted hash agg — reference hand-counted "
+    "resource-type chart, src/insights.py:12-29) unioned with the "
+    "union-distinct key-set op (reference implicit union of per-task "
+    "outputs, insights.md:52-59) and a per-group exact-percentile leg "
+    "(median/p90 — Spark percentile() interpolates bit-identically to "
+    "DuckDB quantile_cont, verified unrounded). The exact percentile "
+    "buffers each group's values (ObjectHashAggregate) — correct for "
+    "low-cardinality/bounded groups like order status; the unbounded-"
+    "group scale path is approx_percentile's mergeable GK sketch, "
+    "equivalence-gated in tests/test_properties.py. Three independent "
+    "single-shuffle legs; zero-shuffle concat.",
 )
 def op39_43_agg_set_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pctl_nulls = [
+        F.lit(None).cast("double").alias("median_price"),
+        F.lit(None).cast("double").alias("p90_price"),
+    ]
     pivoted = op39_group_pivot_counts(spark, sf_dir).select(
         F.lit("pivot").alias("part"),
         "o_orderstatus",
@@ -175,6 +199,7 @@ def op39_43_agg_set_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_urgent",
         "n_high",
         "n_total",
+        *pctl_nulls,
     )
     unioned = op43_union_distinct(spark, sf_dir).select(
         F.lit("union").alias("part"),
@@ -183,8 +208,36 @@ def op39_43_agg_set_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n_urgent"),
         F.lit(None).cast("bigint").alias("n_high"),
         F.lit(None).cast("bigint").alias("n_total"),
+        *pctl_nulls,
     )
-    return pivoted.unionByName(unioned)
+    pctl = order_price_percentiles(spark, sf_dir).select(
+        F.lit("pctl").alias("part"),
+        "o_orderstatus",
+        F.lit(None).cast("bigint").alias("c_custkey"),
+        F.lit(None).cast("bigint").alias("n_urgent"),
+        F.lit(None).cast("bigint").alias("n_high"),
+        F.lit(None).cast("bigint").alias("n_total"),
+        "median_price",
+        "p90_price",
+    )
+    return pivoted.unionByName(unioned).unionByName(pctl)
+
+
+def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-status exact order statistics (median/p90 of o_totalprice).
+    Graded as the 'pctl' leg of op39_43_agg_set_suite. Exact
+    percentile() is the oracle-able form (linear interpolation matches
+    DuckDB quantile_cont bit-for-bit on this data — no rounding shield
+    needed); it buffers each group's values, so it is reserved for
+    bounded-cardinality groups. For unbounded groups at 100 TB use
+    approx_percentile (mergeable fixed-memory GK sketch) — the
+    equivalence test in tests/test_properties.py pins the two within
+    the sketch's accuracy bound."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile("o_totalprice", 0.5).alias("median_price"),
+        F.percentile("o_totalprice", 0.9).alias("p90_price"),
+    )
 
 
 def op39_group_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:

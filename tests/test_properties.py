@@ -312,3 +312,41 @@ def test_range_join_matches_bruteforce(spark, lefts, rights):
         if rk == lk and lo < rt - lt <= up
     )
     assert got == expect
+
+
+def test_approx_percentile_brackets_exact(spark, sf_dir):
+    """The scale path for unbounded-group order statistics
+    (approx_percentile: fixed-memory mergeable GK sketch) must land
+    within its guaranteed rank-error bound of the exact percentile()
+    graded in op39_43_agg_set_suite's 'pctl' leg: for accuracy A the
+    sketched p-quantile lies between the exact (p - 1/A) and
+    (p + 1/A) quantiles."""
+    from project_clinical_data_etl_pipeline_spark.tables import load
+
+    import bisect
+
+    acc = 1000
+    o = load(spark, sf_dir, "orders")
+    rows = (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.approx_percentile("o_totalprice", 0.5, acc).alias("approx_med"),
+            F.approx_percentile("o_totalprice", 0.9, acc).alias("approx_p90"),
+            F.sort_array(F.collect_list("o_totalprice")).alias("vals"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        vals = r["vals"]
+        n = len(vals)
+        # GK guarantee is in RANK space: |rank(approx) - p·n| ≤ n/acc,
+        # plus 1 for the sketch returning an actual element (no
+        # interpolation) while p·n falls between ranks.
+        slack = n / acc + 1.0
+        for p, v in ((0.5, r["approx_med"]), (0.9, r["approx_p90"])):
+            lo = bisect.bisect_left(vals, v)
+            hi = bisect.bisect_right(vals, v)
+            target = p * n
+            err = min(abs(lo - target), abs(hi - target))
+            assert err <= slack, (r["o_orderstatus"], p, v, err, slack)
