@@ -57,6 +57,8 @@ BENCH_QUERIES = [
     # filter (8 GD aggregate jobs + map-side scoring; same frozen
     # methodology).
     "quality_classifier_suite",
+    # round-5 addition: BM25 lexical top-k (one stats agg + map scoring).
+    "bm25_search",
 ]
 
 #: Bench entries that are no longer standalone registry queries (merged
@@ -68,6 +70,7 @@ _DIRECT = {
     "dedup_minhash_pairs": "llmdata",  # r5: graded inside dedup_sketch_pairs_suite
     "op24_dim_enrichment": "joins",  # r5: graded inside op24_25_concept_suite
     "op40_weekly_trend": "aggregates",  # r5: graded inside op40_window_suite
+    "dedup_exact": "llmdata",  # r5: graded inside dedup_exact_jaccard_suite
 }
 
 

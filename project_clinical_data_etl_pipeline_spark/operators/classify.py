@@ -103,7 +103,6 @@ def train_logistic(
     )
     k = len(feature_cols)
     weights = [0.0] * k
-    n = None  # count folded into the same agg job below
     for _ in range(n_iter):
         p = sigmoid_expr(feature_cols, weights, prob_dp)
         resid = p - F.col(label_col).cast("double")
@@ -113,6 +112,8 @@ def train_logistic(
         ] + [F.count(F.lit(1)).alias("n")]
         row = features.agg(*aggs).first()
         n = row["n"]
+        if n == 0:
+            raise ValueError("cannot train on an empty feature frame")
         grads = [row[f"g{j}"] / n for j in range(k)]
         weights = [
             _round_half_up(w - lr * g, weight_dp)

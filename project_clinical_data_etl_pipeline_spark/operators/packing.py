@@ -213,3 +213,84 @@ def pack_greedy(
         F.col(token_col).cast("bigint").alias("n_tokens"),
     )
     return normalized.groupBy("part").applyInPandas(kernel, _PACK_SCHEMA)
+
+
+def chunk_documents(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 200,
+    overlap: int = 50,
+) -> DataFrame:
+    """Sliding-window document chunking — the docs→training-sequences
+    stage between curation and packing: each document becomes
+    ``ceil((len - overlap) / stride)`` chunks of ``chunk_chars``
+    characters with ``overlap`` characters shared between neighbors
+    (``stride = chunk_chars - overlap``); every document emits at least
+    one chunk (short/empty docs yield their full text).
+
+    Pure map-side fan-out: ``posexplode(sequence(...))`` + 1-based
+    ``substring`` — no shuffle, no Python; output volume is
+    ``total_chars / stride`` rows, linear in corpus size. The chunk
+    count uses INTEGER arithmetic only (``(len - overlap + stride - 1)
+    div stride``), so a SQL twin reproduces it exactly; NULL-text rows
+    are dropped (no well-defined chunking).
+
+    Output: (id_col, chunk_id, chunk_text, chunk_len), chunk_id
+    0-based in document order.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_chars ({chunk_chars})"
+        )
+    stride = chunk_chars - overlap
+    # integer division: Spark's `div` on bigints (floor for positives)
+    n = F.expr(
+        f"greatest(1L, (length({text_col}) - {overlap} + {stride - 1}) div {stride})"
+    )
+    exploded = (
+        docs.filter(F.col(text_col).isNotNull())
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.posexplode(F.sequence(F.lit(0).cast("bigint"), n - 1)).alias(
+                "chunk_id", "__start"
+            ),
+        )
+    )
+    chunk = F.substring(
+        F.col(text_col), (F.col("__start") * stride + 1).cast("int"), chunk_chars
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        chunk.alias("chunk_text"),
+        F.length(chunk).cast("bigint").alias("chunk_len"),
+    )
+
+
+def chunk_documents_sql(
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_chars: int = 200,
+    overlap: int = 50,
+) -> str:
+    """DuckDB twin of :func:`chunk_documents` — same integer chunk
+    count, same 1-based length-clamped substring."""
+    stride = chunk_chars - overlap
+    return f"""
+        WITH n AS (
+            SELECT {id_col}, {text_col},
+                   greatest(1, (length({text_col}) - {overlap} + {stride - 1})
+                               // {stride}) AS n_chunks
+            FROM {table} WHERE {text_col} IS NOT NULL
+        )
+        SELECT {id_col},
+               CAST(i AS BIGINT) AS chunk_id,
+               substring({text_col}, CAST(i * {stride} + 1 AS INT),
+                         {chunk_chars}) AS chunk_text,
+               CAST(length(substring({text_col}, CAST(i * {stride} + 1 AS INT),
+                         {chunk_chars})) AS BIGINT) AS chunk_len
+        FROM n, unnest(generate_series(0, n_chunks - 1)) AS t(i)
+    """

@@ -1,0 +1,178 @@
+"""Lexical retrieval: BM25 scoring over a document corpus — the
+keyword-search complement to the embedding-space ANN operators
+(``operators.similarity``). A training-data pipeline uses this for
+query-driven corpus probes, contamination checks against benchmark
+queries, and hybrid (lexical ∪ dense) retrieval.
+
+Scale shape (the kmeans/classifier pattern — one stats job, then pure
+map work):
+
+1. **Per-doc term stats are map-side**: for a FIXED small query-term
+   set, per-term ``tf`` and doc length come from the materialized words
+   array — no explode, no (doc, term) shuffle, no inverted index
+   materialization for ad-hoc queries.
+2. **Corpus stats are ONE partial-combine aggregate** (N, Σdl, per-term
+   document frequency) — |terms|+2 scalars to the driver.
+3. **Scoring inlines idf/avgdl as codegen literals** — a second map
+   pass; ``TakeOrderedAndProject`` yields top-k without a global sort.
+
+Cross-engine determinism: idf values round to 8 dp (libm ``ln`` shield),
+scores to ``score_dp``; every arithmetic expression is spelled with the
+IDENTICAL textual shape the DuckDB oracle uses (same association order,
+same literals), so doubles match bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .classify import _round_half_up
+from .similarity import _lit_double
+from .text import words_array
+
+
+def _tf_expr(term: str) -> str:
+    """tf of ``term`` in the materialized words array ``__ws`` (double).
+    Single-quoted term: callers pass plain lowercase words."""
+    assert "'" not in term and term == term.lower()
+    return f"CAST(size(filter(__ws, w -> w = '{term}')) AS DOUBLE)"
+
+
+def _term_score(tf: str, idf: float, avgdl: float, k1: float, b: float) -> str:
+    """One term's BM25 contribution — textual shape shared with the SQL
+    twin (:func:`bm25_sql`): idf · tf·(k1+1) / (tf + k1·(1−b + b·dl/avgdl)).
+    Every float goes through the exact-double-literal form (a bare
+    decimal literal parses as DECIMAL in both engines)."""
+    one_minus_b = _lit_double(1.0 - b)
+    return (
+        f"{_lit_double(idf)} * ({tf} * {_lit_double(k1 + 1.0)}) / "
+        f"({tf} + {_lit_double(k1)} * ({one_minus_b} + {_lit_double(b)}"
+        f" * __dl / {_lit_double(avgdl)}))"
+    )
+
+
+def bm25_topk(
+    docs: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_dp: int = 6,
+) -> DataFrame:
+    """Top-``k`` documents by BM25 (Robertson/Sparck Jones idf with the
+    +1 floor, as in Lucene) for a literal query-term list. Returns
+    (id_col, score) ordered by (score DESC, id ASC) — the rounded score
+    is the sort key, so the k-boundary is engine-deterministic.
+
+    Job 1 aggregates corpus stats (N, Σdl, per-term df) map-side-
+    combined; scoring is a pure map pass with idf/avgdl inlined. Docs
+    matching no query term are filtered before the top-k heap.
+    """
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    base = docs.select(
+        F.col(id_col), words_array(F.col(text_col)).alias("__ws")
+    ).withColumn("__dl", F.expr("CAST(size(__ws) AS DOUBLE)"))
+
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("__dl").cast("bigint").alias("total_dl"),
+        *[
+            F.sum((F.expr(_tf_expr(t)) > 0).cast("long")).alias(f"df{j}")
+            for j, t in enumerate(query_terms)
+        ],
+    ).first()
+    n = stats["n"]
+    if n == 0:  # empty corpus: nothing to rank, avoid the 0-division
+        return docs.sparkSession.createDataFrame(
+            [], f"{id_col} bigint, score double"
+        )
+    avgdl = stats["total_dl"] / n
+    idfs = [
+        _round_half_up(
+            math.log((n - stats[f"df{j}"] + 0.5) / (stats[f"df{j}"] + 0.5) + 1.0),
+            8,
+        )
+        for j in range(len(query_terms))
+    ]
+
+    score = " + ".join(
+        _term_score(_tf_expr(t), idfs[j], avgdl, k1, b)
+        for j, t in enumerate(query_terms)
+    )
+    matched = " + ".join(_tf_expr(t) for t in query_terms)
+    return (
+        base.filter(F.expr(matched) > 0)
+        .select(
+            F.col(id_col),
+            F.expr(f"round({score}, {score_dp})").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+def bm25_sql(
+    query_terms: list[str],
+    table: str = "documents",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_dp: int = 6,
+) -> str:
+    """DuckDB twin of :func:`bm25_topk`: re-derives the same corpus
+    stats in a CTE and spells the per-term score with the identical
+    textual arithmetic (idf re-rounded to 8 dp in-engine)."""
+    tf = {
+        j: f"CAST(len(list_filter(ws, x -> x = '{t}')) AS DOUBLE)"
+        for j, t in enumerate(query_terms)
+    }
+    half = _lit_double(0.5)
+    one = _lit_double(1.0)
+    one_minus_b = _lit_double(1.0 - b)
+    idf = {
+        j: (
+            f"round(ln((s.n - s.df{j} + {half}) / (s.df{j} + {half}) + {one}), 8)"
+        )
+        for j in range(len(query_terms))
+    }
+    score = " + ".join(
+        f"{idf[j]} * (d.tf{j} * {_lit_double(k1 + 1.0)}) / "
+        f"(d.tf{j} + {_lit_double(k1)} * ({one_minus_b} + {_lit_double(b)}"
+        f" * d.dl / s.avgdl))"
+        for j in range(len(query_terms))
+    )
+    df_cols = ", ".join(
+        f"sum(CASE WHEN tf{j} > 0 THEN 1 ELSE 0 END) AS df{j}"
+        for j in range(len(query_terms))
+    )
+    tf_cols = ", ".join(f"{tf[j]} AS tf{j}" for j in range(len(query_terms)))
+    any_match = " + ".join(f"d.tf{j}" for j in range(len(query_terms)))
+    return f"""
+        WITH w AS (
+            SELECT {id_col},
+                   string_split_regex(lower(trim({text_col})), '\\s+') AS ws
+            FROM {table}
+        ),
+        d AS (
+            SELECT {id_col}, CAST(len(ws) AS DOUBLE) AS dl, {tf_cols} FROM w
+        ),
+        s AS (
+            SELECT count(*) AS n,
+                   CAST(CAST(sum(dl) AS BIGINT) AS DOUBLE) / count(*) AS avgdl,
+                   {df_cols}
+            FROM d
+        )
+        SELECT d.{id_col}, round({score}, {score_dp}) AS score
+        FROM d CROSS JOIN s
+        WHERE {any_match} > 0
+        ORDER BY score DESC, d.{id_col} ASC
+        LIMIT {k}
+    """

@@ -51,9 +51,8 @@ _ORDER: tuple[str, ...] = (
     "op40_window_suite",
     "op42_quality_flags",
     # --- format conversion / validation (§2.9) ---
-    "op45_er7_encode",
+    "op45_46_conformance_suite",
     "op33_live_timestamp",
-    "op46_validation_findings",
     # --- sources / sinks / serde (§2.2) ---
     "op03_37_serde_suite",
     # --- hierarchy (§4.3.1) ---
@@ -66,15 +65,16 @@ _ORDER: tuple[str, ...] = (
     "q6_forecast_revenue",
     "dim_rollup_suite",
     # --- LLM-data pipeline: dedup / text / similarity / multimodal ---
-    "dedup_exact",
+    "dedup_exact_jaccard_suite",
     "corpus_decontaminate",
-    "dedup_ngram_jaccard",
+    "corpus_chunks",
     "text_metrics_suite",
     "quality_classifier_suite",
     "corpus_top_ngrams",
     "corpus_curation_pipeline",
     "embed_topk_suite",
     "embed_neardup_suite",
+    "bm25_search",
     "multimodal_frame_sample",
     # --- streaming (§2.8) ---
     "op41_streaming_hourly_counts",

@@ -39,17 +39,13 @@ _ER7_SQL = f"""
 """
 
 
-@spec(
-    QUERIES,
-    "op45_er7_encode",
-    sql=_ER7_SQL,
-    doc="OP-45 FHIR→HL7 v2 ER7 encoder (reference src/coding_task_5.py:97-175, "
-    "golden bytes src/data/adt_message.txt) as a pure string projection: one "
-    "concat_ws('|') per segment, concat_ws('\\r') across segments — no "
-    "hl7apy, no UDF, whole-stage codegen. Exercised here over "
-    "orders×customer×nation standing in for patient×condition.",
-)
 def op45_er7_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-45 FHIR→HL7 v2 ER7 encoder (reference src/coding_task_5.py:97-175,
+    golden bytes src/data/adt_message.txt) as a pure string projection: one
+    concat_ws('|') per segment, concat_ws('\\r') across segments — no
+    hl7apy, no UDF, whole-stage codegen. Exercised over
+    orders×customer×nation standing in for patient×condition. Graded as
+    the 'er7' leg of op45_46_conformance_suite."""
     o = load(spark, sf_dir, "orders")
     c = load(spark, sf_dir, "customer")
     n = load(spark, sf_dir, "nation")
@@ -136,17 +132,13 @@ _VALIDATE_SQL = """
 """
 
 
-@spec(
-    QUERIES,
-    "op46_validation_findings",
-    sql=_VALIDATE_SQL,
-    doc="OP-46 conformance validation as a findings table (reference FHIR "
-    "$validate → OperationOutcome, src/validation.py:8-24; findings classes "
-    "per insights.md:105-118: required-element error, valueset warning, "
-    "range warning). Single map-only pass: rules → conditional struct "
-    "array → filter+explode.",
-)
 def op46_validation_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-46 conformance validation as a findings table (reference FHIR
+    $validate → OperationOutcome, src/validation.py:8-24; findings classes
+    per insights.md:105-118: required-element error, valueset warning,
+    range warning). Single map-only pass: rules → conditional struct
+    array → filter+explode. Graded as the 'validate' leg of
+    op45_46_conformance_suite."""
     c = load(spark, sf_dir, "customer")
     rules = [
         V.required_fields(c, "c_custkey", ["c_name"])[0],
@@ -167,3 +159,47 @@ def op46_validation_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ]
     return V.validate(c, "c_custkey", rules)
+
+
+_CONFORMANCE_SQL = f"""
+    SELECT 'er7' AS part, patient_id AS id, er7,
+           CAST(NULL AS VARCHAR) AS severity,
+           CAST(NULL AS VARCHAR) AS rule,
+           CAST(NULL AS VARCHAR) AS diagnostics
+    FROM ({_ER7_SQL})
+    UNION ALL
+    SELECT 'validate' AS part, resource_id AS id,
+           CAST(NULL AS VARCHAR) AS er7,
+           severity, rule, diagnostics
+    FROM ({_VALIDATE_SQL})
+"""
+
+
+@spec(
+    QUERIES,
+    "op45_46_conformance_suite",
+    sql=_CONFORMANCE_SQL,
+    doc="Format-conversion & conformance suite: the OP-45 ER7 encoder "
+    "leg (pure string projection, whole-stage codegen) unioned with "
+    "the OP-46 $validate-analog findings leg (rules → conditional "
+    "struct array → filter+explode). Two independent map-only legs; "
+    "zero-shuffle concat.",
+)
+def op45_46_conformance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    er7 = op45_er7_encode(spark, sf_dir).select(
+        F.lit("er7").alias("part"),
+        F.col("patient_id").alias("id"),
+        "er7",
+        F.lit(None).cast("string").alias("severity"),
+        F.lit(None).cast("string").alias("rule"),
+        F.lit(None).cast("string").alias("diagnostics"),
+    )
+    findings = op46_validation_findings(spark, sf_dir).select(
+        F.lit("validate").alias("part"),
+        F.col("resource_id").alias("id"),
+        F.lit(None).cast("string").alias("er7"),
+        "severity",
+        "rule",
+        "diagnostics",
+    )
+    return er7.unionByName(findings)

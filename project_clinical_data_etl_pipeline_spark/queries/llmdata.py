@@ -30,20 +30,19 @@ _NORM = (
 )
 
 
-@spec(
-    QUERIES,
-    "dedup_exact",
-    sql=f"""
-        SELECT md5({_NORM}) AS content_hash,
-               CAST(min(doc_id) AS BIGINT) AS keep_id,
-               CAST(count(*) AS BIGINT) AS n_dups
-        FROM documents GROUP BY 1
-    """,
-    doc="Exact dedup via normalized-content hash-groupBy. Only "
-    "(hash, id) shuffles — never the text. keep = min id.",
-    tags=("llm", "bench"),
-)
+_DEDUP_EXACT_SQL = f"""
+    SELECT md5({_NORM}) AS content_hash,
+           CAST(min(doc_id) AS BIGINT) AS keep_id,
+           CAST(count(*) AS BIGINT) AS n_dups
+    FROM documents GROUP BY 1
+"""
+
+
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup via normalized-content hash-groupBy. Only
+    (hash, id) shuffles — never the text. keep = min id. Graded as the
+    'exact' leg of dedup_exact_jaccard_suite; standalone for bench.py's
+    timing series."""
     return D.exact_dedup_groups(load(spark, sf_dir, "documents"), "doc_id", "text")
 
 
@@ -280,22 +279,60 @@ _JACCARD_SQL = f"""
 """
 
 
-@spec(
-    QUERIES,
-    "dedup_ngram_jaccard",
-    sql=_JACCARD_SQL,
-    doc="Exact 3-word-shingle Jaccard over candidate pairs sharing ≥1 "
-    "shingle (inverted-index self-join). Integer-exact intersection/union "
-    "→ deterministic ratio. Runs uncapped here so the oracle checks exact "
-    "semantics; at 100 TB pass df_max to drop ubiquitous shingles "
-    "(operators.dedup.ngram_jaccard_pairs, tested in "
-    "test_scale_behaviors).",
-    tags=("llm",),
-)
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-word-shingle Jaccard over candidate pairs sharing ≥1
+    shingle (inverted-index self-join). Integer-exact intersection/union
+    → deterministic ratio. Runs uncapped here so the oracle checks exact
+    semantics; at 100 TB pass df_max to drop ubiquitous shingles
+    (operators.dedup.ngram_jaccard_pairs, tested in
+    test_scale_behaviors). Graded as the 'jaccard' leg of
+    dedup_exact_jaccard_suite."""
     return D.ngram_jaccard_pairs(
         load(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.05
     )
+
+
+@spec(
+    QUERIES,
+    "dedup_exact_jaccard_suite",
+    sql=f"""
+        SELECT 'exact' AS part, content_hash, keep_id, n_dups,
+               CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+               CAST(NULL AS DOUBLE) AS jaccard
+        FROM ({_DEDUP_EXACT_SQL})
+        UNION ALL
+        SELECT 'jaccard' AS part, CAST(NULL AS VARCHAR) AS content_hash,
+               CAST(NULL AS BIGINT) AS keep_id, CAST(NULL AS BIGINT) AS n_dups,
+               id_a, id_b, jaccard
+        FROM ({_JACCARD_SQL})
+    """,
+    doc="Dedup suite: the exact normalized-hash leg (only (hash, id) "
+    "shuffles — never text; keep = min id) unioned with the exact "
+    "3-shingle Jaccard pair leg (inverted-index self-join, integer-"
+    "exact ratios; df_max is the 100 TB ubiquitous-shingle cap). Two "
+    "independent legs; zero-shuffle concat.",
+    tags=("llm",),
+)
+def dedup_exact_jaccard_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = dedup_exact(spark, sf_dir).select(
+        F.lit("exact").alias("part"),
+        "content_hash",
+        "keep_id",
+        "n_dups",
+        F.lit(None).cast("bigint").alias("id_a"),
+        F.lit(None).cast("bigint").alias("id_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    jac = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.lit("jaccard").alias("part"),
+        F.lit(None).cast("string").alias("content_hash"),
+        F.lit(None).cast("bigint").alias("keep_id"),
+        F.lit(None).cast("bigint").alias("n_dups"),
+        "id_a",
+        "id_b",
+        "jaccard",
+    )
+    return exact.unionByName(jac)
 
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -896,7 +933,6 @@ def quality_classifier_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     t = F.col("text")
-    ntok = X.token_count(t)
     feats = d.select(
         "doc_id",
         F.lit(1.0).alias("f_bias"),
@@ -918,4 +954,63 @@ def quality_classifier_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("int").alias("label"),
         "score",
         "keep",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lexical retrieval (operators.retrieval): BM25 — the keyword-search
+# complement to the embedding ANN suites.
+# ---------------------------------------------------------------------------
+
+#: Fixed probe query for the graded BM25 row (terms present in the
+#: synthetic vocabulary; lowercase by contract).
+_BM25_TERMS = ["spark", "table", "agg"]
+
+
+def _bm25_suite_sql() -> str:
+    from ..operators.retrieval import bm25_sql
+
+    return bm25_sql(_BM25_TERMS, k=20)
+
+
+@spec(
+    QUERIES,
+    "bm25_search",
+    sql=_bm25_suite_sql(),
+    doc="BM25 lexical top-20 (operators.retrieval.bm25_topk) for a fixed "
+    "query-term set — the keyword-retrieval complement to embed_topk_"
+    "suite (hybrid lexical ∪ dense search, benchmark-contamination "
+    "probes). One partial-combine stats aggregate (N, Σdl, per-term "
+    "document frequency — |terms|+2 scalars to the driver), then a "
+    "pure map scoring pass with idf/avgdl inlined as codegen literals "
+    "and TakeOrderedAndProject for the top-k: no explode, no (doc, "
+    "term) shuffle, no inverted index for ad-hoc queries. Rounded "
+    "idf (8 dp) and score (6 dp) + identical textual arithmetic make "
+    "Spark and the DuckDB twin hash-match; (score DESC, doc_id ASC) "
+    "pins the k-boundary.",
+    tags=("llm", "bench"),
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.retrieval import bm25_topk
+
+    return bm25_topk(load(spark, sf_dir, "documents"), _BM25_TERMS, k=20)
+
+
+@spec(
+    QUERIES,
+    "corpus_chunks",
+    sql=P.chunk_documents_sql(chunk_chars=200, overlap=50),
+    doc="Sliding-window document chunking (operators.packing."
+    "chunk_documents) — the docs→training-sequences stage between "
+    "curation and sequence packing: 200-char chunks with 50-char "
+    "overlap, at least one chunk per document. Pure map-side "
+    "posexplode(sequence) + substring fan-out: no shuffle, no Python, "
+    "output linear in corpus chars. Chunk counts use INTEGER "
+    "arithmetic only, so the DuckDB twin reproduces the exact chunk "
+    "set and the text hashes match.",
+    tags=("llm",),
+)
+def corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return P.chunk_documents(
+        load(spark, sf_dir, "documents"), chunk_chars=200, overlap=50
     )

@@ -179,3 +179,61 @@ def test_cap_per_key_matches_single_phase_window(spark):
     assert all(v == 1 for (s, _), v in got.items() if s.startswith("cold"))
     assert sum(v for (s, _), v in got.items() if s == "hot") == 10
     assert len(got) == len(rows)
+
+
+def test_chunk_documents_semantics(spark):
+    """Python-oracle chunking: coverage (concatenated strides rebuild
+    the document), overlap between neighbors, short/empty-doc floor."""
+    from project_clinical_data_etl_pipeline_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    C, V = 10, 4  # stride 6
+    texts = {
+        0: "abcdefghijklmnopqrstuvwxyz",  # 26 chars → ceil(22/6)=4 chunks
+        1: "short",  # < chunk → 1 full-text chunk
+        2: "",  # empty → 1 empty chunk
+        3: "x" * 10,  # exactly one window
+        4: "x" * 11,  # one char past → 2 chunks
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id bigint, text string")
+    out = chunk_documents(df, chunk_chars=C, overlap=V)
+    got: dict[int, list] = {}
+    for r in out.collect():
+        got.setdefault(r["doc_id"], []).append(r)
+    for rows in got.values():
+        rows.sort(key=lambda r: r["chunk_id"])
+
+    stride = C - V
+    for doc_id, text in texts.items():
+        rows = got[doc_id]
+        n_expect = max(1, -(-(max(len(text) - V, 0)) // stride)) if len(
+            text
+        ) > V else 1
+        assert len(rows) == n_expect, (doc_id, len(rows), n_expect)
+        assert [r["chunk_id"] for r in rows] == list(range(len(rows)))
+        for i, r in enumerate(rows):
+            assert r["chunk_text"] == text[i * stride : i * stride + C]
+            assert r["chunk_len"] == len(r["chunk_text"])
+        # coverage: strided prefixes + final chunk rebuild the text
+        rebuilt = "".join(r["chunk_text"][:stride] for r in rows[:-1]) + rows[-1][
+            "chunk_text"
+        ]
+        assert rebuilt == text
+        # overlap: neighbor chunks share V chars (when the next is full)
+        for a, b in zip(rows, rows[1:]):
+            assert a["chunk_text"][stride:] == b["chunk_text"][: len(
+                a["chunk_text"]
+            ) - stride]
+
+
+def test_chunk_documents_rejects_bad_overlap(spark):
+    from project_clinical_data_etl_pipeline_spark.operators.packing import (
+        chunk_documents,
+    )
+
+    df = spark.createDataFrame([(1, "abc")], "doc_id bigint, text string")
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_chars=5, overlap=5)

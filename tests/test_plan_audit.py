@@ -88,7 +88,7 @@ _PYTHON_KERNEL = {"op44_vectorized_udf", "multimodal_decode",
 #: this list in round 5: its cell assignment is now a map-side codegen
 #: argmax (no BNLJ, no cartesian anywhere in the plan).
 _TINY_BNLJ = {"embed_topk_suite",
-              "dedup_ngram_jaccard", "fhir_conditional_create"}
+              "dedup_exact_jaccard_suite", "fhir_conditional_create"}
 #: literal 1-row construction side (documented in fhir_q) — a cross
 #: join against a constant, not a data-sized cartesian
 _ONE_ROW_CROSS = {"fhir_pipeline_suite", "fhir_conditional_create"}

@@ -75,7 +75,9 @@ def test_no_python_in_jvm_only_queries(spark, sf_dir):
 
 def test_exact_dedup_shuffles_hash_not_text(spark, sf_dir):
     """The dedup shuffle must carry (hash, id), never the text column."""
-    plan = _plan(REGISTRY["dedup_exact"].run(spark, sf_dir))
+    from project_clinical_data_etl_pipeline_spark.queries.llmdata import dedup_exact
+
+    plan = _plan(dedup_exact(spark, sf_dir))
     ex = plan.split("Exchange")[1] if "Exchange" in plan else ""
     assert "text" not in ex.split("+- ")[0]
 

@@ -1,0 +1,90 @@
+"""BM25 retrieval (operators.retrieval) gates beyond the registry
+oracle row: hand-computed reference scores on a tiny corpus, ranking
+semantics, and the scale shape (map-only scoring, TakeOrdered top-k).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from project_clinical_data_etl_pipeline_spark.operators.retrieval import bm25_topk
+
+K1, B = 1.2, 0.75
+
+
+def _ref_bm25(corpus: list[str], terms: list[str], k1=K1, b=B) -> list[float]:
+    """Plain-Python BM25 (unrounded — tests use approx compare)."""
+    toks = [c.lower().split() for c in corpus]
+    n = len(corpus)
+    avgdl = sum(len(t) for t in toks) / n
+    scores = []
+    for t in toks:
+        s = 0.0
+        for term in terms:
+            df = sum(1 for other in toks if term in other)
+            idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            tf = t.count(term)
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * len(t) / avgdl))
+        scores.append(s)
+    return scores
+
+
+CORPUS = [
+    "spark spark spark runs fast",
+    "spark table join table",
+    "the quick brown fox",
+    "table of data and data",
+    "spark",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CORPUS)], "doc_id bigint, text string"
+    )
+
+
+def test_bm25_matches_reference_scores(spark, docs):
+    out = {
+        r["doc_id"]: r["score"]
+        for r in bm25_topk(docs, ["spark", "table"], k=10).collect()
+    }
+    ref = _ref_bm25(CORPUS, ["spark", "table"])
+    # doc 2 matches nothing → excluded
+    assert set(out) == {0, 1, 3, 4}
+    for i in out:
+        assert out[i] == pytest.approx(ref[i], abs=2e-6)
+
+
+def test_bm25_ranking_properties(spark, docs):
+    rows = bm25_topk(docs, ["spark"], k=10).collect()
+    ranked = [r["doc_id"] for r in rows]
+    # only spark-containing docs, scores strictly ordered desc
+    assert set(ranked) == {0, 1, 4}
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    # short doc 4 (pure hit) outranks long doc 1 (single hit among 4
+    # tokens); tf-saturated doc 0 still wins
+    assert ranked[0] == 0 and ranked.index(4) < ranked.index(1)
+
+
+def test_bm25_k_boundary_deterministic(spark):
+    # identical docs tie exactly → doc_id ascending breaks the tie
+    df = spark.createDataFrame(
+        [(i, "same words here") for i in range(10)], "doc_id bigint, text string"
+    )
+    rows = bm25_topk(df, ["same"], k=3).collect()
+    assert [r["doc_id"] for r in rows] == [0, 1, 2]
+
+
+def test_bm25_plan_is_map_only_topk(spark, sf_dir):
+    from project_clinical_data_etl_pipeline_spark.queries import REGISTRY
+
+    df = REGISTRY["bm25_search"].run(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    for op in ("Join", "BatchEvalPython", "Generate"):
+        assert op not in plan, f"bm25 scoring plan grew a {op}:\n{plan}"
