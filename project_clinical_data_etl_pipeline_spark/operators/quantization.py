@@ -1,0 +1,204 @@
+"""Product quantization (PQ) for embedding compression — the
+faiss-style IVF+PQ scale recipe's second half, completing the
+similarity stack (``operators.similarity``: brute / LSH / IVF).
+
+PQ splits a ``dim``-dimensional vector into ``m`` contiguous subspaces
+and vector-quantizes each against its own ``ks``-entry codebook, so a
+vector stores as ``m`` small codes (m bytes for ks ≤ 256) instead of
+``dim`` floats — a 32× storage/scan-IO compression at dim=64/m=8.
+Retrieval scores queries against the RECONSTRUCTED vectors
+(asymmetric distance computation by codebook lookup), trading recall
+for a corpus scan that reads codes, not floats.
+
+Scale shapes, all reusing the proven kmeans/classifier patterns:
+
+- **Training** is FUSED across subspaces: each Lloyd iteration is one
+  map pass (``m`` inlined-literal L2 argmins) + ONE aggregate over
+  (subspace, cell, element) — a single shuffle per iteration no matter
+  how many subspaces; ``m·ks·(dim/m) = ks·dim`` scalars reach the
+  driver per iteration (the kmeans-centroid-pull pattern).
+- **Encoding** is a pure map pass: the codebooks are codegen literals,
+  each subspace an argmin expression — no join, no Exchange.
+- **Reconstruction/scoring** is map-side codebook lookup
+  (``element_at`` on literal arrays) feeding the existing unrolled-dot
+  scorer — the plan shape of brute-force top-k, but the scan side
+  needs only (id, pq_code).
+
+Determinism mirrors ``similarity.kmeans_centroids``: DECIMAL-exact
+means, optional per-iteration rounding, min-id seeds, lowest-id
+tiebreaks — so a bit-exact Python oracle (tests) reproduces training,
+encoding, and reconstruction end-to-end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _col_sql, _dot_lit_sql, _lit_double
+
+
+def _fold_sq_norm(vec: list[float]) -> float:
+    """Driver-side ||v||² with the engines' fold order (0.0 seed,
+    index order)."""
+    acc = 0.0
+    for x in vec:
+        acc += float(x) * float(x)
+    return acc
+
+
+def _slice_ref(vec_ref: str, start0: int, width: int) -> str:
+    """1-based slice of the vector column as a SQL fragment."""
+    return f"slice({vec_ref}, {start0 + 1}, {width})"
+
+
+def l2_argmin_expr(sub_ref: str, centroids: list[list[float]]) -> str:
+    """MAP-SIDE L2 argmin against literal centroids (ties → lowest id):
+    argmin_c ||x−c||² = argmin_c (c·c − 2·x·c) — the x·x term is
+    constant per row and dropped. Same named_struct/array_sort argmin
+    as similarity.cell_assign_expr, with the squared-norm trick so each
+    centroid costs one literal dot."""
+    entries = []
+    for i, c in enumerate(centroids):
+        d = (
+            f"({_lit_double(_fold_sq_norm(c))} - "
+            f"(CAST(2 AS DOUBLE) * {_dot_lit_sql(sub_ref, c)}))"
+        )
+        entries.append(f"named_struct('s', {d}, 'i', {i}L)")
+    return f"element_at(array_sort(array({', '.join(entries)})), 1).i"
+
+
+def pq_train(
+    corpus: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    ks: int = 16,
+    n_iter: int = 2,
+    round_dp: int | None = 6,
+) -> list[list[list[float]]]:
+    """Train ``m`` subspace codebooks of ``ks`` centroids each (L2
+    Lloyd iterations). Returns ``codebooks[s][c] = centroid vector of
+    length dim/m``.
+
+    Seeds are the ``ks`` min-id vectors' subvectors (deterministic).
+    Each iteration: one map pass assigning all ``m`` subspaces
+    (inlined-literal argmins), ONE aggregate over (subspace, cell,
+    element) with DECIMAL-exact means — a single shuffle regardless of
+    ``m``; empty cells keep their previous centroid.
+    """
+    if dim % m:
+        raise ValueError(f"dim ({dim}) must divide evenly into m ({m}) subspaces")
+    w = dim // m
+    seed_rows = (
+        corpus.orderBy(F.col(id_col).asc())
+        .limit(ks)
+        .select(F.col(vec_col))
+        .collect()
+    )
+    if len(seed_rows) < ks:
+        raise ValueError(f"corpus has fewer than ks={ks} vectors")
+    seeds = [[float(x) for x in r[0]] for r in seed_rows]
+    codebooks = [
+        [seeds[c][s * w : (s + 1) * w] for c in range(ks)] for s in range(m)
+    ]
+
+    vecs = corpus.select(F.col(vec_col).alias("__v"))
+    ref = _col_sql("__v")
+    mean_sql = "CAST(sum(CAST(__val AS DECIMAL(28,10))) AS DOUBLE) / count(1)"
+    if round_dp is not None:
+        mean_sql = f"round({mean_sql}, {round_dp})"
+    for _ in range(n_iter):
+        # one row per (subspace, cell, element): posexplode the m
+        # subspace structs, then the subvector elements — pure fan-out,
+        # then ONE partial-combined aggregate.
+        subs = ", ".join(
+            f"named_struct('cell', {l2_argmin_expr(_slice_ref(ref, s * w, w), codebooks[s])}, "
+            f"'sv', {_slice_ref(ref, s * w, w)})"
+            for s in range(m)
+        )
+        assigned = vecs.select(
+            F.posexplode(F.expr(f"array({subs})")).alias("__sub", "__sc")
+        )
+        means = (
+            assigned.select(
+                "__sub",
+                F.col("__sc.cell").alias("__cell"),
+                F.posexplode(F.col("__sc.sv")).alias("__idx", "__val"),
+            )
+            .groupBy("__sub", "__cell", "__idx")
+            .agg(F.expr(mean_sql).alias("__mv"))
+        )
+        updated: dict[tuple[int, int], list[float]] = {}
+        for r in means.collect():
+            updated.setdefault((r["__sub"], r["__cell"]), [0.0] * w)[
+                r["__idx"]
+            ] = r["__mv"]
+        codebooks = [
+            [updated.get((s, c), codebooks[s][c]) for c in range(ks)]
+            for s in range(m)
+        ]
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Append ``code_col``: array<bigint> of ``m`` codebook indices —
+    pure map pass, codebooks inlined as codegen literals. At scale the
+    (id, pq_code) projection IS the stored index: m bytes/vector."""
+    m = len(codebooks)
+    w = len(codebooks[0][0])
+    ref = _col_sql(vec_col)
+    codes = ", ".join(
+        l2_argmin_expr(_slice_ref(ref, s * w, w), codebooks[s]) for s in range(m)
+    )
+    return df.withColumn(code_col, F.expr(f"array({codes})"))
+
+
+def pq_reconstruct_expr(
+    codebooks: list[list[list[float]]], code_col: str = "pq_code"
+) -> Column:
+    """Decoded vector (array<double>) from PQ codes: per subspace an
+    ``element_at`` lookup into the literal codebook, flattened —
+    map-side, no join."""
+    parts = []
+    for s, book in enumerate(codebooks):
+        arrays = ", ".join(
+            f"array({', '.join(_lit_double(x) for x in c)})" for c in book
+        )
+        parts.append(
+            f"element_at(array({arrays}), CAST(element_at({code_col}, {s + 1}) + 1 AS INT))"
+        )
+    return F.expr(f"flatten(array({', '.join(parts)}))")
+
+
+def pq_topk(
+    queries: DataFrame,
+    encoded_corpus: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    code_col: str = "pq_code",
+) -> DataFrame:
+    """Asymmetric top-k: exact query vector vs RECONSTRUCTED corpus
+    vectors (cosine). Plan shape = brute_force_topk (broadcast queries,
+    unrolled codegen dots, per-query top-k heap) but the corpus side
+    scans only (id, pq_code) — the 32× IO saving at 100 TB. Returns
+    (query_id, neighbor_id, cosine, rank).
+    """
+    from .similarity import brute_force_topk
+
+    decoded = encoded_corpus.select(
+        F.col(id_col),
+        pq_reconstruct_expr(codebooks, code_col).alias(vec_col),
+    )
+    return brute_force_topk(
+        queries, decoded, id_col=id_col, vec_col=vec_col, k=k, dim=dim
+    )

@@ -1,0 +1,137 @@
+"""PQ (operators.quantization) gates: recall floor vs brute force on
+the synthetic embeddings, perfect recall on clusterable data, code
+shape/compression contract, determinism, and the map-only plan shapes.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from project_clinical_data_etl_pipeline_spark.operators import quantization as Q
+from project_clinical_data_etl_pipeline_spark.operators.similarity import (
+    brute_force_topk,
+)
+from project_clinical_data_etl_pipeline_spark.tables import load
+
+M, KS, DIM = 32, 16, 64
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def codebooks(corpus):
+    return Q.pq_train(corpus, dim=DIM, m=M, ks=KS, n_iter=3)
+
+
+def test_pq_code_shape_and_compression(corpus, codebooks):
+    enc = Q.pq_encode(corpus, codebooks)
+    rows = enc.select("vec_id", "pq_code").collect()
+    assert len(rows) == corpus.count()
+    for r in rows:
+        code = r["pq_code"]
+        assert len(code) == M  # m codes per vector …
+        assert all(0 <= c < KS for c in code)  # … each in [0, ks)
+    # the stored index is (id, code): m * ceil(log2 ks) bits = 16 B
+    # vs dim * 4 B floats = 256 B — a 16x scan-IO reduction
+    assert M * 4 / 8 < DIM * 4 / 4
+
+
+def test_pq_recall_floor_vs_brute(spark, corpus, codebooks):
+    q = corpus.filter(F.col("vec_id") < 8)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(q, corpus, k=5, dim=DIM).collect()
+    }
+    pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in Q.pq_topk(q, Q.pq_encode(corpus, codebooks), codebooks,
+                           k=5, dim=DIM).collect()
+    }
+    recall = len(pq & brute) / len(brute)
+    # deterministic data + deterministic training → exact value; the
+    # floor documents what random-ish synthetic vectors (PQ's worst
+    # case — no subspace structure) still achieve
+    assert recall >= 0.5, f"PQ recall@5 {recall:.3f}"
+
+
+def test_pq_cluster_structure_preserved(spark):
+    """Vectors drawn from a few distinct prototypes: PQ quantizes away
+    the intra-cluster noise BY DESIGN (all members of a cluster
+    reconstruct to the same codeword), so the correct guarantees are
+    (a) every retrieved neighbor belongs to the query's own cluster and
+    (b) reconstruction is near-exact (cosine ≈ 1 with the original)."""
+    import random
+
+    rng = random.Random(7)
+    protos = [[rng.uniform(-1, 1) for _ in range(16)] for _ in range(4)]
+    rows = [
+        (i, [x + 0.001 * rng.uniform(-1, 1) for x in protos[i % 4]])
+        for i in range(64)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    books = Q.pq_train(df, dim=16, m=4, ks=4, n_iter=4)
+    enc = Q.pq_encode(df, books)
+    q = df.filter(F.col("vec_id") < 4)
+    for r in Q.pq_topk(q, enc, books, k=5, dim=16).collect():
+        assert r["neighbor_id"] % 4 == r["query_id"] % 4, r
+
+    from project_clinical_data_etl_pipeline_spark.operators.similarity import (
+        cosine,
+    )
+
+    decoded = enc.select(
+        F.col("embedding"),
+        Q.pq_reconstruct_expr(books).alias("__rec"),
+    )
+    fid = decoded.select(
+        F.min(cosine(F.col("embedding"), F.col("__rec"))).alias("worst")
+    ).first()["worst"]
+    assert fid > 0.999, f"worst reconstruction cosine {fid}"
+
+
+def test_pq_training_is_deterministic(corpus):
+    again = Q.pq_train(corpus, dim=DIM, m=M, ks=KS, n_iter=3)
+    base = Q.pq_train(corpus, dim=DIM, m=M, ks=KS, n_iter=3)
+    assert base == again
+
+
+def test_pq_encode_plan_is_map_only(corpus, codebooks):
+    enc = Q.pq_encode(corpus, codebooks).select("vec_id", "pq_code")
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    for op in ("Exchange", "Join", "BatchEvalPython", "Sort"):
+        assert op not in plan, f"PQ encode plan grew a {op}"
+
+
+def test_pq_scoring_reads_codes_not_vectors(spark, corpus, codebooks, tmp_path):
+    """The ADC scan side must read only (id, pq_code) — write the
+    encoded index to parquet and assert the scoring scan's ReadSchema
+    carries the 16-byte codes, not the 256-byte embeddings."""
+    path = str(tmp_path / "pq_index")
+    Q.pq_encode(corpus, codebooks).select("vec_id", "pq_code").write.mode(
+        "overwrite"
+    ).parquet(path)
+    index = spark.read.parquet(path)
+    q = corpus.filter(F.col("vec_id") < 2)
+    out = Q.pq_topk(q, index, codebooks, k=5, dim=DIM)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the index-side scan must read codes only (display paths are
+    # truncated, so match on ReadSchema)
+    schemas = [
+        seg.split("ReadSchema: ")[1].split("\n")[0]
+        for seg in plan.split("FileScan")[1:]
+        if "ReadSchema: " in seg
+    ]
+    index_scans = [s for s in schemas if "pq_code" in s]
+    assert index_scans, plan
+    assert all("embedding" not in s for s in index_scans), index_scans
+
+
+def test_pq_train_validates_inputs(corpus):
+    with pytest.raises(ValueError):
+        Q.pq_train(corpus, dim=DIM, m=7, ks=KS)  # 64 % 7 != 0
+    with pytest.raises(ValueError):
+        Q.pq_train(corpus.limit(3), dim=DIM, m=M, ks=KS)  # < ks seeds
