@@ -44,8 +44,9 @@ BENCH_QUERIES = [
     # round-5 additions (families landed in round 4 with no perf
     # telemetry): temporal joins, trained SemDeDup, iterative closure.
     # Methodology (min-of-2, warmup set) is FROZEN from r4 — the r4
-    # totals remain comparable on the original 11; the total line now
-    # covers 15.
+    # totals remain comparable on the original 11; later r5 additions
+    # keep growing the total line (see entries below), so compare
+    # cross-round per-query, never by the total.
     "asof_click_before_purchase",
     "range_clicks_before_error",
     "embed_neardup_suite",

@@ -124,11 +124,18 @@ def train_logistic(
 
 def _round_half_up(x: float, dp: int) -> float:
     """Driver-side HALF_UP decimal rounding matching Spark's
-    ``round(double, dp)`` (BigDecimal HALF_UP on the double's exact
-    decimal expansion — NOT Python's banker's rounding)."""
+    ``round(double, dp)``. Spark's Round goes through
+    ``BigDecimal.valueOf(d)`` = ``Double.toString(d)`` — the SHORTEST
+    round-trip decimal — so the Python mirror must quantize
+    ``Decimal(repr(x))`` (same shortest form), NOT ``Decimal(x)``
+    (the exact binary expansion): they disagree on boundary values
+    like round(2.675, 2) → 2.68 (shortest "2.675", HALF_UP) vs 2.67
+    (exact 2.67499…). Not Python's banker's rounding either."""
     from decimal import ROUND_HALF_UP, Decimal
 
-    return float(Decimal(x).quantize(Decimal(1).scaleb(-dp), ROUND_HALF_UP))
+    return float(
+        Decimal(repr(x)).quantize(Decimal(1).scaleb(-dp), ROUND_HALF_UP)
+    )
 
 
 def score_documents(
@@ -223,9 +230,12 @@ def reference_train_score(
     from decimal import Decimal
 
     def q(x: float, dp: int) -> Decimal:
+        # repr, not the exact binary expansion: Spark's round() AND its
+        # double→DECIMAL cast both go through BigDecimal.valueOf =
+        # Double.toString = the shortest round-trip decimal
         from decimal import ROUND_HALF_UP
 
-        return Decimal(x).quantize(Decimal(1).scaleb(-dp), ROUND_HALF_UP)
+        return Decimal(repr(x)).quantize(Decimal(1).scaleb(-dp), ROUND_HALF_UP)
 
     k = len(feature_cols)
     weights = [0.0] * k

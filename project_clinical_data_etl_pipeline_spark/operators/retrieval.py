@@ -34,10 +34,23 @@ from .similarity import _lit_double
 from .text import words_array
 
 
+def _check_terms(query_terms: list[str]) -> None:
+    """Terms are spliced into generated SQL for BOTH engines: enforce
+    plain lowercase quote-free words with a real error (an assert would
+    vanish under ``python -O`` and let a quote break/inject the SQL)."""
+    if not query_terms:
+        raise ValueError("query_terms must be non-empty")
+    for t in query_terms:
+        if "'" in t or "\\" in t or t != t.lower() or not t:
+            raise ValueError(
+                f"query term {t!r} must be a non-empty lowercase word "
+                "without quotes/backslashes"
+            )
+
+
 def _tf_expr(term: str) -> str:
     """tf of ``term`` in the materialized words array ``__ws`` (double).
-    Single-quoted term: callers pass plain lowercase words."""
-    assert "'" not in term and term == term.lower()
+    Callers validate via :func:`_check_terms` first."""
     return f"CAST(size(filter(__ws, w -> w = '{term}')) AS DOUBLE)"
 
 
@@ -73,8 +86,7 @@ def bm25_topk(
     combined; scoring is a pure map pass with idf/avgdl inlined. Docs
     matching no query term are filtered before the top-k heap.
     """
-    if not query_terms:
-        raise ValueError("query_terms must be non-empty")
+    _check_terms(query_terms)
     base = docs.select(
         F.col(id_col), words_array(F.col(text_col)).alias("__ws")
     ).withColumn("__dl", F.expr("CAST(size(__ws) AS DOUBLE)"))
@@ -89,9 +101,10 @@ def bm25_topk(
     ).first()
     n = stats["n"]
     if n == 0:  # empty corpus: nothing to rank, avoid the 0-division
-        return docs.sparkSession.createDataFrame(
-            [], f"{id_col} bigint, score double"
-        )
+        # preserve the caller's actual id type (id_col is generic)
+        return base.select(
+            F.col(id_col), F.lit(0.0).alias("score")
+        ).limit(0)
     avgdl = stats["total_dl"] / n
     idfs = [
         _round_half_up(
@@ -130,6 +143,7 @@ def bm25_sql(
     """DuckDB twin of :func:`bm25_topk`: re-derives the same corpus
     stats in a CTE and spells the per-term score with the identical
     textual arithmetic (idf re-rounded to 8 dp in-engine)."""
+    _check_terms(query_terms)
     tf = {
         j: f"CAST(len(list_filter(ws, x -> x = '{t}')) AS DOUBLE)"
         for j, t in enumerate(query_terms)

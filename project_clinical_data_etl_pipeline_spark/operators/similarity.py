@@ -291,7 +291,10 @@ def kmeans_centroids(
     centroids = [[float(x) for x in r[0]] for r in seed_rows]
     vecs = corpus.select(
         F.col(vec_col).alias("__v"), norm(F.col(vec_col), dim).alias("__n")
-    )
+    ).localCheckpoint(eager=False)  # each Lloyd iteration re-reads the
+    # (vector, norm) projection: materialize it once instead of
+    # re-scanning the source + recomputing norms per iteration (at
+    # warehouse scale: .persist() the projection before training)
     mean_sql = "CAST(sum(CAST(__val AS DECIMAL(28,10))) AS DOUBLE) / count(1)"
     if round_dp is not None:
         mean_sql = f"round({mean_sql}, {round_dp})"

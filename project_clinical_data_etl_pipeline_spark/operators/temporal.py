@@ -191,10 +191,15 @@ def asof_join(
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
 
-    if bucket_s == "auto":
+    if isinstance(bucket_s, str):
+        if bucket_s != "auto":  # fail fast: 'Auto'/'AUTO' would otherwise
+            # fall through to the numeric path (string * int repeats!)
+            raise ValueError(f"bucket_s must be an int, None, or 'auto'; got {bucket_s!r}")
         bucket_s = _auto_asof_bucket(
             r.select(*keys, "__t").unionByName(l.select(*keys, "__t")), keys
         )
+    if bucket_s is not None and bucket_s <= 0:
+        raise ValueError(f"bucket_s must be positive, got {bucket_s}")
 
     # Within a key: right rows sort before left rows at the same ts
     # (side 0 < 1), so an exactly-simultaneous right row IS matched.
@@ -355,6 +360,12 @@ def interval_overlap_join(
             .first()[0]
         )
         bucket_s = max(1, -(-int(spans or 0) // 1_000_000))  # ceil µs → s
+    if bucket_s <= 0:
+        # caller-passed degenerate width: floor(x/0) is NULL under
+        # non-ANSI mode → sequence(NULL, NULL) → explode drops every
+        # row → silent zero-row join (same hazard range_join_binned
+        # guards against). Fail fast instead.
+        raise ValueError(f"bucket_s must be positive, got {bucket_s}")
     width_us = bucket_s * 1_000_000
 
     l = (

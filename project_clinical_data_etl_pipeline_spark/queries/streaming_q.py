@@ -168,6 +168,11 @@ def stream_temporal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         qa.processAllAvailable()
     finally:
         qa.stop()
+    # snapshot the memory sink, then release the catalog view — the
+    # uuid-named temp views would otherwise accumulate (full result
+    # sets in driver memory) across the registry grading + test runs
+    asof_rows = spark.table(name_a).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name_a)
 
     # Deterministic finalization cutoff, strictly below the engine's
     # final watermark whatever its ms truncation: 1 s of slack. One
@@ -187,7 +192,7 @@ def stream_temporal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0][0]
     )
     asof_leg = (
-        spark.table(name_a)
+        asof_rows
         .filter(F.col("left_ts_us") < F.lit(lim_us))
         .select(
             F.lit("asof").alias("part"),
@@ -223,8 +228,10 @@ def stream_temporal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         qr.processAllAvailable()
     finally:
         qr.stop()
+    range_rows = spark.table(name_r).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name_r)
     range_leg = (
-        spark.table(name_r)
+        range_rows
         .groupBy("event_id", "user_id", "ts")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_right"))
         .select(

@@ -114,3 +114,19 @@ def test_training_never_collects_rows(spark):
     w = C.train_logistic(df, ["f_bias", "f_x"], "y", n_iter=2)
     assert all(isinstance(x, float) for x in w)
     assert not df.is_cached
+
+
+def test_round_half_up_matches_spark_on_shortest_repr_boundaries(spark):
+    """Spark's round(double, dp) rounds the SHORTEST-repr decimal
+    (BigDecimal.valueOf); quantizing the exact binary expansion gives
+    2.67 for round(2.675, 2) — the wrong answer. Pin the driver-side
+    mirror against the engine on exactly such boundary values."""
+    cases = [(2.675, 2), (0.125, 2), (1.005, 2), (0.5, 0), (-2.675, 2),
+             (0.123456785, 8), (3.14159, 3)]
+    exprs = [
+        f"round(CAST('{v!r}' AS DOUBLE), {dp}) AS r{i}"
+        for i, (v, dp) in enumerate(cases)
+    ]
+    row = spark.range(1).selectExpr(*exprs).first()
+    for i, (v, dp) in enumerate(cases):
+        assert C._round_half_up(v, dp) == row[f"r{i}"], (v, dp, row[f"r{i}"])

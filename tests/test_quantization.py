@@ -135,3 +135,38 @@ def test_pq_train_validates_inputs(corpus):
         Q.pq_train(corpus, dim=DIM, m=7, ks=KS)  # 64 % 7 != 0
     with pytest.raises(ValueError):
         Q.pq_train(corpus.limit(3), dim=DIM, m=M, ks=KS)  # < ks seeds
+
+
+def test_ivfpq_recall_and_candidate_pruning(spark, corpus, codebooks):
+    """IVF+PQ: the composed index (coarse cell + fine codes, one map
+    pass) must (a) hold a recall floor vs brute force and (b) score
+    only the probed cells — candidate volume strictly below the full
+    corpus for n_probe < n_centroids."""
+    from project_clinical_data_etl_pipeline_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(corpus, dim=DIM, n_centroids=8, n_iter=2,
+                             round_dp=6)
+    index = Q.ivfpq_index(corpus, cents, codebooks, dim=DIM)
+    q = corpus.filter(F.col("vec_id") < 8)
+    out = Q.ivfpq_topk(q, index, cents, codebooks, dim=DIM, k=5, n_probe=4)
+    got = {(r["query_id"], r["neighbor_id"]) for r in out.collect()}
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(q, corpus, k=5, dim=DIM).collect()
+    }
+    recall = len(got & brute) / len(brute)
+    # compounded approximation (cell pruning x quantization): the floor
+    # is deterministic on this data, below the PQ-only floor by design
+    assert recall >= 0.4, f"IVF+PQ recall@5 {recall:.3f}"
+
+    # pruning: probing 4/8 cells must scan fewer candidates than the
+    # corpus (per query) — check via the per-query candidate counts
+    probed_cells = 4
+    cells = index.groupBy("cell").count().collect()
+    total = sum(r["count"] for r in cells)
+    max_probe_sum = sum(
+        sorted((r["count"] for r in cells), reverse=True)[:probed_cells]
+    )
+    assert max_probe_sum < total

@@ -683,3 +683,31 @@ def test_interval_overlap_join_semantics_and_dedupe(spark):
     assert len(fast_pairs) > 0
     # and the fast pair count has no duplicates
     assert fast.count() == len(fast_pairs)
+
+
+def test_bucket_s_validation_fails_fast(spark, sf_dir):
+    """Degenerate/typo'd bucket widths must raise, not silently return
+    zero rows (floor(x/0) is NULL under non-ANSI mode) or fall through
+    to the numeric path ('Auto' * 1_000_000 is string repetition)."""
+    import pytest as _pytest
+
+    from project_clinical_data_etl_pipeline_spark.operators.temporal import (
+        asof_join,
+        interval_overlap_join,
+    )
+    from project_clinical_data_etl_pipeline_spark.tables import load
+
+    e = load(spark, sf_dir, "events").limit(10)
+    left = e.select("user_id", "ts", "event_id")
+    with _pytest.raises(ValueError, match="'auto'"):
+        asof_join(left, left, on="user_id", left_ts="ts", right_ts="ts",
+                  payload_cols=["event_id"], bucket_s="Auto")
+    with _pytest.raises(ValueError, match="positive"):
+        asof_join(left, left, on="user_id", left_ts="ts", right_ts="ts",
+                  payload_cols=["event_id"], bucket_s=0)
+    with _pytest.raises(ValueError, match="positive"):
+        interval_overlap_join(
+            left, left, on="user_id",
+            left_start="ts", left_end="ts",
+            right_start="ts", right_end="ts", bucket_s=0,
+        )
