@@ -255,6 +255,26 @@ def ivfpq_topk(
     codebook lookup on the probed slice. Returns (query_id,
     neighbor_id, cosine, rank) — cosine of query vs reconstruction.
     """
+    decoded = index.withColumn("__cv", pq_reconstruct_expr(codebooks))
+    return _probe_and_score(
+        queries, decoded, centroids, dim, k, n_probe, id_col, vec_col
+    )
+
+
+def _probe_and_score(
+    queries: DataFrame,
+    decoded: DataFrame,
+    centroids: list[list[float]],
+    dim: int,
+    k: int,
+    n_probe: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared IVF probe/score tail: ``decoded`` carries (neighbor_id,
+    cell, __cv); queries pick their ``n_probe`` nearest cells
+    (broadcast × tiny centroid set) and score by cosine within those
+    cells only."""
     from pyspark.sql import Window
 
     from .similarity import _centroid_df, cosine, dot, norm
@@ -281,9 +301,7 @@ def ivfpq_topk(
         .filter(F.col("__rn") <= n_probe)
         .select("query_id", "__qv", "__qn", F.col("centroid_id").alias("cell"))
     )
-    decoded = index.withColumn(
-        "__cv", pq_reconstruct_expr(codebooks)
-    ).withColumn("__cn", norm("__cv", dim))
+    decoded = decoded.withColumn("__cn", norm("__cv", dim))
     scored = (
         decoded.join(F.broadcast(probes), on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -308,4 +326,89 @@ def ivfpq_topk(
             "cosine",
             F.col("rank").cast("bigint").alias("rank"),
         )
+    )
+
+
+def _centroid_lookup_expr(
+    centroids: list[list[float]], cell_col: str = "cell"
+) -> str:
+    """Literal centroid table indexed by the cell column — map-side
+    ``element_at`` on an inlined array-of-arrays, no join."""
+    arrays = ", ".join(
+        f"array({', '.join(_lit_double(x) for x in c)})" for c in centroids
+    )
+    return f"element_at(array({arrays}), CAST({cell_col} + 1 AS INT))"
+
+
+def ivf_residuals(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, __res): each vector's residual vs its coarse
+    centroid — what residual-mode PQ codebooks train on (faiss IVF+PQ
+    proper: the residual distribution is tighter than the raw one, so
+    the same code budget buys more accuracy). One map pass: cosine
+    argmax cell + literal-table lookup + elementwise subtract."""
+    from .similarity import cell_assign_expr, norm
+
+    assigned = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        norm(F.col(vec_col), dim).alias("__n"),
+    ).withColumn("cell", cell_assign_expr(vec_col, "__n", centroids, dim))
+    res = (
+        f"zip_with({vec_col}, {_centroid_lookup_expr(centroids)}, "
+        f"(a, b) -> CAST(a AS DOUBLE) - b)"
+    )
+    return assigned.select(
+        F.col(id_col), F.col("cell"), F.expr(res).alias("__res")
+    )
+
+
+def ivfpq_index_residual(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Residual-mode IVF+PQ index: (neighbor_id, cell, pq_code) where
+    the codes quantize ``x − centroid[cell]`` (train ``codebooks`` on
+    :func:`ivf_residuals` output). Same one-map-pass/no-join shape as
+    :func:`ivfpq_index`."""
+    res = ivf_residuals(corpus, centroids, dim, id_col, vec_col)
+    return pq_encode(res, codebooks, vec_col="__res").select(
+        F.col(id_col).alias("neighbor_id"), "cell", "pq_code"
+    )
+
+
+def ivfpq_topk_residual(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    dim: int,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Residual-mode IVF+PQ top-k: reconstruction =
+    ``centroid[cell] + decode(pq_code)`` (map-side literal lookups),
+    then the same probe/score plan as :func:`ivfpq_topk`."""
+    recon = (
+        f"zip_with({_centroid_lookup_expr(centroids)}, __dec, "
+        f"(a, b) -> a + b)"
+    )
+    decoded = (
+        index.withColumn("__dec", pq_reconstruct_expr(codebooks))
+        .withColumn("__cv", F.expr(recon))
+        .drop("__dec")
+    )
+    return _probe_and_score(
+        queries, decoded, centroids, dim, k, n_probe, id_col, vec_col
     )

@@ -170,3 +170,54 @@ def test_ivfpq_recall_and_candidate_pruning(spark, corpus, codebooks):
         sorted((r["count"] for r in cells), reverse=True)[:probed_cells]
     )
     assert max_probe_sum < total
+
+
+def test_residual_ivfpq_beats_raw_on_clustered_data(spark):
+    """Residual-mode IVF+PQ (codes quantize x − centroid[cell], the
+    faiss recipe proper) must clearly beat raw-vector codes at the SAME
+    code budget when the corpus is clustered: raw codebooks span the
+    whole space while residual codebooks only span the (tighter)
+    within-cell spread. Deterministic corpus/training → exact values
+    (measured: residual 0.525 vs raw 0.175 recall@5 here)."""
+    import random
+
+    from project_clinical_data_etl_pipeline_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    rng = random.Random(11)
+    protos = [[rng.uniform(-1, 1) for _ in range(32)] for _ in range(8)]
+    rows = [
+        (i, [x + 0.25 * rng.uniform(-1, 1) for x in protos[i % 8]])
+        for i in range(256)
+    ]
+    df = spark.createDataFrame(rows, "vec_id bigint, embedding array<double>")
+    q = df.filter(F.col("vec_id") < 8)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(q, df, k=5, dim=32).collect()
+    }
+    cents = kmeans_centroids(df, dim=32, n_centroids=8, n_iter=3, round_dp=6)
+
+    books_raw = Q.pq_train(df, dim=32, m=8, ks=8, n_iter=3)
+    raw = {
+        (r["query_id"], r["neighbor_id"])
+        for r in Q.ivfpq_topk(
+            q, Q.ivfpq_index(df, cents, books_raw, dim=32),
+            cents, books_raw, dim=32, k=5, n_probe=3,
+        ).collect()
+    }
+    res_vecs = Q.ivf_residuals(df, cents, dim=32)
+    books_res = Q.pq_train(res_vecs, dim=32, vec_col="__res", m=8, ks=8,
+                           n_iter=3)
+    res = {
+        (r["query_id"], r["neighbor_id"])
+        for r in Q.ivfpq_topk_residual(
+            q, Q.ivfpq_index_residual(df, cents, books_res, dim=32),
+            cents, books_res, dim=32, k=5, n_probe=3,
+        ).collect()
+    }
+    raw_recall = len(raw & brute) / len(brute)
+    res_recall = len(res & brute) / len(brute)
+    assert res_recall >= raw_recall + 0.2, (raw_recall, res_recall)
+    assert res_recall >= 0.5, res_recall
