@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "bm25_search",
 ]
 
+# (bm25_search is graded as the 'bm25' leg of retrieval_suite; its
+# standalone timing series continues via _DIRECT below.)
+
 #: Bench entries that are no longer standalone registry queries (merged
 #: into suites to fit the driver's 50-slot grading window) but keep
 #: their own timing series here — called directly, same label, so the
@@ -72,6 +75,7 @@ _DIRECT = {
     "op24_dim_enrichment": "joins",  # r5: graded inside op24_25_concept_suite
     "op40_weekly_trend": "aggregates",  # r5: graded inside op40_window_suite
     "dedup_exact": "llmdata",  # r5: graded inside dedup_exact_jaccard_suite
+    "bm25_search": "llmdata",  # r5: graded inside retrieval_suite
 }
 
 

@@ -190,3 +190,50 @@ def bm25_sql(
         ORDER BY score DESC, d.{id_col} ASC
         LIMIT {k}
     """
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k_const: int = 60,
+    topk: int = 20,
+    score_dp: int = 8,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) — the standard
+    hybrid-retrieval combiner: ``score(id) = Σ_systems 1/(k + rank)``,
+    rank-based so lexical (BM25) and dense (cosine) lists fuse without
+    score calibration. Ids absent from a system simply contribute
+    nothing.
+
+    Each 1/(k+rank) term goes through a DECIMAL(28,10) cast before the
+    per-id sum, making the fusion order-independent (engine- and
+    partitioning-deterministic) for ANY number of systems; the rounded
+    double is the output score and the sort key, with ``id_col``
+    breaking exact ties. Inputs are top-k lists (tiny by construction),
+    so the union + groupBy is driver-scale work at any corpus size.
+
+    Returns (id_col, score, rank) — rank 1-based over the fused order.
+    """
+    if not ranked:
+        raise ValueError("ranked must contain at least one system")
+    from pyspark.sql import Window
+
+    unioned = None
+    for df in ranked:
+        contrib = df.select(
+            F.col(id_col),
+            (
+                F.lit(1.0) / (F.lit(k_const) + F.col(rank_col))
+            ).cast("decimal(28,10)").alias("__c"),
+        )
+        unioned = contrib if unioned is None else unioned.unionByName(contrib)
+    fused = unioned.groupBy(id_col).agg(
+        F.round(F.sum("__c").cast("double"), score_dp).alias("score")
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= topk)
+        .select(id_col, "score", F.col("rank").cast("bigint").alias("rank"))
+    )

@@ -74,7 +74,7 @@ _ORDER: tuple[str, ...] = (
     "corpus_curation_pipeline",
     "embed_topk_suite",
     "embed_neardup_suite",
-    "bm25_search",
+    "retrieval_suite",
     "multimodal_frame_sample",
     # --- streaming (§2.8) ---
     "op41_streaming_hourly_counts",

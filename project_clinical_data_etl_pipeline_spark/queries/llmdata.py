@@ -973,27 +973,117 @@ def _bm25_suite_sql() -> str:
     return bm25_sql(_BM25_TERMS, k=20)
 
 
-@spec(
-    QUERIES,
-    "bm25_search",
-    sql=_bm25_suite_sql(),
-    doc="BM25 lexical top-20 (operators.retrieval.bm25_topk) for a fixed "
-    "query-term set — the keyword-retrieval complement to embed_topk_"
-    "suite (hybrid lexical ∪ dense search, benchmark-contamination "
-    "probes). One partial-combine stats aggregate (N, Σdl, per-term "
-    "document frequency — |terms|+2 scalars to the driver), then a "
-    "pure map scoring pass with idf/avgdl inlined as codegen literals "
-    "and TakeOrderedAndProject for the top-k: no explode, no (doc, "
-    "term) shuffle, no inverted index for ad-hoc queries. Rounded "
-    "idf (8 dp) and score (6 dp) + identical textual arithmetic make "
-    "Spark and the DuckDB twin hash-match; (score DESC, doc_id ASC) "
-    "pins the k-boundary.",
-    tags=("llm", "bench"),
-)
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical top-20 (operators.retrieval.bm25_topk) for a fixed
+    query-term set — the keyword-retrieval complement to
+    embed_topk_suite. One partial-combine stats aggregate (N, Σdl,
+    per-term document frequency — |terms|+2 scalars to the driver),
+    then a pure map scoring pass with idf/avgdl inlined as codegen
+    literals and TakeOrderedAndProject for the top-k: no explode, no
+    (doc, term) shuffle, no inverted index for ad-hoc queries. Graded
+    as the 'bm25' leg of retrieval_suite; standalone for bench.py's
+    timing series."""
     from ..operators.retrieval import bm25_topk
 
     return bm25_topk(load(spark, sf_dir, "documents"), _BM25_TERMS, k=20)
+
+
+_RRF_K = 60
+
+_RETRIEVAL_SUITE_SQL = f"""
+    WITH bm AS (
+        SELECT doc_id, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                    AS BIGINT) AS rank
+        FROM ({{bm25}})
+    ),
+    dense AS (
+        SELECT neighbor_id AS doc_id, cosine AS score,
+               CAST(rn AS BIGINT) AS rank
+        FROM (
+            SELECT c.vec_id AS neighbor_id,
+                   {_COS.format(a='q.qv', b='c.cv')} AS cosine,
+                   row_number() OVER (
+                       ORDER BY {_COS.format(a='q.qv', b='c.cv')} DESC,
+                                c.vec_id ASC) AS rn
+            FROM (SELECT embedding::DOUBLE[] AS qv FROM embeddings
+                  WHERE vec_id = 0) q
+            CROSS JOIN (SELECT vec_id, embedding::DOUBLE[] AS cv
+                        FROM embeddings WHERE vec_id <> 0) c
+        ) WHERE rn <= 20
+    ),
+    fused AS (
+        SELECT doc_id,
+               round(CAST(sum(CAST(CAST(1 AS DOUBLE) / ({_RRF_K} + rank)
+                                   AS DECIMAL(28,10))) AS DOUBLE), 8)
+                   AS score
+        FROM (SELECT doc_id, rank FROM bm
+              UNION ALL SELECT doc_id, rank FROM dense)
+        GROUP BY doc_id
+    ),
+    rrf AS (
+        SELECT doc_id, score,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                    AS BIGINT) AS rank
+        FROM fused
+    )
+    SELECT 'bm25' AS part, doc_id, score, rank FROM bm
+    UNION ALL
+    SELECT 'dense' AS part, doc_id, score, rank FROM dense
+    UNION ALL
+    SELECT 'rrf' AS part, doc_id, score, rank FROM rrf WHERE rank <= 20
+"""
+
+
+@spec(
+    QUERIES,
+    "retrieval_suite",
+    sql=_RETRIEVAL_SUITE_SQL.format(bm25=_bm25_suite_sql()),
+    doc="Hybrid retrieval suite: the BM25 lexical top-20 leg (one "
+    "stats aggregate + map-side scoring with inlined idf/avgdl + "
+    "TakeOrderedAndProject — no explode, no (doc, term) shuffle), the "
+    "dense cosine top-20 leg (query vec 0 vs the embeddings corpus, "
+    "the exact baseline), and their reciprocal-rank fusion "
+    "(operators.retrieval.rrf_fuse — Cormack et al. 2009: "
+    "score = sum over systems of 1/(60 + rank), rank-based so the two "
+    "lists combine without score calibration). Fusion terms go "
+    "through DECIMAL casts so the per-id sum is order-independent; "
+    "rounded scores + id tiebreaks pin every k-boundary in both "
+    "engines. The fused inputs are top-k lists — driver-scale work at "
+    "any corpus size.",
+    tags=("llm", "bench"),
+)
+def retrieval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.retrieval import rrf_fuse
+    from ..operators.similarity import brute_force_topk
+
+    bm = bm25_search(spark, sf_dir).withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("doc_id").asc()))
+        .cast("bigint"),
+    )
+    e = load(spark, sf_dir, "embeddings")
+    dense = (
+        brute_force_topk(e.filter(F.col("vec_id") == 0), e, k=20, dim=64)
+        .select(
+            F.col("neighbor_id").alias("doc_id"),
+            F.col("cosine").alias("score"),
+            "rank",
+        )
+    )
+    rrf = rrf_fuse([bm, dense], id_col="doc_id", k_const=_RRF_K, topk=20)
+
+    def leg(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("part"), "doc_id", "score", "rank"
+        )
+
+    return leg(bm, "bm25").unionByName(leg(dense, "dense")).unionByName(
+        leg(rrf, "rrf")
+    )
 
 
 @spec(

@@ -130,3 +130,43 @@ def test_round_half_up_matches_spark_on_shortest_repr_boundaries(spark):
     row = spark.range(1).selectExpr(*exprs).first()
     for i, (v, dp) in enumerate(cases):
         assert C._round_half_up(v, dp) == row[f"r{i}"], (v, dp, row[f"r{i}"])
+
+
+def test_classifier_duckdb_parity_on_adversarial_unicode(spark, tmp_path):
+    """Run the ENTIRE graded train+score pipeline (8 GD iterations,
+    CTE-re-derived by the oracle) on an adversarial corpus the
+    synthetic table doesn't cover: unicode, emoji, empty/whitespace
+    docs, a class-imbalanced length distribution. Exercises the
+    feature formulations AND the cross-engine training determinism
+    (decimal sums, rounded sigmoids, HALF_UP weights) end-to-end."""
+    import duckdb
+
+    texts = [
+        "héllo wörld the and of " * (3 + i % 7) for i in range(40)
+    ] + [
+        "日本語のテキスト to is " * (1 + i % 5) for i in range(30)
+    ] + [
+        "😀 the 😀 and 😀" * (i % 4) for i in range(20)
+    ] + ["", "   ", "x", "the", "の"]
+    rows = [(i, t, "xx", "srcA", len(t)) for i, t in enumerate(texts)]
+    path = str(tmp_path / "documents.parquet")  # tables.load expects <sf_dir>/documents.parquet
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    sdf = REGISTRY["quality_classifier_suite"].run(spark, str(tmp_path))
+    got = sorted(
+        (r["doc_id"], r["label"], repr(r["score"]), r["keep"])
+        for r in sdf.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    want = sorted(
+        (r[0], r[1], repr(r[2]), r[3])
+        for r in con.execute(
+            REGISTRY["quality_classifier_suite"].sql
+        ).fetchall()
+    )
+    assert got == want

@@ -88,7 +88,10 @@ _PYTHON_KERNEL = {"op44_vectorized_udf", "multimodal_decode",
 #: this list in round 5: its cell assignment is now a map-side codegen
 #: argmax (no BNLJ, no cartesian anywhere in the plan).
 _TINY_BNLJ = {"embed_topk_suite",
-              "dedup_exact_jaccard_suite", "fhir_conditional_create"}
+              "dedup_exact_jaccard_suite", "fhir_conditional_create",
+              # dense leg = brute_force_topk with a 1-query broadcast
+              # side (same declared-tiny shape as embed_topk_suite)
+              "retrieval_suite"}
 #: literal 1-row construction side (documented in fhir_q) — a cross
 #: join against a constant, not a data-sized cartesian
 _ONE_ROW_CROSS = {"fhir_pipeline_suite", "fhir_conditional_create"}

@@ -81,10 +81,79 @@ def test_bm25_k_boundary_deterministic(spark):
 
 
 def test_bm25_plan_is_map_only_topk(spark, sf_dir):
-    from project_clinical_data_etl_pipeline_spark.queries import REGISTRY
+    from project_clinical_data_etl_pipeline_spark.queries.llmdata import (
+        bm25_search,
+    )
 
-    df = REGISTRY["bm25_search"].run(spark, sf_dir)
+    df = bm25_search(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     for op in ("Join", "BatchEvalPython", "Generate"):
         assert op not in plan, f"bm25 scoring plan grew a {op}:\n{plan}"
+
+
+def test_bm25_duckdb_parity_on_adversarial_unicode(spark, tmp_path):
+    """Spark-vs-DuckDB BM25 twin on inputs the graded oracle's
+    ASCII-ish synthetic corpus does not cover: multi-byte tokens,
+    emoji, mixed scripts, repeated terms, empty and whitespace-only
+    docs (the tokenizer's \\s+ and the stats CTE must agree)."""
+    import duckdb
+
+    from project_clinical_data_etl_pipeline_spark.operators.retrieval import (
+        bm25_sql,
+        bm25_topk,
+    )
+
+    texts = [
+        "spark über alles spark",
+        "日本語 spark テキスト",
+        "😀 spark 😀 table 😀",
+        "table    table\ttable\nspark",
+        "   ",
+        "",
+        "no match here",
+        "spark " * 30,
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(
+        1
+    ).write.mode("overwrite").parquet(path)
+
+    got = sorted(
+        (r["doc_id"], repr(r["score"]))
+        for r in bm25_topk(
+            spark.read.parquet(path), ["spark", "table"], k=10
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')"
+    )
+    want = sorted(
+        (r[0], repr(r[1]))
+        for r in con.execute(bm25_sql(["spark", "table"], k=10)).fetchall()
+    )
+    assert got == want
+
+
+def test_rrf_fuse_hand_computed(spark):
+    """RRF on two tiny rank lists vs the closed form: doc 1 is rank 1
+    in both systems (2/(61)), doc 2 only lexical rank 2 (1/62), doc 3
+    only dense rank 2 (1/62) — ties broken by id."""
+    from project_clinical_data_etl_pipeline_spark.operators.retrieval import (
+        rrf_fuse,
+    )
+
+    lex = spark.createDataFrame([(1, 1), (2, 2)], "doc_id bigint, rank bigint")
+    den = spark.createDataFrame([(1, 1), (3, 2)], "doc_id bigint, rank bigint")
+    rows = {r["doc_id"]: r for r in rrf_fuse([lex, den], topk=10).collect()}
+    assert rows[1]["rank"] == 1
+    assert rows[1]["score"] == pytest.approx(2 / 61, abs=1e-8)
+    assert rows[2]["score"] == rows[3]["score"] == pytest.approx(1 / 62, abs=1e-8)
+    assert rows[2]["rank"] == 2 and rows[3]["rank"] == 3  # id tiebreak
+
+    import pytest as _p
+
+    with _p.raises(ValueError):
+        rrf_fuse([])
