@@ -221,3 +221,74 @@ def test_residual_ivfpq_beats_raw_on_clustered_data(spark):
     res_recall = len(res & brute) / len(brute)
     assert res_recall >= raw_recall + 0.2, (raw_recall, res_recall)
     assert res_recall >= 0.5, res_recall
+
+
+def _py_pq_train(vecs_by_id, dim, m, ks, n_iter, round_dp=6):
+    """Standalone bit-exact Python mirror of Q.pq_train: same min-id
+    seeds, same fold orders (0.0-seeded left-assoc dots, ||c||^2 - 2xc
+    distances, (distance, id) argmin), same DECIMAL(28,10)-per-value
+    sums (Decimal(repr(v)) — Spark's double->DECIMAL cast rounds the
+    shortest-repr decimal), same double division and HALF_UP rounds."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    w = dim // m
+    ids = sorted(vecs_by_id)
+    seeds = [vecs_by_id[i] for i in ids[:ks]]
+    books = [[seeds[c][s * w:(s + 1) * w] for c in range(ks)] for s in range(m)]
+
+    def dot(a, b):
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += x * y
+        return acc
+
+    def q10(x):
+        return Decimal(repr(x)).quantize(Decimal("1e-10"), ROUND_HALF_UP)
+
+    def rdp(x):
+        return float(
+            Decimal(repr(x)).quantize(Decimal(1).scaleb(-round_dp),
+                                      ROUND_HALF_UP)
+        )
+
+    for _ in range(n_iter):
+        sums: dict[tuple[int, int, int], Decimal] = {}
+        counts: dict[tuple[int, int], int] = {}
+        for i in ids:
+            v = vecs_by_id[i]
+            for s in range(m):
+                sub = v[s * w:(s + 1) * w]
+                best = min(
+                    range(ks),
+                    key=lambda c: (dot(books[s][c], books[s][c])
+                                   - 2.0 * dot(sub, books[s][c]), c),
+                )
+                counts[(s, best)] = counts.get((s, best), 0) + 1
+                for idx, val in enumerate(sub):
+                    key = (s, best, idx)
+                    sums[key] = sums.get(key, Decimal(0)) + q10(val)
+        books = [
+            [
+                [
+                    rdp(float(sums[(s, c, idx)]) / counts[(s, c)])
+                    for idx in range(w)
+                ]
+                if (s, c) in counts
+                else books[s][c]
+                for c in range(ks)
+            ]
+            for s in range(m)
+        ]
+    return books
+
+
+def test_pq_train_matches_python_oracle_bit_exact(spark, corpus, codebooks):
+    """The fused Spark training (posexplode + one aggregate per Lloyd
+    iteration) must equal the sequential Python mirror EXACTLY — the
+    gold-standard proof that the distributed plan computes the same
+    algorithm (argmin fold orders, decimal sums, rounds) with zero
+    partitioning sensitivity."""
+    rows = corpus.select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
+    expect = _py_pq_train(vecs, DIM, M, KS, n_iter=3)
+    assert codebooks == expect
