@@ -30,6 +30,17 @@ from the same parquet):
   engines iterate from bit-identical coefficients;
 - the learning rate is restricted to powers of two (``lr * g`` is an
   exact IEEE scaling — no rounding step the engines could disagree on).
+
+Known residual risk (documented, not fixable on our side): the round
+shields themselves have a measure-zero boundary class. Spark rounds
+the SHORTEST-repr decimal of a double (BigDecimal.valueOf → HALF_UP),
+DuckDB rounds via float scaling — they disagree on doubles whose
+shortest repr terminates with '5' exactly at position dp+1 (e.g.
+round(1.005, 2): Spark 1.01, DuckDB 1.00). Generic doubles (17-digit
+reprs) never hit this; values that do must arise by arithmetic
+coincidence. Empirically green at sf0.001/0.01/0.1 plus adversarial
+unicode corpora; ``_round_half_up`` mirrors SPARK (the engine the
+driver executes), pinned by test.
 """
 
 from __future__ import annotations

@@ -253,13 +253,13 @@ def chunk_documents(
         .select(
             F.col(id_col),
             F.col(text_col),
-            F.posexplode(F.sequence(F.lit(0).cast("bigint"), n - 1)).alias(
-                "chunk_id", "__start"
+            F.explode(F.sequence(F.lit(0).cast("bigint"), n - 1)).alias(
+                "chunk_id"
             ),
         )
     )
     chunk = F.substring(
-        F.col(text_col), (F.col("__start") * stride + 1).cast("int"), chunk_chars
+        F.col(text_col), (F.col("chunk_id") * stride + 1).cast("int"), chunk_chars
     )
     return exploded.select(
         F.col(id_col),

@@ -110,7 +110,9 @@ def pq_train(
         eager=False
     )
     ref = _col_sql("__v")
-    mean_sql = "CAST(sum(CAST(__val AS DECIMAL(28,10))) AS DOUBLE) / count(1)"
+    from .similarity import DECIMAL_MEAN_SQL
+
+    mean_sql = DECIMAL_MEAN_SQL
     if round_dp is not None:
         mean_sql = f"round({mean_sql}, {round_dp})"
     for _ in range(n_iter):
@@ -255,15 +257,23 @@ def ivfpq_topk(
     codebook lookup on the probed slice. Returns (query_id,
     neighbor_id, cosine, rank) — cosine of query vs reconstruction.
     """
-    decoded = index.withColumn("__cv", pq_reconstruct_expr(codebooks))
     return _probe_and_score(
-        queries, decoded, centroids, dim, k, n_probe, id_col, vec_col
+        queries,
+        index,
+        lambda df: df.withColumn("__cv", pq_reconstruct_expr(codebooks)),
+        centroids,
+        dim,
+        k,
+        n_probe,
+        id_col,
+        vec_col,
     )
 
 
 def _probe_and_score(
     queries: DataFrame,
-    decoded: DataFrame,
+    index: DataFrame,
+    decode,
     centroids: list[list[float]],
     dim: int,
     k: int,
@@ -271,10 +281,15 @@ def _probe_and_score(
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
-    """Shared IVF probe/score tail: ``decoded`` carries (neighbor_id,
-    cell, __cv); queries pick their ``n_probe`` nearest cells
-    (broadcast × tiny centroid set) and score by cosine within those
-    cells only."""
+    """Shared IVF probe/score tail (NB: near-twin of
+    similarity.ivf_topk_indexed's — keep tie-breaks/filters in sync):
+    queries pick their ``n_probe`` nearest cells (broadcast × tiny
+    centroid set); the index — (neighbor_id, cell, pq_code) — is
+    FILTERED to the probed cells FIRST (probe-cell ids are collected
+    driver-side: bounded by |queries|·n_probe — control flow, the
+    ivf_topk_indexed pattern), and only the surviving slice pays the
+    ``decode`` reconstruction + norm, so decompression cost is
+    ~n_probe/n_centroids of the corpus, not corpus-wide."""
     from pyspark.sql import Window
 
     from .similarity import _centroid_df, cosine, dot, norm
@@ -301,7 +316,12 @@ def _probe_and_score(
         .filter(F.col("__rn") <= n_probe)
         .select("query_id", "__qv", "__qn", F.col("centroid_id").alias("cell"))
     )
-    decoded = decoded.withColumn("__cn", norm("__cv", dim))
+    cells = sorted(
+        {r["cell"] for r in probes.select("cell").distinct().collect()}
+    )
+    decoded = decode(index.filter(F.col("cell").isin(cells))).withColumn(
+        "__cn", norm("__cv", dim)
+    )
     scored = (
         decoded.join(F.broadcast(probes), on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
@@ -404,11 +424,14 @@ def ivfpq_topk_residual(
         f"zip_with({_centroid_lookup_expr(centroids)}, __dec, "
         f"(a, b) -> a + b)"
     )
-    decoded = (
-        index.withColumn("__dec", pq_reconstruct_expr(codebooks))
-        .withColumn("__cv", F.expr(recon))
-        .drop("__dec")
-    )
+
+    def decode(df: DataFrame) -> DataFrame:
+        return (
+            df.withColumn("__dec", pq_reconstruct_expr(codebooks))
+            .withColumn("__cv", F.expr(recon))
+            .drop("__dec")
+        )
+
     return _probe_and_score(
-        queries, decoded, centroids, dim, k, n_probe, id_col, vec_col
+        queries, index, decode, centroids, dim, k, n_probe, id_col, vec_col
     )

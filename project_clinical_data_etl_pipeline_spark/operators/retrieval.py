@@ -100,8 +100,10 @@ def bm25_topk(
         ],
     ).first()
     n = stats["n"]
-    if n == 0:  # empty corpus: nothing to rank, avoid the 0-division
-        # preserve the caller's actual id type (id_col is generic)
+    if n == 0 or stats["total_dl"] is None:
+        # empty corpus, or every text NULL (sum skips NULLs → None):
+        # nothing can match — return empty, preserving the caller's
+        # actual id type (the SQL twin returns empty for the same input)
         return base.select(
             F.col(id_col), F.lit(0.0).alias("score")
         ).limit(0)

@@ -179,6 +179,15 @@ def lsh_table_keys(vec: Column, dim: int, num_planes: int, num_tables: int) -> C
     )
 
 
+#: The DECIMAL-exact mean recipe — the load-bearing cross-engine
+#: determinism invariant shared by kmeans_centroids and
+#: quantization.pq_train (and re-spelled verbatim in their SQL
+#: oracles): per-value DECIMAL(28,10) casts make the sum
+#: order-independent; the double cast happens BEFORE the count
+#: division.
+DECIMAL_MEAN_SQL = "CAST(sum(CAST(__val AS DECIMAL(28,10))) AS DOUBLE) / count(1)"
+
+
 def _lit_double(x: float) -> str:
     """Exact double literal: repr() is the shortest round-trip decimal;
     the string→DOUBLE cast parses it back to the identical IEEE bits
@@ -295,7 +304,7 @@ def kmeans_centroids(
     # (vector, norm) projection: materialize it once instead of
     # re-scanning the source + recomputing norms per iteration (at
     # warehouse scale: .persist() the projection before training)
-    mean_sql = "CAST(sum(CAST(__val AS DECIMAL(28,10))) AS DOUBLE) / count(1)"
+    mean_sql = DECIMAL_MEAN_SQL
     if round_dp is not None:
         mean_sql = f"round({mean_sql}, {round_dp})"
     for _ in range(n_iter):
