@@ -435,3 +435,29 @@ def ivfpq_topk_residual(
     return _probe_and_score(
         queries, index, decode, centroids, dim, k, n_probe, id_col, vec_col
     )
+
+
+def persist_ivfpq_index(
+    spark,
+    corpus: DataFrame,
+    table: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_buckets: int = 16,
+    residual: bool = False,
+) -> None:
+    """Materialize the IVF+PQ index as a table BUCKETED BY cell — the
+    serving layout: the build-time map pass (coarse argmax + fine
+    argmins) runs ONCE, and every query's probe scans only the matching
+    buckets of an m-codes-per-vector table (bucket pruning × PQ
+    compression). ``residual=True`` stores residual-mode codes (train
+    ``codebooks`` on :func:`ivf_residuals` output and query via
+    :func:`ivfpq_topk_residual`)."""
+    from ..plans.layout import write_bucketed
+
+    build = ivfpq_index_residual if residual else ivfpq_index
+    idx = build(corpus, centroids, codebooks, dim, id_col, vec_col)
+    write_bucketed(idx, table, ["cell"], num_buckets=num_buckets)

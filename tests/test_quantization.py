@@ -292,3 +292,46 @@ def test_pq_train_matches_python_oracle_bit_exact(spark, corpus, codebooks):
     vecs = {r["vec_id"]: [float(x) for x in r["embedding"]] for r in rows}
     expect = _py_pq_train(vecs, DIM, M, KS, n_iter=3)
     assert codebooks == expect
+
+
+def test_persisted_ivfpq_index_prunes_buckets_and_matches_direct(
+    spark, corpus, codebooks, tmp_path
+):
+    """The persisted bucketed IVF+PQ index must return exactly the
+    in-memory composition's results, scan codes-not-vectors, and prune
+    to the probed cells' buckets (SelectedBucketsCount < total)."""
+    from project_clinical_data_etl_pipeline_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(corpus, dim=DIM, n_centroids=8, n_iter=2,
+                             round_dp=6)
+    table = "ivfpq_index_test"
+    Q.persist_ivfpq_index(spark, corpus, table, cents, codebooks, dim=DIM)
+    try:
+        q = corpus.filter(F.col("vec_id") < 8)
+        direct = Q.ivfpq_topk(
+            q, Q.ivfpq_index(corpus, cents, codebooks, dim=DIM),
+            cents, codebooks, dim=DIM, k=5, n_probe=4,
+        )
+        persisted = Q.ivfpq_topk(
+            q, spark.table(table), cents, codebooks, dim=DIM, k=5, n_probe=4
+        )
+        assert sorted(map(tuple, direct.collect())) == sorted(
+            map(tuple, persisted.collect())
+        )
+        plan = persisted._jdf.queryExecution().executedPlan().toString()
+        assert "SelectedBucketsCount" in plan, plan
+        import re
+
+        m = re.search(r"SelectedBucketsCount: (\d+) out of (\d+)", plan)
+        assert m and int(m.group(1)) < int(m.group(2)), m.group(0)
+        # the BUCKETED scan itself reads codes, never raw vectors
+        # (scope to the FileScan segment that carries the bucket count)
+        seg = next(
+            s for s in plan.split("FileScan") if "SelectedBucketsCount" in s
+        )
+        schema = seg[seg.index("ReadSchema: "):].split("\n")[0]
+        assert "pq_code" in schema and "embedding" not in schema, schema
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
