@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "quality_classifier_suite",
     # round-5 addition: BM25 lexical top-k (one stats agg + map scoring).
     "bm25_search",
+    # round-5 addition: char-bigram LM perplexity filter (CCNet-style).
+    "corpus_perplexity",
 ]
 
 # (bm25_search is graded as the 'bm25' leg of retrieval_suite; its

@@ -49,7 +49,6 @@ _ORDER: tuple[str, ...] = (
     # --- aggregation / window / set ops (§2.5, §2.8) ---
     "op39_43_agg_set_suite",
     "op40_window_suite",
-    "op42_quality_flags",
     # --- format conversion / validation (§2.9) ---
     "op45_46_conformance_suite",
     "op33_live_timestamp",
@@ -70,6 +69,7 @@ _ORDER: tuple[str, ...] = (
     "corpus_chunks",
     "text_metrics_suite",
     "quality_classifier_suite",
+    "corpus_perplexity",
     "corpus_top_ngrams",
     "corpus_curation_pipeline",
     "embed_topk_suite",

@@ -161,31 +161,53 @@ def op46_validation_findings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.validate(c, "c_custkey", rules)
 
 
-_CONFORMANCE_SQL = f"""
-    SELECT 'er7' AS part, patient_id AS id, er7,
-           CAST(NULL AS VARCHAR) AS severity,
-           CAST(NULL AS VARCHAR) AS rule,
-           CAST(NULL AS VARCHAR) AS diagnostics
-    FROM ({_ER7_SQL})
-    UNION ALL
-    SELECT 'validate' AS part, resource_id AS id,
-           CAST(NULL AS VARCHAR) AS er7,
-           severity, rule, diagnostics
-    FROM ({_VALIDATE_SQL})
-"""
+def _conformance_sql() -> str:
+    from .extended import OP42_SQL
+
+    return f"""
+        SELECT 'er7' AS part, patient_id AS id, er7,
+               CAST(NULL AS VARCHAR) AS severity,
+               CAST(NULL AS VARCHAR) AS rule,
+               CAST(NULL AS VARCHAR) AS diagnostics
+        FROM ({_ER7_SQL})
+        UNION ALL
+        SELECT 'validate' AS part, resource_id AS id,
+               CAST(NULL AS VARCHAR) AS er7,
+               severity, rule, diagnostics
+        FROM ({_VALIDATE_SQL})
+        UNION ALL
+        SELECT 'flags' AS part, entity_id AS id,
+               CAST(NULL AS VARCHAR) AS er7,
+               CAST(NULL AS VARCHAR) AS severity,
+               flag AS rule,
+               CAST(NULL AS VARCHAR) AS diagnostics
+        FROM ({OP42_SQL})
+    """
 
 
 @spec(
     QUERIES,
     "op45_46_conformance_suite",
-    sql=_CONFORMANCE_SQL,
+    sql=_conformance_sql(),
     doc="Format-conversion & conformance suite: the OP-45 ER7 encoder "
     "leg (pure string projection, whole-stage codegen) unioned with "
     "the OP-46 $validate-analog findings leg (rules → conditional "
-    "struct array → filter+explode). Two independent map-only legs; "
+    "struct array → filter+explode) and the OP-42 data-quality flag "
+    "leg (anti-join findings across two entity types — the rule name "
+    "lands in the shared `rule` column). Three independent legs; "
     "zero-shuffle concat.",
 )
 def op45_46_conformance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .extended import op42_quality_flags
+
+    flags = op42_quality_flags(spark, sf_dir).select(
+        F.lit("flags").alias("part"),
+        F.col("entity_id").alias("id"),
+        F.lit(None).cast("string").alias("er7"),
+        F.lit(None).cast("string").alias("severity"),
+        F.col("flag").alias("rule"),
+        F.lit(None).cast("string").alias("diagnostics"),
+    )
     er7 = op45_er7_encode(spark, sf_dir).select(
         F.lit("er7").alias("part"),
         F.col("patient_id").alias("id"),
@@ -202,4 +224,4 @@ def op45_46_conformance_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rule",
         "diagnostics",
     )
-    return er7.unionByName(findings)
+    return er7.unionByName(findings).unionByName(flags)

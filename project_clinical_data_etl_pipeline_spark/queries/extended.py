@@ -149,25 +149,25 @@ def op17_nested_field_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@spec(
-    QUERIES,
-    "op42_quality_flags",
-    sql="""
-        SELECT CAST(c_custkey AS VARCHAR) AS entity_id,
-               'customer_without_orders' AS flag
-        FROM customer
-        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-        UNION ALL
-        SELECT CAST(o_orderkey AS VARCHAR), 'order_without_lineitems'
-        FROM orders
-        WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
-    """,
-    doc="OP-42 data-quality flag table (reference roadmap 'flagging missing "
-    "vitals for patients with certain diagnoses', insights.md:171) — the "
-    "OP-29 anti-join pattern materialized as a findings table across two "
-    "entity types via unionByName.",
-)
+#: OP-42 oracle fragment — reused by the conformance suite's 'flags' leg.
+OP42_SQL = """
+    SELECT CAST(c_custkey AS VARCHAR) AS entity_id,
+           'customer_without_orders' AS flag
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    UNION ALL
+    SELECT CAST(o_orderkey AS VARCHAR), 'order_without_lineitems'
+    FROM orders
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey)
+"""
+
+
 def op42_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OP-42 data-quality flag table (reference roadmap 'flagging missing
+    vitals for patients with certain diagnoses', insights.md:171) — the
+    OP-29 anti-join pattern materialized as a findings table across two
+    entity types via unionByName. Graded as the 'flags' leg of
+    op45_46_conformance_suite."""
     c = load(spark, sf_dir, "customer")
     o = load(spark, sf_dir, "orders")
     li = load(spark, sf_dir, "lineitem")

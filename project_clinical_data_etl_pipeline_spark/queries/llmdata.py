@@ -1104,3 +1104,33 @@ def corpus_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return P.chunk_documents(
         load(spark, sf_dir, "documents"), chunk_chars=200, overlap=50
     )
+
+
+def _ppl_sql() -> str:
+    from ..operators.lm import perplexity_sql
+
+    return perplexity_sql(ref_where="doc_id % 10 = 0", norm_sql=_NORM)
+
+
+@spec(
+    QUERIES,
+    "corpus_perplexity",
+    sql=_ppl_sql(),
+    doc="CCNet-style perplexity filtering (operators.lm, Wenzek et al. "
+    "2020): a char-bigram LM trained on the trusted reference slice "
+    "(doc_id % 10 == 0) scores EVERY document — per-doc mean add-one-"
+    "smoothed log-probability and perplexity. Training is one "
+    "partial-combined groupBy over the bigram fan-out (linear in "
+    "reference chars); the model is a <=|alphabet|^2-row table that "
+    "BROADCASTS into scoring — the corpus never shuffles. ln results "
+    "round to 8 dp (libm shield) before the DECIMAL-exact per-doc "
+    "mean, so the oracle SQL re-derives the same model and the "
+    "scores hash-match.",
+    tags=("llm", "bench"),
+)
+def corpus_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.lm import char_bigram_lm, with_perplexity
+
+    d = load(spark, sf_dir, "documents")
+    lm = char_bigram_lm(d.filter(F.col("doc_id") % 10 == 0))
+    return with_perplexity(d, lm)
