@@ -109,9 +109,13 @@ def train_logistic(
     is exact in IEEE arithmetic, so the update matches the SQL twin
     without an extra rounding step.
     """
-    assert lr > 0 and math.frexp(lr)[0] == 0.5, (
-        f"lr must be a power of two for exact cross-engine scaling, got {lr}"
-    )
+    if not (lr > 0 and math.frexp(lr)[0] == 0.5):
+        # a real error, not assert: python -O would strip an assert and
+        # silently break the bit-reproducibility contract (the exact
+        # hazard retrieval._check_terms documents)
+        raise ValueError(
+            f"lr must be a power of two for exact cross-engine scaling, got {lr}"
+        )
     k = len(feature_cols)
     weights = [0.0] * k
     for _ in range(n_iter):
@@ -184,9 +188,10 @@ def train_sql_cte(
     ``lr`` must be a power of two (1.0, 2.0, 4.0 …): scaling a double
     by a power of two is EXACT in IEEE arithmetic, so ``lr * g``
     introduces no rounding step the two engines could disagree on."""
-    assert lr > 0 and (m := math.frexp(lr)[0]) == 0.5, (
-        f"lr must be a power of two for exact cross-engine scaling, got {lr} ({m})"
-    )
+    if not (lr > 0 and math.frexp(lr)[0] == 0.5):
+        raise ValueError(
+            f"lr must be a power of two for exact cross-engine scaling, got {lr}"
+        )
     k = len(feature_cols)
     ctes = []
     prev = None  # weight refs of the previous iteration

@@ -315,6 +315,11 @@ def _probe_and_score(
         .withColumn("__rn", F.row_number().over(w_probe))
         .filter(F.col("__rn") <= n_probe)
         .select("query_id", "__qv", "__qn", F.col("centroid_id").alias("cell"))
+        # the probe plan is consumed twice (distinct-cell collect below
+        # + the broadcast join input): materialize it once so the
+        # crossJoin+window — and, on a remote source, the query scan —
+        # don't re-execute (the pq_train/kmeans materialization pattern)
+        .localCheckpoint(eager=False)
     )
     cells = sorted(
         {r["cell"] for r in probes.select("cell").distinct().collect()}

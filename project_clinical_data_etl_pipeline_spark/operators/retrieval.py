@@ -208,6 +208,12 @@ def rrf_fuse(
     score calibration. Ids absent from a system simply contribute
     nothing.
 
+    CONTRACT: each input frame must carry at most ONE row per id (a
+    ranked top-k list). A non-deduped input — e.g. a multi-query top-k
+    with query_id dropped — would have its duplicate ranks SUMMED into
+    an inflated fused score; fuse per query (or dedup to best rank)
+    first.
+
     Each 1/(k+rank) term goes through a DECIMAL(28,10) cast before the
     per-id sum, making the fusion order-independent (engine- and
     partitioning-deterministic) for ANY number of systems; the rounded

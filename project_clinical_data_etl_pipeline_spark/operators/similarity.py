@@ -270,6 +270,7 @@ def kmeans_centroids(
     n_centroids: int = 16,
     n_iter: int = 2,
     round_dp: int | None = None,
+    materialize: bool = True,
 ) -> list[list[float]]:
     """Spherical-k-means centroids via Lloyd iterations in DataFrame ops
     — the quality upgrade over min-id seeding for IVF cells.
@@ -300,10 +301,16 @@ def kmeans_centroids(
     centroids = [[float(x) for x in r[0]] for r in seed_rows]
     vecs = corpus.select(
         F.col(vec_col).alias("__v"), norm(F.col(vec_col), dim).alias("__n")
-    ).localCheckpoint(eager=False)  # each Lloyd iteration re-reads the
-    # (vector, norm) projection: materialize it once instead of
-    # re-scanning the source + recomputing norms per iteration (at
-    # warehouse scale: .persist() the projection before training)
+    )
+    if materialize:
+        # each Lloyd iteration re-reads the (vector, norm) projection:
+        # materialize it once instead of re-scanning the source +
+        # recomputing norms per iteration. NB localCheckpoint stores
+        # blocks on executor-local storage and FORFEITS lineage — on a
+        # real cluster with executor loss / dynamic allocation, pass
+        # materialize=False (recomputable lineage) or persist() the
+        # projection yourself before calling.
+        vecs = vecs.localCheckpoint(eager=False)
     mean_sql = DECIMAL_MEAN_SQL
     if round_dp is not None:
         mean_sql = f"round({mean_sql}, {round_dp})"
