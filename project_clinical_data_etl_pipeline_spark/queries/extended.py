@@ -9,7 +9,6 @@ Q4/Q5/Q6, and the supplier/part rollup suite.
 from __future__ import annotations
 
 import os
-import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -216,8 +215,11 @@ def op03_04_07_08_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     handoff (primary_patient_id.txt, :451-452 → src/coding_task_3.py:42-52)
     as a coalesce(1).write.text checkpoint re-read, trimmed, and
     broadcast-joined onto the JSON rows. Graded as the 'roundtrip' leg
-    of op03_37_serde_suite."""
-    tmp = tempfile.mkdtemp(prefix="etl_serde_")
+    of op03_37_serde_suite. The scratch dir is removed at process exit
+    (the returned frame reads it lazily — see scratch.scratch_dir)."""
+    from ..scratch import scratch_dir
+
+    tmp = scratch_dir("etl_serde_")
     json_out = os.path.join(tmp, "customers")
     txt_out = os.path.join(tmp, "handoff")
 

@@ -283,12 +283,13 @@ def incremental_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     import glob
     import os
     import shutil
-    import tempfile
 
+    from ..scratch import scratch_dir
     from ..streaming.incremental import start_incremental_dedup_stream
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
-    root = tempfile.mkdtemp(prefix="spark_graft_incdedup_")
+    # removed at process exit — the returned frame reads `target` lazily
+    root = scratch_dir("spark_graft_incdedup_")
     src = os.path.join(root, "incoming")
     target = os.path.join(root, "corpus")
     os.makedirs(src, exist_ok=True)
