@@ -807,6 +807,142 @@ def embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(e.filter(F.col("vec_id") < 8), e, k=5, dim=64)
 
 
+# ---------------------------------------------------------------------------
+# Product-quantization leg: the oracle re-derives pq_train's fused
+# subspace Lloyd training end-to-end in SQL (the classifier
+# train_sql_cte / SemDeDup _lloyd_round_sql pattern, extended to m
+# subspaces), then encodes, reconstructs, and scores — so the graded
+# check covers training, encoding, and asymmetric-distance retrieval.
+# ---------------------------------------------------------------------------
+
+#: PQ configuration for the graded leg — must match embed_topk_pq.
+_PQ_DIM, _PQ_M, _PQ_KS, _PQ_ITER = 64, 8, 16, 2
+_PQ_W = _PQ_DIM // _PQ_M
+
+#: Spark's l2_argmin_expr drops the per-row ||x||² term: score =
+#: c·c − 2·x·c. Same textual arithmetic here; list_dot_product is the
+#: same 0-seeded index-order fold as the Spark HOF/unrolled dots.
+_PQ_L2 = (
+    "(list_dot_product({cb}.c, {cb}.c)"
+    " - (CAST(2 AS DOUBLE) * list_dot_product({x}, {cb}.c)))"
+)
+
+
+def _pq_lloyd_round_sql(prev: str, out: str) -> str:
+    """One fused subspace Lloyd round in SQL: every (vector, subspace)
+    slice L2-argmins against codebook ``prev`` (ties → lowest cid),
+    then the DECIMAL-exact 6-dp elementwise mean per (subspace, cell,
+    element) — token-for-token the arithmetic of
+    operators.quantization.pq_train(round_dp=6), so both engines
+    iterate from bit-identical codebooks (proven at sf0.001/0.01/0.1).
+    Empty cells keep the previous centroid (LEFT JOIN coalesce)."""
+    l2 = _PQ_L2.format(cb=prev, x="subs.sv")
+    return f"""
+    a_{out} AS (
+        SELECT vec_id, sub, sv, cid FROM (
+            SELECT subs.vec_id, subs.sub, subs.sv, {prev}.cid,
+                   row_number() OVER (
+                       PARTITION BY subs.vec_id, subs.sub
+                       ORDER BY {l2} ASC, {prev}.cid ASC) AS rn
+            FROM subs JOIN {prev} USING (sub)
+        ) WHERE rn = 1
+    ),
+    m_{out} AS (
+        SELECT sub, cid, list(mv ORDER BY idx) AS c
+        FROM (
+            SELECT sub, cid, idx,
+                   round(CAST(sum(CAST(val AS DECIMAL(28,10))) AS DOUBLE)
+                         / count(*), 6) AS mv
+            FROM (SELECT sub, cid, unnest(sv) AS val,
+                         generate_subscripts(sv, 1) AS idx
+                  FROM a_{out})
+            GROUP BY sub, cid, idx
+        )
+        GROUP BY sub, cid
+    ),
+    {out} AS (
+        SELECT {prev}.sub, {prev}.cid, coalesce(m_{out}.c, {prev}.c) AS c
+        FROM {prev} LEFT JOIN m_{out} USING (sub, cid)
+    )"""
+
+
+def _pq_topk_sql(k: int = 5) -> str:
+    """DuckDB twin of :func:`embed_topk_pq`: re-derive the trained
+    codebooks ({_PQ_ITER} fused Lloyd rounds over m subspace slices),
+    re-encode every vector against the FINAL codebooks, reconstruct by
+    codebook lookup, and score exact queries vs reconstructions."""
+    final_cb = f"cb{_PQ_ITER}"
+    rounds = ",\n".join(
+        _pq_lloyd_round_sql(f"cb{i}", f"cb{i + 1}") for i in range(_PQ_ITER)
+    )
+    enc_l2 = _PQ_L2.format(cb=final_cb, x="subs.sv")
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    subs AS (
+        SELECT vec_id, ss.sub,
+               list_slice(e, ss.sub * {_PQ_W} + 1, (ss.sub + 1) * {_PQ_W}) AS sv
+        FROM v, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS sub) ss
+    ),
+    seedids AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vec_id
+                FROM v ORDER BY vec_id LIMIT {_PQ_KS}),
+    cb0 AS (SELECT subs.sub, seedids.cid, subs.sv AS c
+            FROM seedids JOIN subs USING (vec_id)),
+    {rounds},
+    enc AS (
+        SELECT vec_id, sub, cid FROM (
+            SELECT subs.vec_id, subs.sub, {final_cb}.cid,
+                   row_number() OVER (
+                       PARTITION BY subs.vec_id, subs.sub
+                       ORDER BY {enc_l2} ASC, {final_cb}.cid ASC) AS rn
+            FROM subs JOIN {final_cb} USING (sub)
+        ) WHERE rn = 1
+    ),
+    recon AS (
+        SELECT enc.vec_id, flatten(list({final_cb}.c ORDER BY enc.sub)) AS rv
+        FROM enc JOIN {final_cb}
+          ON enc.sub = {final_cb}.sub AND enc.cid = {final_cb}.cid
+        GROUP BY enc.vec_id
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 8),
+    scored AS (
+        SELECT query_id, recon.vec_id AS neighbor_id,
+               list_dot_product(qv, rv)
+                 / (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(rv, rv))) AS cosine
+        FROM q CROSS JOIN recon
+        WHERE query_id <> recon.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {k}
+    """
+
+
+def embed_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric PQ top-5: codebooks trained IN the engine
+    (quantization.pq_train — fused subspace Lloyd, one shuffle per
+    iteration regardless of m, DECIMAL-exact 6-dp means), corpus
+    encoded to m codes in a pure map pass, queries scored against the
+    RECONSTRUCTED vectors (codebook-lookup ADC). The scoring scan here
+    reuses brute-force's declared-tiny broadcast shape for the graded
+    parity check; the 100 TB serving path is ivfpq_topk over a
+    persisted bucketed (neighbor_id, cell, pq_code) index — probed
+    cells only, ~24 B/candidate (benched as bench.py's ivfpq_probe).
+    Registered through embed_topk_suite (method='pq')."""
+    from ..operators.quantization import pq_encode, pq_topk, pq_train
+
+    e = load(spark, sf_dir, "embeddings")
+    codebooks = pq_train(
+        e, dim=_PQ_DIM, m=_PQ_M, ks=_PQ_KS, n_iter=_PQ_ITER, round_dp=6
+    )
+    enc = pq_encode(e, codebooks).select("vec_id", "pq_code")
+    return pq_topk(
+        e.filter(F.col("vec_id") < 8), enc, codebooks, k=5, dim=_PQ_DIM
+    )
+
+
 @spec(
     QUERIES,
     "embed_topk_suite",
@@ -816,16 +952,22 @@ def embed_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'lsh' AS method, * FROM ({_lsh_topk_sql()})
         UNION ALL
         SELECT 'ivf' AS method, * FROM ({_IVF_SQL})
+        UNION ALL
+        SELECT 'pq' AS method, * FROM ({_pq_topk_sql()})
     """,
-    doc="All three ANN retrieval strategies over one oracle: exact "
+    doc="All four ANN retrieval strategies over one oracle: exact "
     "brute-force cosine top-5 (the correctness baseline), multi-table "
-    "random-hyperplane LSH, and IVF cell-probing — discriminated by a "
-    "`method` column. One registry slot covers the whole family; the "
-    "recall@5 gate (tests/test_ann_recall.py) separately asserts the "
-    "approximate methods actually retrieve the true neighbors. Each "
-    "branch scans the corpus independently (methods share no state), "
-    "so suite cost = sum of parts — at 100 TB you run ONE method, "
-    "chosen by the recall/probe-cost tradeoff.",
+    "random-hyperplane LSH, IVF cell-probing, and product-quantization "
+    "ADC (in-engine-trained codebooks — the oracle re-derives the full "
+    "fused subspace Lloyd training, the encoding, and the "
+    "reconstruction) — discriminated by a `method` column. One "
+    "registry slot covers the whole family; the recall@5 gate "
+    "(tests/test_ann_recall.py) separately asserts the approximate "
+    "methods actually retrieve the true neighbors. Each branch scans "
+    "the corpus independently (methods share no state), so suite cost "
+    "= sum of parts — at 100 TB you run ONE method, chosen by the "
+    "recall/probe-cost tradeoff (PQ's serving path is the persisted "
+    "bucketed IVF+PQ index, benched separately).",
     tags=("llm", "bench"),
 )
 def embed_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -836,6 +978,9 @@ def embed_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             embed_topk_ivf(spark, sf_dir).withColumn("method", F.lit("ivf"))
+        )
+        .unionByName(
+            embed_topk_pq(spark, sf_dir).withColumn("method", F.lit("pq"))
         )
     )
 

@@ -17,11 +17,18 @@ import pytest
 from project_clinical_data_etl_pipeline_spark.queries import llmdata
 
 #: (query function name, minimum mean recall@5 vs brute force) — the
-#: three strategies are registered jointly as embed_topk_suite; the
-#: per-strategy functions remain importable for this gate.
+#: strategies are registered jointly as embed_topk_suite; the
+#: per-strategy functions remain importable for this gate. The PQ floor
+#: is intentionally low: 32x lossy compression on this weakly-clustered
+#: SYNTHETIC corpus (near-random cosines, tiny neighbor margins) leaves
+#: mean recall ~0.22-0.33 across SFs — the floor is a regression
+#: trip-wire for the train/encode/reconstruct chain, not a quality
+#: claim (real clustered embeddings quantize far better; residual-mode
+#: IVF+PQ measures ~3x this, tests/test_quantization.py).
 _FLOORS = [
     ("embed_topk_lsh", 0.6),
     ("embed_topk_ivf", 0.8),
+    ("embed_topk_pq", 0.15),
 ]
 
 
