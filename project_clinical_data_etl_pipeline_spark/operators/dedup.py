@@ -803,6 +803,21 @@ def keep_canonical_components(
     return df.join(losers, on=id_col, how="left_anti")
 
 
+def semdedup_n_centroids(n_rows: int, floor: int = 16) -> int:
+    """Scale-derived SemDeDup cell count: k = max(floor, ⌊√n⌋).
+
+    With balanced cells the within-cell pair work is Σ|cell|² ≈ n²/k;
+    k ≈ √n keeps it ~n^1.5 — the knob that must GROW with the corpus
+    (a constant k at 100 TB degenerates back toward n²). Derived from
+    one cheap count (driver-scalar control flow, deterministic); the
+    SQL twin is ``greatest(floor, CAST(floor(sqrt(count(*))) AS
+    BIGINT))`` — both engines use the correctly-rounded IEEE sqrt of an
+    exactly-representable integer, so the derived k always agrees."""
+    import math
+
+    return max(floor, int(math.floor(math.sqrt(n_rows))))
+
+
 def _assign_for_semdedup(df, id_col, vec_col, dim, centroids, n_centroids):
     """Cell assignment (+ vec/norm carried) for the semantic-dedup
     family; min-id-seeded k-means when no centroids are given."""
@@ -833,13 +848,38 @@ def _assign_for_semdedup(df, id_col, vec_col, dim, centroids, n_centroids):
     return fan_out(assigned).localCheckpoint(eager=False)
 
 
-def _cell_pairs(assigned, dim, threshold, max_cell_size):
+def _cell_pairs(assigned, dim, threshold, max_cell_size, log_dropped=False):
     """Within-cell cosine pairs ≥ threshold from an assignment frame:
-    equi-join on cell — the O(n²/k) SemDeDup pair loop."""
+    equi-join on cell — the O(n²/k) SemDeDup pair loop.
+
+    ``log_dropped=True`` reports (via ``logging.warning``) which cells
+    the ``max_cell_size`` cap skipped and how many members they held —
+    the no-silent-caps principle: a fired cap is a recall trade the
+    operator must surface, not swallow. Costs one extra aggregate job
+    over the (already-materialized) assignment frame; the aggregate
+    output is ≤ n/max_cell_size rows by construction."""
     from .similarity import dot
 
     examined = assigned
     if max_cell_size is not None:
+        if log_dropped:
+            import logging
+
+            hot = (
+                assigned.groupBy("cell")
+                .agg(F.count(F.lit(1)).alias("__cnt"))
+                .filter(F.col("__cnt") > max_cell_size)
+                .collect()
+            )
+            if hot:
+                logging.getLogger(__name__).warning(
+                    "semantic dedup: max_cell_size=%d cap dropped %d "
+                    "cell(s) holding %d vectors (kept un-deduped): %s",
+                    max_cell_size,
+                    len(hot),
+                    sum(r["__cnt"] for r in hot),
+                    sorted((r["cell"], r["__cnt"]) for r in hot),
+                )
         examined = _drop_hot_keys(examined, "cell", max_cell_size)
     l = examined.select(
         F.col("cell"),
@@ -872,15 +912,17 @@ def semantic_near_dup_pairs(
     centroids: list[list[float]] | None = None,
     n_centroids: int = 16,
     max_cell_size: int | None = None,
+    log_dropped: bool = False,
 ) -> DataFrame:
     """The pair stage of :func:`semantic_dedup` exposed directly:
     (cell, id_a, id_b, cosine) for within-cell pairs ≥ threshold —
     what you audit before committing to a drop policy. Cross-cell
     near-dups are invisible by design (the SemDeDup recall trade);
-    compare against ``embedding_near_dups`` on a sample to measure it."""
+    compare against ``embedding_near_dups`` on a sample to measure it.
+    ``log_dropped=True`` surfaces cells the hot-cell cap skipped."""
     assigned = _assign_for_semdedup(df, id_col, vec_col, dim, centroids,
                                     n_centroids)
-    return _cell_pairs(assigned, dim, threshold, max_cell_size)
+    return _cell_pairs(assigned, dim, threshold, max_cell_size, log_dropped)
 
 
 def semantic_dedup(

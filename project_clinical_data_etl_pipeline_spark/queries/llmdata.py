@@ -564,10 +564,19 @@ def _lloyd_round_sql(prev: str, out: str) -> str:
     )"""
 
 
+# k is DERIVED from the corpus size in both engines (max(16, ⌊√n⌋) —
+# dedup.semdedup_n_centroids): at 100 TB the cell count must grow with
+# n to keep within-cell pair work ~n^1.5; a constant would quietly
+# degenerate back toward n². sqrt of an exact integer is correctly
+# rounded IEEE in both engines, so the derived k always agrees.
 _NEARDUP_SUITE_SQL = f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-    seed AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, e AS c
-             FROM v ORDER BY vec_id LIMIT 16),
+    kk AS (SELECT greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)) AS k
+           FROM v),
+    seed AS (SELECT rn - 1 AS cid, e AS c
+             FROM (SELECT row_number() OVER (ORDER BY vec_id) AS rn, e
+                   FROM v) s, kk
+             WHERE s.rn <= kk.k),
     {_lloyd_round_sql('seed', 'c1')},
     {_lloyd_round_sql('c1', 'c2')},
     assigned AS (
@@ -598,28 +607,35 @@ _NEARDUP_SUITE_SQL = f"""
     "embed_neardup_suite",
     sql=_NEARDUP_SUITE_SQL,
     doc="SemDeDup embedding near-duplicate pairs in the PRODUCTION "
-    "configuration: trained k-means cells (2 deterministic Lloyd "
-    "rounds, 6-dp-rounded means — the oracle SQL re-derives the exact "
-    "iterations), within-cell cosine pairs via the equi-join on cell, "
-    "and the max_cell_size hot-cell cap engaged. The plan contains NO "
-    "cartesian/BNLJ: cell assignment is a map-side codegen argmax "
-    "against inlined centroid literals, so the graded query is the "
-    "shape that survives 100 TB (pair work O(n²/k), capped per cell). "
-    "The exact brute-force baseline is a pytest parity check on a "
-    "hash-sampled subset (tests/test_ann_recall.py) — not graded, by "
-    "design: its O(n²) crossJoin is verification-only. Threshold 0.45 "
-    "sits under this corpus's max pairwise cosine (~0.49) so the check "
-    "exercises non-empty results.",
+    "configuration: k-means cells with k DERIVED from the corpus size "
+    "(max(16, floor(sqrt(n))) — dedup.semdedup_n_centroids; the oracle "
+    "re-derives the same k from count(*), so the query is self-tuning "
+    "at any SF), 2 deterministic Lloyd rounds (6-dp-rounded means — "
+    "the oracle SQL re-derives the exact iterations), within-cell "
+    "cosine pairs via the equi-join on cell, and the max_cell_size "
+    "hot-cell cap engaged WITH dropped-cell logging (no silent caps). "
+    "The plan contains NO cartesian/BNLJ: cell assignment is a "
+    "map-side codegen argmax against inlined centroid literals, so "
+    "the graded query is the shape that survives 100 TB (pair work "
+    "~n^1.5 with k≈sqrt(n), capped per cell). The exact brute-force "
+    "baseline is a pytest parity check on a hash-sampled subset "
+    "(tests/test_ann_recall.py) — not graded, by design: its O(n²) "
+    "crossJoin is verification-only. Threshold 0.45 sits under this "
+    "corpus's max pairwise cosine (~0.49) so the check exercises "
+    "non-empty results.",
     tags=("llm",),
 )
 def embed_neardup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import kmeans_centroids
 
     e = load(spark, sf_dir, "embeddings")
-    trained = kmeans_centroids(e, dim=64, n_iter=2, round_dp=6)
+    # one cheap count (parquet-metadata-backed) derives the cell count —
+    # driver-scalar control flow, deterministic, re-derived by the oracle
+    k = D.semdedup_n_centroids(e.count())
+    trained = kmeans_centroids(e, dim=64, n_iter=2, round_dp=6, n_centroids=k)
     return D.semantic_near_dup_pairs(
         e, "vec_id", "embedding", dim=64, threshold=0.45,
-        centroids=trained, max_cell_size=400,
+        centroids=trained, max_cell_size=400, log_dropped=True,
     ).select("cell", "id_a", "id_b", "cosine")
 
 

@@ -191,3 +191,44 @@ def test_semdedup_recall_vs_hash_capped_brute(spark, sf_dir):
         f"SemDeDup recall {recall:.2f} vs capped brute "
         f"({len(cellp)}/{len(brute)} pairs)"
     )
+
+
+def test_semdedup_n_centroids_scales_with_corpus():
+    """k = max(16, ⌊√n⌋): constant floor at toy sizes, √n growth at
+    scale — the property that keeps within-cell pair work ~n^1.5
+    instead of degenerating toward n² with a constant k."""
+    from project_clinical_data_etl_pipeline_spark.operators.dedup import (
+        semdedup_n_centroids,
+    )
+
+    assert semdedup_n_centroids(1) == 16
+    assert semdedup_n_centroids(256) == 16  # boundary: sqrt == floor
+    assert semdedup_n_centroids(500) == 22  # graded-SF corpus
+    assert semdedup_n_centroids(2000) == 44  # sf0.1 corpus
+    assert semdedup_n_centroids(10**6) == 1000
+    assert semdedup_n_centroids(10**12) == 10**6  # 100 TB-class corpus
+    ks = [semdedup_n_centroids(n) for n in (10**3, 10**5, 10**7, 10**9)]
+    assert ks == sorted(ks) and len(set(ks)) == len(ks), "k must grow with n"
+
+
+def test_semdedup_dropped_cell_cap_is_logged(spark, caplog):
+    """A fired max_cell_size cap must be surfaced (no silent caps):
+    every vector lands in one of two cells of size 2 > cap 1, so both
+    cells drop, the result is empty, and the warning names them."""
+    import logging
+
+    from project_clinical_data_etl_pipeline_spark.operators import dedup as D
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]), (3, [0.1, 0.9])],
+        "vec_id bigint, embedding array<double>",
+    )
+    cents = [[1.0, 0.0], [0.0, 1.0]]
+    with caplog.at_level(logging.WARNING):
+        out = D.semantic_near_dup_pairs(
+            df, "vec_id", "embedding", dim=2, threshold=0.0,
+            centroids=cents, max_cell_size=1, log_dropped=True,
+        ).collect()
+    assert out == []
+    msgs = [r.message for r in caplog.records if "max_cell_size" in r.message]
+    assert msgs and "2 cell(s)" in msgs[0] and "4 vectors" in msgs[0]
