@@ -18,25 +18,89 @@ from .base import QuerySpec, spec
 QUERIES: dict[str, QuerySpec] = {}
 
 
-@spec(
-    QUERIES,
-    "op41_streaming_hourly_counts",
-    sql="""
-        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
-               event_type,
+#: Watermark delay for the graded append leg (must match the SQL lim).
+_APPEND_DELAY_S = 3600
+
+_HOURLY_SUITE_SQL = f"""
+    WITH base AS (
+        SELECT date_trunc('hour', ts) AS h, event_type,
                CAST(count(*) AS BIGINT) AS n_events,
                CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         FROM events GROUP BY 1, 2
-    """,
-    doc="OP-41 incremental sync (reference roadmap insights.md:169): "
-    "Structured-Streaming tumbling 1h window over the events file source, "
-    "run to completion in complete mode — result provably equals the batch "
-    "group-by (the oracle). The watermarked append variant lives in "
-    "streaming.incremental and is covered by tests.",
+    ),
+    lim AS (
+        SELECT (epoch_us(max(ts)) // 1000 - {_APPEND_DELAY_S * 1000}) * 1000
+                   - 1000000 AS lim_us
+        FROM events
+    )
+    SELECT 'complete' AS part,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, n_events, total_value
+    FROM base
+    UNION ALL
+    SELECT 'append' AS part,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, n_events, total_value
+    FROM base, lim
+    WHERE epoch_us(h + INTERVAL 1 HOUR) < lim_us
+"""
+
+
+@spec(
+    QUERIES,
+    "op41_streaming_hourly_counts",
+    sql=_HOURLY_SUITE_SQL,
+    doc="OP-41 incremental sync (reference roadmap insights.md:169), BOTH "
+    "output modes graded. 'complete' leg: Structured-Streaming tumbling "
+    "1h window over the events file source run to completion in complete "
+    "mode — provably equals the batch group-by. 'append' leg: the "
+    "PRODUCTION shape — the same aggregation with a 1h watermark in "
+    "append mode, so only watermark-finalized windows emit; the "
+    "deterministic cutoff (1 s below the engine's final watermark = max "
+    "event time − 1h, re-derived by the oracle — the stream_temporal_"
+    "suite trick) restricts both engines to windows the watermark "
+    "contract guarantees emitted, independent of ms truncation. State "
+    "on the append leg is O(windows inside the horizon × group "
+    "cardinality), never history-sized.",
     tags=("streaming",),
 )
 def op41_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return run_hourly_counts_stream(spark, sf_dir)
+    from ..streaming.incremental import run_watermarked_append_stream
+
+    complete = run_hourly_counts_stream(spark, sf_dir).select(
+        F.lit("complete").alias("part"),
+        "window_start",
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+
+    # deterministic finalization cutoff, strictly below the engine's
+    # final watermark whatever its ms truncation (1 s slack); one 1-row
+    # scalar pull — control flow, not data movement
+    e = load(spark, sf_dir, "events")
+    ux = F.unix_micros(F.col("ts").cast("timestamp"))
+    lim_us = int(
+        e.agg(
+            (
+                (F.floor(F.max(ux) / 1000).cast("bigint") - _APPEND_DELAY_S * 1000)
+                * 1000
+                - 1_000_000
+            ).alias("__lim_us")
+        ).collect()[0][0]
+    )
+    appended = run_watermarked_append_stream(spark, sf_dir, delay="1 hour")
+    append_leg = appended.filter(
+        F.unix_micros(F.to_timestamp("window_start")) + _APPEND_DELAY_S * 1_000_000
+        < F.lit(lim_us)
+    ).select(
+        F.lit("append").alias("part"),
+        "window_start",
+        "event_type",
+        "n_events",
+        "total_value",
+    )
+    return complete.unionByName(append_leg)
 
 
 @spec(

@@ -52,23 +52,32 @@ def _hourly_agg(events: DataFrame, watermark: str | None) -> DataFrame:
     )
 
 
-def run_hourly_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Run the tumbling-window count stream to completion (complete
-    output mode → every window emitted; deterministic, equals the batch
-    group-by) and return the result as a DataFrame."""
-    name = f"hourly_counts_{uuid.uuid4().hex[:8]}"
-    q = (
-        _hourly_agg(_event_stream(spark, sf_dir), watermark=None)
-        .writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
+def _run_to_completion(spark: SparkSession, sink, name: str) -> DataFrame:
+    """Start a memory-sink stream, drain it, snapshot the result, and
+    RELEASE the uuid-named temp view — the views would otherwise
+    accumulate full result sets in driver memory across grading + test
+    runs (the stream_temporal_suite pattern)."""
+    q = sink.queryName(name).start()
     try:
         q.processAllAvailable()
     finally:
         q.stop()
-    return spark.table(name)
+    rows = spark.table(name).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name)
+    return rows
+
+
+def run_hourly_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run the tumbling-window count stream to completion (complete
+    output mode → every window emitted; deterministic, equals the batch
+    group-by) and return the result as a DataFrame."""
+    return _run_to_completion(
+        spark,
+        _hourly_agg(_event_stream(spark, sf_dir), watermark=None)
+        .writeStream.outputMode("complete")
+        .format("memory"),
+        f"hourly_counts_{uuid.uuid4().hex[:8]}",
+    )
 
 
 def run_watermarked_append_stream(
@@ -78,19 +87,13 @@ def run_watermarked_append_stream(
     end ≤ (max event ts − delay) are finalized and emitted — the
     production shape for incremental sinks (late rows inside the horizon
     still update their window; older ones are dropped)."""
-    name = f"hourly_append_{uuid.uuid4().hex[:8]}"
-    q = (
+    return _run_to_completion(
+        spark,
         _hourly_agg(_event_stream(spark, sf_dir), watermark=delay)
         .writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
+        .format("memory"),
+        f"hourly_append_{uuid.uuid4().hex[:8]}",
     )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
-    return spark.table(name)
 
 
 def run_upsert_stream(
