@@ -324,11 +324,15 @@ def interval_overlap_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
         li, li, on="l_suppkey",
         left_start="w_start", left_end="w_end",
         right_start="w_start", right_end="w_end",
-        # spans are <= 50 days by construction (l_quantity in [1, 50]);
-        # pinning W skips the auto span probe. Any W is CORRECT (the
-        # sequence fan-out covers arbitrary spans) — W only tunes the
-        # fan-out / bucket-occupancy trade.
-        bucket_s=50 * 86_400,
+        # bucket_s=None exercises the AUTO span probe: W = the longest
+        # interval across both sides, derived by one partial-combine
+        # max aggregate + a 1-row driver pull (deterministic scalar
+        # control flow) — so the operator is self-tuning at any scale
+        # instead of relying on a data invariant pinned in code. Any W
+        # is CORRECT (the sequence fan-out covers arbitrary spans); W =
+        # max span keeps every row in <= 2 buckets, bounding candidate
+        # fan-in at 4x (tests/test_temporal.py pins the bound).
+        bucket_s=None,
     )
     canonical = pairs.filter(
         F.struct(F.col("l_orderkey"), F.col("l_linenumber"))
