@@ -132,6 +132,135 @@ def bm25_topk(
     )
 
 
+def bm25_topk_multi(
+    docs: DataFrame,
+    queries: dict[str, list[str]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    score_dp: int = 6,
+    materialize: bool = True,
+) -> DataFrame:
+    """Batched BM25: top-``k`` per query for MANY query-term sets in
+    ONE corpus text scan. Returns (query_id, id_col, score), each
+    query's block ordered/tied exactly like :func:`bm25_topk` — and
+    bit-equal to it (pytest-pinned parity).
+
+    Where :func:`bm25_topk` re-scans the corpus text per call — right
+    for ad-hoc probes — this variant pays the text tokenization ONCE:
+
+    1. one map pass tokenizes and measures every doc;
+    2. the exploded words equi-join a BROADCAST table of the UNION of
+       all query terms, then one (doc, term) count builds a compact
+       per-doc tf MAP over matched terms only (the only shuffle whose
+       width depends on |terms|; text itself never shuffles);
+    3. one stats pass (N, Σdl from the doc frame; per-term df from the
+       (doc, term) counts) pulls |union terms|+2 scalars to the driver;
+    4. each query then scores a pure map pass over the compact
+       (id, dl, tf_map) frame — the SAME left-associated per-term
+       arithmetic as bm25_topk with ``element_at(map, term)`` standing
+       in for the filter-count, so scores match bit-for-bit — followed
+       by its own TakeOrderedAndProject.
+
+    Crossover: with q queries the per-query path costs q full text
+    scans; this path costs 1 text scan + q scans of the compact frame
+    (~16 B + matched-entries per doc vs the full text) — it wins from
+    roughly q ≥ 2 on text-heavy corpora and is the only sane shape for
+    a thousands-of-queries contamination benchmark. ``materialize``
+    localCheckpoints the compact frame so the q scoring passes reuse it
+    (pass False to keep recomputable lineage on a real cluster, and
+    persist() it yourself).
+    """
+    if not queries:
+        raise ValueError("queries must be non-empty")
+    for terms in queries.values():
+        _check_terms(terms)
+    union_terms = sorted({t for terms in queries.values() for t in terms})
+
+    base = docs.select(
+        F.col(id_col), words_array(F.col(text_col)).alias("__ws")
+    ).withColumn("__dl", F.expr("CAST(size(__ws) AS DOUBLE)"))
+
+    spark = docs.sparkSession
+    terms_df = spark.createDataFrame(
+        [(t,) for t in union_terms], "__term string"
+    )
+    tok = (
+        base.select(F.col(id_col), F.explode("__ws").alias("__term"))
+        .join(F.broadcast(terms_df), on="__term")
+        .groupBy(id_col, "__term")
+        .agg(F.count(F.lit(1)).alias("__tf"))
+    )
+    tf_map = tok.groupBy(id_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__term", "__tf"))
+        ).alias("__tfm")
+    )
+    compact = base.select(F.col(id_col), "__dl").join(
+        tf_map, on=id_col, how="inner"  # docs matching NO union term can
+        # never score > 0 for any query — drop them before the q passes
+    )
+    if materialize:
+        compact = compact.localCheckpoint(eager=False)
+
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("__dl").cast("bigint").alias("total_dl")
+    ).first()
+    n = stats["n"]
+    if n == 0 or stats["total_dl"] is None:
+        out = None
+        for qid in queries:
+            leg = base.select(
+                F.lit(qid).alias("query_id"), F.col(id_col), F.lit(0.0).alias("score")
+            ).limit(0)
+            out = leg if out is None else out.unionByName(leg)
+        return out
+    avgdl = stats["total_dl"] / n
+    df_by_term = {
+        r["__term"]: r["__df"]
+        # tok is one row per (doc, term) by construction → plain count
+        for r in tok.groupBy("__term").agg(F.count(F.lit(1)).alias("__df")).collect()
+    }
+
+    def tf_expr(term: str) -> str:
+        # element_at on the matched-term map ≡ bm25_topk's filter-count
+        # (absent term → tf 0); same double cast, same value
+        return f"CAST(coalesce(element_at(__tfm, '{term}'), 0) AS DOUBLE)"
+
+    out = None
+    for qid, terms in queries.items():
+        idfs = [
+            _round_half_up(
+                math.log(
+                    (n - df_by_term.get(t, 0) + 0.5)
+                    / (df_by_term.get(t, 0) + 0.5)
+                    + 1.0
+                ),
+                8,
+            )
+            for t in terms
+        ]
+        score = " + ".join(
+            _term_score(tf_expr(t), idfs[j], avgdl, k1, b)
+            for j, t in enumerate(terms)
+        )
+        matched = " + ".join(tf_expr(t) for t in terms)
+        leg = (
+            compact.filter(F.expr(matched) > 0)
+            .select(
+                F.lit(qid).alias("query_id"),
+                F.col(id_col),
+                F.expr(f"round({score}, {score_dp})").alias("score"),
+            )
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(k)
+        )
+        out = leg if out is None else out.unionByName(leg)
+    return out
+
+
 def bm25_sql(
     query_terms: list[str],
     table: str = "documents",

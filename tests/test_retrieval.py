@@ -157,3 +157,92 @@ def test_rrf_fuse_hand_computed(spark):
 
     with _p.raises(ValueError):
         rrf_fuse([])
+
+
+def test_bm25_multi_bit_equal_to_per_query(spark, docs):
+    """The batched variant must reproduce bm25_topk EXACTLY per query —
+    same docs, same bit-pattern scores, same order — including a query
+    whose terms overlap another's, a term absent from the corpus
+    (df=0 idf branch), and a doc matching no term of one query."""
+    from project_clinical_data_etl_pipeline_spark.operators.retrieval import (
+        bm25_topk_multi,
+    )
+
+    queries = {
+        "qa": ["spark", "table"],
+        "qb": ["table", "data"],
+        "qc": ["missingterm", "fox"],
+    }
+    multi = bm25_topk_multi(docs, queries, k=10)
+    got: dict[str, list] = {}
+    for r in multi.collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["doc_id"], repr(r["score"]))
+        )
+    for qid, terms in queries.items():
+        want = [
+            (r["doc_id"], repr(r["score"]))
+            for r in bm25_topk(docs, terms, k=10).collect()
+        ]
+        assert got.get(qid, []) == want, qid
+
+
+def test_bm25_multi_adversarial_unicode_parity(spark, tmp_path):
+    """Batched parity holds on the adversarial corpus too (multi-byte
+    tokens, emoji, empty/whitespace docs) with a small k boundary."""
+    from project_clinical_data_etl_pipeline_spark.operators.retrieval import (
+        bm25_topk_multi,
+    )
+
+    texts = [
+        "spark über alles spark",
+        "日本語 spark テキスト",
+        "😀 spark 😀 table 😀",
+        "table    table\ttable\nspark",
+        "   ",
+        "",
+        "no match here",
+        "spark " * 30,
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id bigint, text string"
+    )
+    queries = {"q1": ["spark", "table"], "q2": ["über", "match"]}
+    multi = bm25_topk_multi(docs, queries, k=3)
+    got: dict[str, list] = {}
+    for r in multi.collect():
+        got.setdefault(r["query_id"], []).append((r["doc_id"], repr(r["score"])))
+    for qid, terms in queries.items():
+        want = [
+            (r["doc_id"], repr(r["score"]))
+            for r in bm25_topk(docs, terms, k=3).collect()
+        ]
+        assert got.get(qid, []) == want, qid
+
+
+def test_bm25_multi_single_text_scan(spark, docs):
+    """The whole point of the batched variant: the corpus text column
+    is tokenized in ONE scan subtree regardless of query count. The
+    compact frame is localCheckpointed, so the executed plan of the
+    scored union must not re-run words_array per query — no Generate
+    (explode) survives past the checkpoint."""
+    from project_clinical_data_etl_pipeline_spark.operators.retrieval import (
+        bm25_topk_multi,
+    )
+
+    queries = {f"q{i}": ["spark", "table"] for i in range(4)}
+    out = bm25_topk_multi(docs, queries, k=5)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan, plan
+    assert out.count() > 0
+
+
+def test_bm25_multi_validates_terms(spark, docs):
+    from project_clinical_data_etl_pipeline_spark.operators.retrieval import (
+        bm25_topk_multi,
+    )
+
+    with pytest.raises(ValueError):
+        bm25_topk_multi(docs, {})
+    with pytest.raises(ValueError):
+        bm25_topk_multi(docs, {"q": ["bad'term"]})
