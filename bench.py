@@ -74,6 +74,10 @@ BENCH_QUERIES = [
     # methodology.
     "retrieval_suite",
     "ivfpq_probe",
+    # round-6 addition: batched BM25 (8 query sets, ONE corpus text
+    # scan) — read against bm25_search: per-query cost should sit well
+    # under bm25_search's, since the text tokenization amortizes.
+    "bm25_multi_search",
 ]
 
 # (bm25_search is graded as the 'bm25' leg of retrieval_suite; its
@@ -91,6 +95,7 @@ _DIRECT = {
     "dedup_exact": "llmdata",  # r5: graded inside dedup_exact_jaccard_suite
     "bm25_search": "llmdata",  # r5: graded inside retrieval_suite
     "ivfpq_probe": "llmdata",  # bench-only serving path (never graded)
+    "bm25_multi_search": "llmdata",  # bench-only batched variant
 }
 
 

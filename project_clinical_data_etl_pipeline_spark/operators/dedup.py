@@ -865,6 +865,11 @@ def _cell_pairs(assigned, dim, threshold, max_cell_size, log_dropped=False):
         if log_dropped:
             import logging
 
+            # ONE hot-cell aggregate serves both the warning and the
+            # drop: the collected set is tiny by construction (each hot
+            # cell represents > max_cell_size rows), so the anti-join
+            # runs against a literal broadcast frame instead of
+            # re-running the groupBy that _drop_hot_keys would build
             hot = (
                 assigned.groupBy("cell")
                 .agg(F.count(F.lit(1)).alias("__cnt"))
@@ -880,7 +885,14 @@ def _cell_pairs(assigned, dim, threshold, max_cell_size, log_dropped=False):
                     sum(r["__cnt"] for r in hot),
                     sorted((r["cell"], r["__cnt"]) for r in hot),
                 )
-        examined = _drop_hot_keys(examined, "cell", max_cell_size)
+                hot_df = assigned.sparkSession.createDataFrame(
+                    [(r["cell"],) for r in hot], "cell bigint"
+                )
+                examined = assigned.join(
+                    F.broadcast(hot_df), on="cell", how="left_anti"
+                )
+        else:
+            examined = _drop_hot_keys(examined, "cell", max_cell_size)
     l = examined.select(
         F.col("cell"),
         F.col("__id").alias("id_a"),

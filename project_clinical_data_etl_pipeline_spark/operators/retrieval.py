@@ -67,6 +67,49 @@ def _term_score(tf: str, idf: float, avgdl: float, k1: float, b: float) -> str:
     )
 
 
+def _idf8(n: int, df: int) -> float:
+    """Robertson/Sparck Jones idf with the +1 floor (Lucene form),
+    8-dp-rounded — the libm-ln shield shared by single and batched
+    scoring (the bit-parity contract between them lives here)."""
+    return _round_half_up(math.log((n - df + 0.5) / (df + 0.5) + 1.0), 8)
+
+
+def _scored_topk(
+    frame: DataFrame,
+    terms: list[str],
+    tf_expr,
+    idfs: list[float],
+    avgdl: float,
+    k1: float,
+    b: float,
+    score_dp: int,
+    k: int,
+    id_col: str,
+    lead_cols: tuple = (),
+) -> DataFrame:
+    """Shared BM25 scoring tail (single AND batched path — any change
+    here is automatically mirrored, keeping their bit-parity): drop
+    docs matching no term, left-associated per-term score chain with
+    idf/avgdl inlined, rounded score as the sort key, (score DESC, id
+    ASC) top-k. ``tf_expr(term) -> SQL fragment`` is the only thing the
+    two paths disagree on (filter-count vs tf-map lookup)."""
+    score = " + ".join(
+        _term_score(tf_expr(t), idfs[j], avgdl, k1, b)
+        for j, t in enumerate(terms)
+    )
+    matched = " + ".join(tf_expr(t) for t in terms)
+    return (
+        frame.filter(F.expr(matched) > 0)
+        .select(
+            *lead_cols,
+            F.col(id_col),
+            F.expr(f"round({score}, {score_dp})").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
 def bm25_topk(
     docs: DataFrame,
     query_terms: list[str],
@@ -108,27 +151,9 @@ def bm25_topk(
             F.col(id_col), F.lit(0.0).alias("score")
         ).limit(0)
     avgdl = stats["total_dl"] / n
-    idfs = [
-        _round_half_up(
-            math.log((n - stats[f"df{j}"] + 0.5) / (stats[f"df{j}"] + 0.5) + 1.0),
-            8,
-        )
-        for j in range(len(query_terms))
-    ]
-
-    score = " + ".join(
-        _term_score(_tf_expr(t), idfs[j], avgdl, k1, b)
-        for j, t in enumerate(query_terms)
-    )
-    matched = " + ".join(_tf_expr(t) for t in query_terms)
-    return (
-        base.filter(F.expr(matched) > 0)
-        .select(
-            F.col(id_col),
-            F.expr(f"round({score}, {score_dp})").alias("score"),
-        )
-        .orderBy(F.col("score").desc(), F.col(id_col).asc())
-        .limit(k)
+    idfs = [_idf8(n, stats[f"df{j}"]) for j in range(len(query_terms))]
+    return _scored_topk(
+        base, query_terms, _tf_expr, idfs, avgdl, k1, b, score_dp, k, id_col
     )
 
 
@@ -182,6 +207,12 @@ def bm25_topk_multi(
     base = docs.select(
         F.col(id_col), words_array(F.col(text_col)).alias("__ws")
     ).withColumn("__dl", F.expr("CAST(size(__ws) AS DOUBLE)"))
+    if materialize:
+        # the ONE-text-scan contract lives here: base (id, words, dl) is
+        # consumed by the stats aggregate, the (doc, term) join, AND the
+        # compact join — without the lineage cut each would re-run the
+        # regex tokenization over the full text column
+        base = base.localCheckpoint(eager=False)
 
     spark = docs.sparkSession
     terms_df = spark.createDataFrame(
@@ -210,13 +241,11 @@ def bm25_topk_multi(
     ).first()
     n = stats["n"]
     if n == 0 or stats["total_dl"] is None:
-        out = None
-        for qid in queries:
-            leg = base.select(
-                F.lit(qid).alias("query_id"), F.col(id_col), F.lit(0.0).alias("score")
-            ).limit(0)
-            out = leg if out is None else out.unionByName(leg)
-        return out
+        # zero rows for every query either way — one empty frame with
+        # the output schema beats a q-legged union of empty frames
+        return base.select(
+            F.lit("").alias("query_id"), F.col(id_col), F.lit(0.0).alias("score")
+        ).limit(0)
     avgdl = stats["total_dl"] / n
     df_by_term = {
         r["__term"]: r["__df"]
@@ -231,31 +260,10 @@ def bm25_topk_multi(
 
     out = None
     for qid, terms in queries.items():
-        idfs = [
-            _round_half_up(
-                math.log(
-                    (n - df_by_term.get(t, 0) + 0.5)
-                    / (df_by_term.get(t, 0) + 0.5)
-                    + 1.0
-                ),
-                8,
-            )
-            for t in terms
-        ]
-        score = " + ".join(
-            _term_score(tf_expr(t), idfs[j], avgdl, k1, b)
-            for j, t in enumerate(terms)
-        )
-        matched = " + ".join(tf_expr(t) for t in terms)
-        leg = (
-            compact.filter(F.expr(matched) > 0)
-            .select(
-                F.lit(qid).alias("query_id"),
-                F.col(id_col),
-                F.expr(f"round({score}, {score_dp})").alias("score"),
-            )
-            .orderBy(F.col("score").desc(), F.col(id_col).asc())
-            .limit(k)
+        idfs = [_idf8(n, df_by_term.get(t, 0)) for t in terms]
+        leg = _scored_topk(
+            compact, terms, tf_expr, idfs, avgdl, k1, b, score_dp, k,
+            id_col, lead_cols=(F.lit(qid).alias("query_id"),),
         )
         out = leg if out is None else out.unionByName(leg)
     return out

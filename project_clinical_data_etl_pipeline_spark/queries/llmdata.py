@@ -964,9 +964,11 @@ def ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     key = sf_dir.rstrip("/")
     if key not in _IVFPQ_BENCH_CACHE:
-        table = "ivfpq_bench_idx_" + re.sub(
-            r"[^0-9a-zA-Z]+", "_", key.rsplit("/", 1)[-1]
-        )
+        # table name from the SAME full key as the cache entry — a
+        # basename-only name would let two same-named corpora in one
+        # process overwrite each other's index while both cache entries
+        # kept pointing at it (wrong-corpus results, no error)
+        table = "ivfpq_bench_idx_" + re.sub(r"[^0-9a-zA-Z]+", "_", key).strip("_")
         cents = kmeans_centroids(e, dim=_PQ_DIM, n_iter=2, round_dp=6)
         books = pq_train(
             e, dim=_PQ_DIM, m=_PQ_M, ks=_PQ_KS, n_iter=_PQ_ITER, round_dp=6
@@ -1197,6 +1199,37 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(load(spark, sf_dir, "documents"), _BM25_TERMS, k=20)
 
 
+#: Eight query-term sets for the batched-BM25 bench entry — the
+#: contamination-benchmark shape (many probes, one corpus).
+_BM25_MULTI_QUERIES = {
+    f"q{i}": terms
+    for i, terms in enumerate(
+        [
+            _BM25_TERMS,
+            ["data", "pipeline"],
+            ["model", "training"],
+            ["patient", "record"],
+            ["quality", "filter"],
+            ["spark", "query"],
+            ["the", "and"],
+            ["document", "text"],
+        ]
+    )
+}
+
+
+def bm25_multi_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only (not registered): batched BM25 over 8 query-term sets
+    in ONE corpus text scan (operators.retrieval.bm25_topk_multi) —
+    the contamination-benchmark serving shape. Compare its timing
+    against 8× bm25_search to read the batching win."""
+    from ..operators.retrieval import bm25_topk_multi
+
+    return bm25_topk_multi(
+        load(spark, sf_dir, "documents"), _BM25_MULTI_QUERIES, k=20
+    )
+
+
 _RRF_K = 60
 
 _RETRIEVAL_SUITE_SQL = f"""
@@ -1259,7 +1292,13 @@ _RETRIEVAL_SUITE_SQL = f"""
     "through DECIMAL casts so the per-id sum is order-independent; "
     "rounded scores + id tiebreaks pin every k-boundary in both "
     "engines. The fused inputs are top-k lists — driver-scale work at "
-    "any corpus size.",
+    "any corpus size. At 100 TB you run THIS bm25 leg (its one-pass "
+    "stats + map scoring scale as-is; thousands of queries batch via "
+    "bm25_topk_multi's single text scan) but NOT this dense leg: its "
+    "linear corpus scan is the declared-tiny correctness baseline — "
+    "production dense retrieval is the persisted bucketed IVF(+PQ) "
+    "index (similarity/quantization), recall-gated in tests and "
+    "benched as ivfpq_probe.",
     tags=("llm", "bench"),
 )
 def retrieval_suite(spark: SparkSession, sf_dir: str) -> DataFrame:

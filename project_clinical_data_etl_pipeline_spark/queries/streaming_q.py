@@ -80,15 +80,20 @@ def op41_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scalar pull — control flow, not data movement
     e = load(spark, sf_dir, "events")
     ux = F.unix_micros(F.col("ts").cast("timestamp"))
-    lim_us = int(
-        e.agg(
-            (
-                (F.floor(F.max(ux) / 1000).cast("bigint") - _APPEND_DELAY_S * 1000)
-                * 1000
-                - 1_000_000
-            ).alias("__lim_us")
-        ).collect()[0][0]
-    )
+    lim_raw = e.agg(
+        (
+            (F.floor(F.max(ux) / 1000).cast("bigint") - _APPEND_DELAY_S * 1000)
+            * 1000
+            - 1_000_000
+        ).alias("__lim_us")
+    ).collect()[0][0]
+    if lim_raw is None:
+        # empty table / all-NULL ts: no watermark ever advances, so the
+        # append leg is empty BY DEFINITION — the oracle's NULL lim
+        # comparison yields the same zero rows. Both legs share a
+        # schema, so the complete leg alone is the full suite result.
+        return complete
+    lim_us = int(lim_raw)
     appended = run_watermarked_append_stream(spark, sf_dir, delay="1 hour")
     append_leg = appended.filter(
         F.unix_micros(F.to_timestamp("window_start")) + _APPEND_DELAY_S * 1_000_000

@@ -490,3 +490,25 @@ def test_stream_asof_pruned_right_state_serves_later_batches(spark, tmp_path):
         for r in spark.table(name).collect()
     }
     assert got.get(7000) == 500
+
+
+def test_op41_suite_empty_events_emits_empty_not_crash(spark, tmp_path):
+    """Empty events table: max(ts) is NULL, so no watermark ever
+    advances — the suite must return zero rows (matching the oracle's
+    NULL-lim comparison), not crash on int(None)."""
+    import os
+
+    from project_clinical_data_etl_pipeline_spark.queries.streaming_q import (
+        op41_streaming_hourly_counts,
+    )
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = str(tmp_path / "empty_events")
+    src.limit(0).coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(d, "events.parquet")
+    )
+    out = op41_streaming_hourly_counts(spark, d)
+    assert out.count() == 0
+    assert set(out.columns) == {
+        "part", "window_start", "event_type", "n_events", "total_value",
+    }
