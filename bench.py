@@ -49,10 +49,19 @@ BENCH_QUERIES = [
     # cross-round per-query, never by the total.
     "asof_click_before_purchase",
     "range_clicks_before_error",
+    # NB round-6 composition change: embed_neardup_suite now DERIVES
+    # its cell count from the corpus (k = max(16, floor(sqrt(n))) → 44
+    # cells at sf0.1 vs the constant 16 it succeeds), so its r6+ number
+    # does ~2.75x the assignment/training map work of the r5 entry —
+    # more CELLS (the scale-true shape), not slower cells. Compare r6+
+    # values among themselves.
     "embed_neardup_suite",
     "hierarchy_transitive_closure",
-    # round-5 addition: interval x interval overlap join (new operator
-    # family this round; same frozen methodology).
+    # round-5 addition: interval x interval overlap join. Round-6
+    # composition change: the graded query now exercises the AUTO
+    # bucket-width probe (one extra max-span aggregate over both sides
+    # per run, ~1.1s at sf0.1) instead of a code-pinned width — the
+    # self-tuning shape; its r6+ numbers include the probe.
     "interval_overlap_shipments",
     # round-5 addition: in-engine trained logistic-regression quality
     # filter (8 GD aggregate jobs + map-side scoring; same frozen
