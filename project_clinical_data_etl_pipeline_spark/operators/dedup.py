@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def normalize_text(col: Column) -> Column:
@@ -198,8 +199,23 @@ def minhash_signature_from_shingles(
     )
 
 
+def _hot_key_counts(rows: DataFrame, key_col: str, max_count: int) -> DataFrame:
+    """(key, __cnt) for keys occurring more than ``max_count`` times —
+    the SINGLE definition of 'hot' shared by the lazy and the
+    logged/pre-collected drop paths (keeping their semantics from
+    drifting apart)."""
+    return (
+        rows.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("__cnt"))
+        .filter(F.col("__cnt") > max_count)
+    )
+
+
 def _drop_hot_keys(
-    rows: DataFrame, key_col: str, max_count: int
+    rows: DataFrame,
+    key_col: str,
+    max_count: int,
+    hot_keys: list | None = None,
 ) -> DataFrame:
     """Drop every row whose ``key_col`` value occurs more than
     ``max_count`` times — the skew-cap primitive for LSH buckets and
@@ -208,13 +224,20 @@ def _drop_hot_keys(
     Scale shape: the hot-key set is tiny BY CONSTRUCTION (each survivor
     of the count-filter represents > max_count input rows, so there can
     be at most |rows|/max_count of them) → it broadcasts, and the drop
-    is a broadcast anti-join — no extra shuffle of ``rows``."""
-    hot = (
-        rows.groupBy(key_col)
-        .agg(F.count(F.lit(1)).alias("__cnt"))
-        .filter(F.col("__cnt") > max_count)
-        .select(key_col)
-    )
+    is a broadcast anti-join — no extra shuffle of ``rows``.
+
+    ``hot_keys``: pass the key values already collected from
+    :func:`_hot_key_counts` (e.g. after logging them) to skip the
+    aggregate and anti-join against a literal frame instead."""
+    if hot_keys is not None:
+        if not hot_keys:
+            return rows
+        hot = rows.sparkSession.createDataFrame(
+            [(k,) for k in hot_keys],
+            schema=T.StructType([rows.schema[key_col]]),
+        )
+    else:
+        hot = _hot_key_counts(rows, key_col, max_count).select(key_col)
     return rows.join(F.broadcast(hot), on=key_col, how="left_anti")
 
 
@@ -865,17 +888,13 @@ def _cell_pairs(assigned, dim, threshold, max_cell_size, log_dropped=False):
         if log_dropped:
             import logging
 
-            # ONE hot-cell aggregate serves both the warning and the
-            # drop: the collected set is tiny by construction (each hot
-            # cell represents > max_cell_size rows), so the anti-join
-            # runs against a literal broadcast frame instead of
-            # re-running the groupBy that _drop_hot_keys would build
-            hot = (
-                assigned.groupBy("cell")
-                .agg(F.count(F.lit(1)).alias("__cnt"))
-                .filter(F.col("__cnt") > max_cell_size)
-                .collect()
-            )
+            # ONE hot-cell aggregate (the same _hot_key_counts
+            # definition the lazy path uses) serves both the warning
+            # and the drop: the collected set is tiny by construction
+            # (each hot cell represents > max_cell_size rows), so the
+            # anti-join runs against a literal broadcast frame instead
+            # of re-running the groupBy
+            hot = _hot_key_counts(assigned, "cell", max_cell_size).collect()
             if hot:
                 logging.getLogger(__name__).warning(
                     "semantic dedup: max_cell_size=%d cap dropped %d "
@@ -885,12 +904,10 @@ def _cell_pairs(assigned, dim, threshold, max_cell_size, log_dropped=False):
                     sum(r["__cnt"] for r in hot),
                     sorted((r["cell"], r["__cnt"]) for r in hot),
                 )
-                hot_df = assigned.sparkSession.createDataFrame(
-                    [(r["cell"],) for r in hot], "cell bigint"
-                )
-                examined = assigned.join(
-                    F.broadcast(hot_df), on="cell", how="left_anti"
-                )
+            examined = _drop_hot_keys(
+                assigned, "cell", max_cell_size,
+                hot_keys=[r["cell"] for r in hot],
+            )
         else:
             examined = _drop_hot_keys(examined, "cell", max_cell_size)
     l = examined.select(

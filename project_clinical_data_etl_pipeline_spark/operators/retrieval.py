@@ -224,6 +224,11 @@ def bm25_topk_multi(
         .groupBy(id_col, "__term")
         .agg(F.count(F.lit(1)).alias("__tf"))
     )
+    if materialize:
+        # tok feeds BOTH the df_by_term collect and (via tf_map) the
+        # compact join — without this cut the widest post-tokenization
+        # stage (explode + broadcast join + (doc,term) count) runs twice
+        tok = tok.localCheckpoint(eager=False)
     tf_map = tok.groupBy(id_col).agg(
         F.map_from_entries(
             F.collect_list(F.struct("__term", "__tf"))

@@ -964,11 +964,16 @@ def ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     key = sf_dir.rstrip("/")
     if key not in _IVFPQ_BENCH_CACHE:
-        # table name from the SAME full key as the cache entry — a
-        # basename-only name would let two same-named corpora in one
-        # process overwrite each other's index while both cache entries
-        # kept pointing at it (wrong-corpus results, no error)
-        table = "ivfpq_bench_idx_" + re.sub(r"[^0-9a-zA-Z]+", "_", key).strip("_")
+        # table name must be INJECTIVE in the cache key — two corpora
+        # whose keys sanitize alike would overwrite each other's index
+        # while both cache entries kept pointing at it (wrong-corpus
+        # results, no error). A readable sanitized tail + a key hash.
+        import hashlib
+
+        table = "ivfpq_bench_idx_{}_{}".format(
+            re.sub(r"[^0-9a-zA-Z]+", "_", key.rsplit("/", 1)[-1]).strip("_"),
+            hashlib.md5(key.encode()).hexdigest()[:8],
+        )
         cents = kmeans_centroids(e, dim=_PQ_DIM, n_iter=2, round_dp=6)
         books = pq_train(
             e, dim=_PQ_DIM, m=_PQ_M, ks=_PQ_KS, n_iter=_PQ_ITER, round_dp=6
