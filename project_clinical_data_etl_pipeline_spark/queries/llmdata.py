@@ -532,16 +532,16 @@ _NDCOS = (
 # operators.similarity.kmeans_centroids(round_dp=6), so Spark and the
 # oracle iterate from bit-identical centroids. Empty cells keep the
 # previous centroid (the LEFT JOIN coalesce).
-def _lloyd_round_sql(prev: str, out: str) -> str:
+def _lloyd_round_sql(prev: str, out: str, src: str = "v") -> str:
     return f"""
     a_{out} AS (
         SELECT vec_id, e, cid FROM (
-            SELECT v.vec_id, v.e, {prev}.cid,
+            SELECT {src}.vec_id, {src}.e, {prev}.cid,
                    row_number() OVER (
-                       PARTITION BY v.vec_id
-                       ORDER BY {_NDCOS.format(a='v.e', b=f'{prev}.c')} DESC,
+                       PARTITION BY {src}.vec_id
+                       ORDER BY {_NDCOS.format(a=f'{src}.e', b=f'{prev}.c')} DESC,
                                 {prev}.cid ASC) AS rn
-            FROM v CROSS JOIN {prev}
+            FROM {src} CROSS JOIN {prev}
         ) WHERE rn = 1
     ),
     m_{out} AS (
@@ -569,16 +569,28 @@ def _lloyd_round_sql(prev: str, out: str) -> str:
 # n to keep within-cell pair work ~n^1.5; a constant would quietly
 # degenerate back toward n². sqrt of an exact integer is correctly
 # rounded IEEE in both engines, so the derived k always agrees.
+#
+# Training runs on a DETERMINISTIC md5-threshold HALF-SAMPLE (vs — the
+# faiss/SemDeDup recipe: centroid/codebook TRAINING is sample-based at
+# any corpus scale; only the one-pass ASSIGNMENT touches every row).
+# md5 hex is identical across engines, so the oracle re-derives the
+# exact training set; seeds are the sample's min-id vectors.
+# identical semantics in both engines; only the string-type keyword
+# differs (Spark: STRING, DuckDB: VARCHAR)
+_NEARDUP_TRAIN_SAMPLE = "substring(md5(CAST(vec_id AS VARCHAR)), 1, 1) < '8'"
+_NEARDUP_TRAIN_SAMPLE_SPARK = "substring(md5(CAST(vec_id AS STRING)), 1, 1) < '8'"
+
 _NEARDUP_SUITE_SQL = f"""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    vs AS (SELECT * FROM v WHERE {_NEARDUP_TRAIN_SAMPLE}),
     kk AS (SELECT greatest(16, CAST(floor(sqrt(count(*))) AS BIGINT)) AS k
            FROM v),
     seed AS (SELECT rn - 1 AS cid, e AS c
              FROM (SELECT row_number() OVER (ORDER BY vec_id) AS rn, e
-                   FROM v) s, kk
+                   FROM vs) s, kk
              WHERE s.rn <= kk.k),
-    {_lloyd_round_sql('seed', 'c1')},
-    {_lloyd_round_sql('c1', 'c2')},
+    {_lloyd_round_sql('seed', 'c1', src='vs')},
+    {_lloyd_round_sql('c1', 'c2', src='vs')},
     assigned AS (
         SELECT vec_id, e, cid FROM (
             SELECT v.vec_id, v.e, c2.cid,
@@ -632,7 +644,14 @@ def embed_neardup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # one cheap count (parquet-metadata-backed) derives the cell count —
     # driver-scalar control flow, deterministic, re-derived by the oracle
     k = D.semdedup_n_centroids(e.count())
-    trained = kmeans_centroids(e, dim=64, n_iter=2, round_dp=6, n_centroids=k)
+    # centroid TRAINING on a deterministic md5 half-sample (the faiss/
+    # SemDeDup recipe — training never needs the full corpus; the
+    # sample is ~n/2 ≫ k at every SF); ASSIGNMENT below is full-corpus.
+    # md5 hex matches DuckDB's, so the oracle re-derives the sample.
+    sample = e.filter(F.expr(_NEARDUP_TRAIN_SAMPLE_SPARK))
+    trained = kmeans_centroids(
+        sample, dim=64, n_iter=2, round_dp=6, n_centroids=k
+    )
     return D.semantic_near_dup_pairs(
         e, "vec_id", "embedding", dim=64, threshold=0.45,
         centroids=trained, max_cell_size=400, log_dropped=True,
