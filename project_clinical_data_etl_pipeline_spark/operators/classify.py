@@ -61,11 +61,14 @@ def _logit_expr(feature_cols: list[str], weights: list[float]) -> Column:
     """w·x as a left-associated literal-weight chain — the exact
     addition order the SQL twin spells out, so the double is
     bit-identical in both engines."""
+    if not feature_cols:
+        # a real error, not assert (python -O would strip it and fall
+        # through to a confusing downstream NoneType failure)
+        raise ValueError("at least one feature required")
     z: Column | None = None
     for c, w in zip(feature_cols, weights):
         term = F.col(c) * F.expr(_lit_double(w))
         z = term if z is None else z + term
-    assert z is not None, "at least one feature required"
     return z
 
 

@@ -169,9 +169,13 @@ def bm25_topk_multi(
     materialize: bool = True,
 ) -> DataFrame:
     """Batched BM25: top-``k`` per query for MANY query-term sets in
-    ONE corpus text scan. Returns (query_id, id_col, score), each
-    query's block ordered/tied exactly like :func:`bm25_topk` — and
-    bit-equal to it (pytest-pinned parity).
+    ONE corpus text scan. Returns (query_id, rank, id_col, score);
+    within each query, ``rank`` is 1..k in (score DESC, id ASC) order —
+    the same (doc, score) pairs as :func:`bm25_topk`, bit-equal
+    (pytest-pinned parity). ROW ORDER of the returned frame is NOT a
+    contract (a union's order does not survive shuffles or
+    repartitioning in Spark): consumers must sort by (query_id, rank),
+    which is total and explicit.
 
     Where :func:`bm25_topk` re-scans the corpus text per call — right
     for ad-hoc probes — this variant pays the text tokenization ONCE:
