@@ -145,6 +145,66 @@ def _runner(name):
     return REGISTRY[name].run
 
 
+def build_payload(timings, cv, ivfpq, sf, errors=None):
+    """The ONE place the stdout payload shape is defined — bench.main()
+    and tests/test_bench_contract.py both call this, so the size-budget
+    tests can never silently validate a drifted shape.
+
+    `comparable10` is the cross-round-comparable subtotal (the queries
+    benched since round 1; the full total keeps absorbing new entries
+    and is NOT comparable). If any of its ten members errored, the
+    subtotal ships as None rather than a silently-smaller sum a reader
+    would mistake for a speedup.
+    """
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "comparable10": (
+            round(sum(timings[n] for n in COMPARABLE10), 3)
+            if all(n in timings for n in COMPARABLE10)
+            else None
+        ),
+        "cv": cv,
+        # ivfpq_probe caches the persisted index per process: pass 1
+        # pays index build+train, pass 2 is the steady-state probe.
+        # Reporting both makes the amortization claim a number.
+        "ivfpq": ivfpq,
+        "sf": sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    return payload
+
+
+def render_line(payload, budget=1500):
+    """Serialize within the driver's stdout budget, degrading in
+    stages rather than ever printing an oversized line (front-truncated
+    lines lost round 6's numbers; a crash lost round 7's). Returns
+    ``(line, overflow)`` — `overflow` is a dict the caller should print
+    to stderr when degradation had to drop detail, else None."""
+    line = json.dumps(payload)
+    if len(line) <= budget:
+        return line, None
+    slim = {k: v for k, v in payload.items() if k != "cv"}
+    line = json.dumps(slim)
+    if len(line) <= budget:
+        return line, {"dropped_cv": payload.get("cv")}
+    # Last resort: aggregates only; the per-query map goes to stderr.
+    dropped = {"dropped_cv": payload.get("cv"),
+               "dropped_queries": slim.get("queries")}
+    slim = {k: v for k, v in slim.items() if k != "queries"}
+    slim["queries"] = "dropped:size-budget:see-stderr"
+    line = json.dumps(slim)
+    if len(line) <= budget:
+        return line, dropped
+    # Final stage: even the error map collapses to a count.
+    dropped["dropped_errors"] = slim.get("errors")
+    slim["errors"] = f"dropped:{len(payload.get('errors') or {})}:see-stderr"
+    return json.dumps(slim), dropped
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
@@ -161,20 +221,30 @@ def main() -> None:
         try:
             _runner(wq)(spark, warmup_dir).count()
         except Exception:
-            _runner(wq)(spark, sf_dir).count()
+            try:
+                _runner(wq)(spark, sf_dir).count()
+            except Exception:
+                pass  # a broken warmup query must not kill the run
 
     # Two timed passes per query, report the MIN: single-pass numbers at
     # this tiny SF are dominated by JVM/GC/AQE-scheduling jitter (observed
     # 1.5-2.5x swings on identical plans), not by data work — min-of-2 is
     # the steady-state throughput the 100 TB question actually asks
     # about. Raw per-pass timings ship in "runs" for transparency.
+    # PER-QUERY failure isolation: one raising query records an "errors"
+    # entry and the rest keep timing — a single bad query must never
+    # again zero a round (BENCH_r07 rc=1 produced nothing).
     runs: dict[str, list[float]] = {name: [] for name in BENCH_QUERIES}
+    errors: dict[str, str] = {}
     for _ in range(2):
         for name in BENCH_QUERIES:
             t0 = time.perf_counter()
-            _runner(name)(spark, sf_dir).count()
-            runs[name].append(round(time.perf_counter() - t0, 4))
-    timings = {name: round(min(ts), 3) for name, ts in runs.items()}
+            try:
+                _runner(name)(spark, sf_dir).count()
+                runs[name].append(round(time.perf_counter() - t0, 4))
+            except Exception as ex:
+                errors[name] = type(ex).__name__
+    timings = {name: round(min(ts), 3) for name, ts in runs.items() if ts}
     # Per-query coefficient of variation over the raw passes: the
     # noise-vs-regression discriminator. This box swings 1.5-2.5x on
     # identical plans, so a cross-round delta on a query whose cv is
@@ -185,41 +255,29 @@ def main() -> None:
         name: round(
             (max(ts) - min(ts)) / 2 / (sum(ts) / len(ts)), 4
         ) if sum(ts) else 0.0
-        for name, ts in runs.items()
+        for name, ts in runs.items() if ts
     }
     cv = {n: round(v, 2) for n, v in cv_full.items() if v >= 0.05}
 
-    payload = {
-        "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        # Stable cross-round subtotal: the queries benched since round 1
-        # (the full total keeps absorbing new entries and is NOT
-        # comparable across rounds; this one is).
-        "comparable10": round(
-            sum(timings[n] for n in COMPARABLE10), 3
-        ),
-        "cv": cv,
-        # ivfpq_probe caches the persisted index per process: pass 1
-        # pays index build+train, pass 2 is the steady-state probe.
-        # Reporting both makes the amortization claim a number.
-        "ivfpq": {
-            "build": round(runs["ivfpq_probe"][0], 2),
-            "probe": round(min(runs["ivfpq_probe"][1:]), 2),
-        },
-        "sf": sf,
+    # Guarded build/probe split: short or failed ivfpq runs report what
+    # they have instead of raising on an empty tail.
+    pq_runs = runs.get("ivfpq_probe", [])
+    ivfpq = {
+        "build": round(pq_runs[0], 2) if pq_runs else None,
+        "probe": round(min(pq_runs[1:]), 2) if len(pq_runs) > 1 else None,
     }
-    line = json.dumps(payload)
+
+    payload = build_payload(timings, cv, ivfpq, sf, errors=errors)
     # The driver captures only the last ~2000 chars of stdout; a line
     # that outgrows that window arrives front-truncated and unparseable
     # (this lost round 6's numbers — BENCH_r06 "parsed": null). Budget
     # enforced here and in tests/test_bench_contract.py; raw per-pass
     # timings go to stderr, outside the stdout window.
-    if len(line) > 1500:  # degrade gracefully rather than lose the round
-        payload.pop("cv", None)
-        line = json.dumps(payload)
-    print(json.dumps({"runs": runs, "cv": cv_full}), file=sys.stderr)
+    line, overflow = render_line(payload)
+    print(json.dumps({"runs": runs, "cv": cv_full, "errors": errors}),
+          file=sys.stderr)
+    if overflow:
+        print(json.dumps(overflow), file=sys.stderr)
     print(line)
 
 

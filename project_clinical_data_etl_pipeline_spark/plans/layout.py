@@ -14,8 +14,43 @@ These are the two levers Catalyst can't pull by itself:
 
 from __future__ import annotations
 
+import os
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+def table_location(spark: SparkSession, table: str) -> str | None:
+    """Filesystem path a MANAGED table `table` resolves to under the
+    session's warehouse dir (``db.tbl`` → ``<wh>/db.db/tbl``), or None
+    when the warehouse is not a local path (hdfs/s3 — cleanup is the
+    cluster catalog's job there)."""
+    wh = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    parsed = urlparse(wh)
+    if parsed.scheme not in ("", "file"):
+        return None
+    root = parsed.path or wh
+    parts = table.lower().split(".")
+    if len(parts) == 2:
+        return os.path.join(root, parts[0] + ".db", parts[1])
+    return os.path.join(root, parts[-1])
+
+
+def drop_table_idempotent(spark: SparkSession, table: str) -> None:
+    """Drop `table` AND its on-disk location, whether or not the
+    current catalog knows it. With the default in-memory catalog (no
+    Hive metastore) a previous PROCESS's ``saveAsTable`` leaves an
+    orphaned directory under ``spark-warehouse/`` that the fresh
+    catalog cannot see; a plain ``mode("overwrite")`` then dies with
+    LOCATION_ALREADY_EXISTS (this zeroed BENCH_r07). Dropping the
+    catalog entry and rm-rf'ing the resolved location makes the write
+    path idempotent across processes."""
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    loc = table_location(spark, table)
+    if loc is not None:
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 def write_bucketed(
@@ -28,7 +63,14 @@ def write_bucketed(
     """Persist ``df`` as a bucketed (and optionally sorted) managed
     table. Bucket count should divide evenly into total cores; sorted
     buckets additionally enable exchange-AND-sort-free sort-merge
-    joins."""
+    joins.
+
+    Idempotent across PROCESSES, not just within one: see
+    :func:`drop_table_idempotent` — ``mode("overwrite")`` alone only
+    overwrites tables the current (in-memory) catalog knows, and an
+    orphaned location from an earlier process is a fatal
+    LOCATION_ALREADY_EXISTS."""
+    drop_table_idempotent(df.sparkSession, table)
     writer = df.write.mode("overwrite").bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

@@ -10,6 +10,8 @@ DuckDB twin → registered without SQL (driver records rows-only).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -987,12 +989,25 @@ def ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         # whose keys sanitize alike would overwrite each other's index
         # while both cache entries kept pointing at it (wrong-corpus
         # results, no error). A readable sanitized tail + a key hash.
+        # The PID suffix makes the name unique PER PROCESS: concurrent
+        # bench/serving processes sharing spark-warehouse/ never write
+        # the same location (write_bucketed is additionally idempotent
+        # against orphans — the r7 bench crash), and the atexit rmtree
+        # below keeps the warehouse from accumulating dead indexes.
+        import atexit
         import hashlib
+        import shutil
 
-        table = "ivfpq_bench_idx_{}_{}".format(
+        from ..plans.layout import table_location
+
+        table = "ivfpq_bench_idx_{}_{}_p{}".format(
             re.sub(r"[^0-9a-zA-Z]+", "_", key.rsplit("/", 1)[-1]).strip("_"),
             hashlib.md5(key.encode()).hexdigest()[:8],
+            os.getpid(),
         )
+        loc = table_location(spark, table)
+        if loc is not None:
+            atexit.register(shutil.rmtree, loc, ignore_errors=True)
         cents = kmeans_centroids(e, dim=_PQ_DIM, n_iter=2, round_dp=6)
         books = pq_train(
             e, dim=_PQ_DIM, m=_PQ_M, ks=_PQ_KS, n_iter=_PQ_ITER, round_dp=6

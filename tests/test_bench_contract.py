@@ -2,34 +2,32 @@
 
 The driver captures only the last ~2000 chars of combined stdout; a
 line that outgrows the window arrives front-truncated and the round's
-numbers are lost (this happened in round 6: BENCH_r06 "parsed": null).
-These tests pin the size budget and the payload shape WITHOUT starting
-Spark — they reconstruct the payload exactly as bench.main() does.
+numbers are lost (round 6: BENCH_r06 "parsed": null). Round 7 lost its
+numbers differently — one raising query aborted the whole run (rc=1).
+These tests pin BOTH failure modes without starting Spark: the size
+budget via the same build_payload/render_line code main() uses (no
+hand-mirrored dict literal to drift), and per-query failure isolation
+by driving main() end-to-end with fake runners.
 """
 
 from __future__ import annotations
 
+import io
 import json
 import os
 import sys
+from contextlib import redirect_stderr, redirect_stdout
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from bench import BENCH_QUERIES, COMPARABLE10, _DIRECT  # noqa: E402
-
-
-def _payload(timings, cv):
-    # Mirrors the dict literal in bench.main() — keep in sync.
-    return {
-        "metric": "headline_queries_total",
-        "value": round(sum(timings.values()), 3),
-        "unit": "sec",
-        "queries": timings,
-        "comparable10": round(sum(timings[n] for n in COMPARABLE10), 3),
-        "cv": cv,
-        "ivfpq": {"build": 99.99, "probe": 99.99},
-        "sf": 0.1,
-    }
+import bench  # noqa: E402
+from bench import (  # noqa: E402
+    BENCH_QUERIES,
+    COMPARABLE10,
+    _DIRECT,
+    build_payload,
+    render_line,
+)
 
 
 def test_stdout_line_fits_driver_window_realistic():
@@ -38,7 +36,9 @@ def test_stdout_line_fits_driver_window_realistic():
     # inside the 2000-char tail window for trailing newline/noise.
     timings = {n: 9.999 for n in BENCH_QUERIES}
     cv = {n: 0.99 for i, n in enumerate(BENCH_QUERIES) if i % 2 == 0}
-    line = json.dumps(_payload(timings, cv))
+    payload = build_payload(timings, cv, {"build": 99.99, "probe": 99.99}, 0.1)
+    line, overflow = render_line(payload)
+    assert overflow is None, "realistic payload should not need degrading"
     assert len(line) <= 1500, (
         f"bench stdout line would be {len(line)} chars; the driver tail "
         "window truncates past ~2000 and round numbers are lost. Trim "
@@ -46,13 +46,27 @@ def test_stdout_line_fits_driver_window_realistic():
     )
 
 
-def test_stdout_line_fits_even_degraded_worst_case():
-    # The in-bench guard drops cv when the line exceeds 1500; the
-    # degraded line must fit no matter what the timings are.
-    timings = {n: 9999.999 for n in BENCH_QUERIES}
-    payload = _payload(timings, {n: 0.99 for n in BENCH_QUERIES})
-    payload.pop("cv")
-    assert len(json.dumps(payload)) <= 1500
+def test_degrade_ladder_never_prints_oversized():
+    # Worst case: absurd timings, full cv, every query errored too.
+    timings = {n: 99999.9999 for n in BENCH_QUERIES}
+    cv = {n: 0.99 for n in BENCH_QUERIES}
+    errors = {n + "_x": "RuntimeError" for n in BENCH_QUERIES}
+    payload = build_payload(timings, cv, {"build": 9.9, "probe": 9.9},
+                            0.1, errors=errors)
+    line, overflow = render_line(payload, budget=400)  # force last resort
+    assert len(line) <= 400
+    parsed = json.loads(line)
+    assert parsed["queries"] == "dropped:size-budget:see-stderr"
+    assert parsed["errors"].startswith("dropped:")
+    assert overflow["dropped_queries"] == timings
+
+
+def test_comparable10_none_when_member_errored():
+    timings = {n: 1.0 for n in BENCH_QUERIES if n != COMPARABLE10[0]}
+    payload = build_payload(timings, {}, {"build": None, "probe": None}, 0.1,
+                            errors={COMPARABLE10[0]: "ValueError"})
+    assert payload["comparable10"] is None
+    assert payload["errors"] == {COMPARABLE10[0]: "ValueError"}
 
 
 def test_comparable10_is_a_benched_subset():
@@ -64,3 +78,49 @@ def test_direct_entries_are_benched():
     # _DIRECT maps demoted/bench-only names to modules; every key must
     # still be in the bench list or its timing series silently dies.
     assert set(_DIRECT) <= set(BENCH_QUERIES)
+
+
+class _FakeDF:
+    def count(self):
+        return 1
+
+
+def _drive_main(monkeypatch, failing: set[str]):
+    """Run bench.main() with fake runners (no Spark): queries in
+    `failing` raise on every pass; the rest 'succeed' instantly."""
+
+    def fake_runner(name):
+        def run(spark, sf_dir):
+            if name in failing:
+                raise RuntimeError(f"boom:{name}")
+            return _FakeDF()
+
+        return run
+
+    monkeypatch.setattr(bench, "_runner", fake_runner)
+    monkeypatch.setattr(bench, "get_spark", lambda app_name: object())
+    out, err = io.StringIO(), io.StringIO()
+    with redirect_stdout(out), redirect_stderr(err):
+        bench.main()
+    line = out.getvalue().strip().splitlines()[-1]
+    return json.loads(line)
+
+
+def test_main_isolates_one_failing_query(monkeypatch):
+    # The r7 failure mode: ivfpq_probe raising must not zero the run.
+    parsed = _drive_main(monkeypatch, failing={"ivfpq_probe"})
+    assert parsed["errors"] == {"ivfpq_probe": "RuntimeError"}
+    assert len(parsed["queries"]) == len(BENCH_QUERIES) - 1
+    assert "ivfpq_probe" not in parsed["queries"]
+    # The guarded split reports None instead of raising on no runs.
+    assert parsed["ivfpq"] == {"build": None, "probe": None}
+    # comparable10 members all succeeded, so the subtotal is real.
+    assert parsed["comparable10"] is not None
+
+
+def test_main_all_queries_failing_still_prints_parseable_line(monkeypatch):
+    parsed = _drive_main(monkeypatch, failing=set(BENCH_QUERIES))
+    assert parsed["queries"] == {}
+    assert parsed["value"] == 0
+    assert parsed["comparable10"] is None
+    assert len(parsed["errors"]) == len(BENCH_QUERIES)

@@ -252,3 +252,49 @@ def test_zorder_quantile_mapping_beats_minmax_on_powerlaw_column(
     qt_a = _avg_candidate_file_fraction(qt, "a")
     assert qt_b < mm_b - 0.2, (mm_b, qt_b)
     assert qt_a < 0.8
+
+
+def test_write_bucketed_survives_orphaned_location(spark, sf_dir):
+    """Second-PROCESS idempotency (the BENCH_r07 killer): an earlier
+    process's saveAsTable leaves a directory under spark-warehouse/
+    that a fresh in-memory catalog doesn't know; a plain overwrite then
+    dies with LOCATION_ALREADY_EXISTS. Simulated here by pre-creating
+    the orphaned location for a table this catalog has never seen."""
+    import os
+    import shutil
+
+    table = "lay_orphan_probe"
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    loc = L.table_location(spark, table)
+    assert loc is not None
+    os.makedirs(loc, exist_ok=True)
+    with open(os.path.join(loc, "junk.bin"), "wb") as f:
+        f.write(b"stale")
+    try:
+        df = spark.range(10).withColumnRenamed("id", "cell")
+        L.write_bucketed(df, table, ["cell"], num_buckets=4)
+        assert spark.table(table).count() == 10
+        # And again in the SAME process (catalog now knows it).
+        L.write_bucketed(df, table, ["cell"], num_buckets=4)
+        assert spark.table(table).count() == 10
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(loc, ignore_errors=True)
+
+
+def test_table_location_qualified_and_remote():
+    class _FakeConf:
+        def __init__(self, wh):
+            self._wh = wh
+
+        def get(self, key, default=None):
+            return self._wh
+
+    class _FakeSpark:
+        def __init__(self, wh):
+            self.conf = _FakeConf(wh)
+
+    s = _FakeSpark("file:/w")
+    assert L.table_location(s, "t") == "/w/t"
+    assert L.table_location(s, "db.T") == "/w/db.db/t"
+    assert L.table_location(_FakeSpark("s3a://bucket/wh"), "t") is None
