@@ -65,6 +65,12 @@ def _logit_expr(feature_cols: list[str], weights: list[float]) -> Column:
         # a real error, not assert (python -O would strip it and fall
         # through to a confusing downstream NoneType failure)
         raise ValueError("at least one feature required")
+    if len(weights) != len(feature_cols):
+        # zip would silently truncate to the shorter list and score a
+        # partial w·x with no error
+        raise ValueError(
+            f"{len(weights)} weights for {len(feature_cols)} features"
+        )
     z: Column | None = None
     for c, w in zip(feature_cols, weights):
         term = F.col(c) * F.expr(_lit_double(w))

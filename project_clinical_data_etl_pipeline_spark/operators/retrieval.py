@@ -27,6 +27,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from .classify import _round_half_up
@@ -167,6 +168,7 @@ def bm25_topk_multi(
     b: float = 0.75,
     score_dp: int = 6,
     materialize: bool = True,
+    max_legs_per_plan: int = 32,
 ) -> DataFrame:
     """Batched BM25: top-``k`` per query for MANY query-term sets in
     ONE corpus text scan. Returns (query_id, rank, id_col, score);
@@ -201,6 +203,15 @@ def bm25_topk_multi(
     localCheckpoints the compact frame so the q scoring passes reuse it
     (pass False to keep recomputable lineage on a real cluster, and
     persist() it yourself).
+
+    Plan growth is BOUNDED, not O(q): each scoring leg carries a deep
+    per-term expression tree, so with ``materialize`` every
+    ``max_legs_per_plan`` legs are unioned and lineage-cut
+    (localCheckpoint) — Catalyst never analyzes more than
+    ``max_legs_per_plan`` scoring legs in one plan, and the final frame
+    is a shallow union of materialized chunks plus one rank window.
+    (With ``materialize=False`` the full O(q) lineage is kept by
+    design — persist/checkpoint chunks yourself on a real cluster.)
     """
     if not queries:
         raise ValueError("queries must be non-empty")
@@ -253,7 +264,10 @@ def bm25_topk_multi(
         # zero rows for every query either way — one empty frame with
         # the output schema beats a q-legged union of empty frames
         return base.select(
-            F.lit("").alias("query_id"), F.col(id_col), F.lit(0.0).alias("score")
+            F.lit("").alias("query_id"),
+            F.lit(0).alias("rank"),
+            F.col(id_col),
+            F.lit(0.0).alias("score"),
         ).limit(0)
     avgdl = stats["total_dl"] / n
     df_by_term = {
@@ -267,15 +281,41 @@ def bm25_topk_multi(
         # (absent term → tf 0); same double cast, same value
         return f"CAST(coalesce(element_at(__tfm, '{term}'), 0) AS DOUBLE)"
 
-    out = None
+    if max_legs_per_plan < 1:
+        raise ValueError("max_legs_per_plan must be >= 1")
+    chunks: list[DataFrame] = []
+    pending: DataFrame | None = None
+    pending_legs = 0
     for qid, terms in queries.items():
         idfs = [_idf8(n, df_by_term.get(t, 0)) for t in terms]
         leg = _scored_topk(
             compact, terms, tf_expr, idfs, avgdl, k1, b, score_dp, k,
             id_col, lead_cols=(F.lit(qid).alias("query_id"),),
         )
-        out = leg if out is None else out.unionByName(leg)
-    return out
+        pending = leg if pending is None else pending.unionByName(leg)
+        pending_legs += 1
+        if pending_legs >= max_legs_per_plan:
+            chunks.append(
+                pending.localCheckpoint(eager=False) if materialize
+                else pending
+            )
+            pending, pending_legs = None, 0
+    if pending is not None:
+        chunks.append(pending)
+    out = chunks[0]
+    for c in chunks[1:]:
+        out = out.unionByName(c)
+    # rank is part of the returned contract: 1..k per query in
+    # (score DESC, id ASC) order — one exchange over at most q*k rows.
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col(id_col).asc()
+    )
+    return out.select(
+        "query_id",
+        F.row_number().over(w).alias("rank"),
+        id_col,
+        "score",
+    )
 
 
 def bm25_sql(

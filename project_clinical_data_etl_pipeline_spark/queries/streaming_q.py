@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..streaming.incremental import run_hourly_counts_stream
+from ..streaming.incremental import WINDOW_S, run_hourly_counts_stream
 from ..streaming.sessions import sessionize_batch
 from ..tables import load
 from .base import QuerySpec, spec
@@ -19,6 +19,9 @@ QUERIES: dict[str, QuerySpec] = {}
 
 
 #: Watermark delay for the graded append leg (must match the SQL lim).
+#: The WINDOW width is a different knob — streaming.incremental.WINDOW_S
+#: — and the cutoff math below uses each where it belongs (window end =
+#: start + width; finalization horizon = max ts − delay).
 _APPEND_DELAY_S = 3600
 
 _HOURLY_SUITE_SQL = f"""
@@ -42,7 +45,7 @@ _HOURLY_SUITE_SQL = f"""
            strftime(h, '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type, n_events, total_value
     FROM base, lim
-    WHERE epoch_us(h + INTERVAL 1 HOUR) < lim_us
+    WHERE epoch_us(h + INTERVAL {WINDOW_S} SECOND) < lim_us
 """
 
 
@@ -94,9 +97,13 @@ def op41_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         # schema, so the complete leg alone is the full suite result.
         return complete
     lim_us = int(lim_raw)
-    appended = run_watermarked_append_stream(spark, sf_dir, delay="1 hour")
+    appended = run_watermarked_append_stream(
+        spark, sf_dir, delay=f"{_APPEND_DELAY_S} seconds"
+    )
+    # window END (start + WIDTH) vs the delay-derived horizon — the
+    # width and the delay are equal here by coincidence, not contract
     append_leg = appended.filter(
-        F.unix_micros(F.to_timestamp("window_start")) + _APPEND_DELAY_S * 1_000_000
+        F.unix_micros(F.to_timestamp("window_start")) + WINDOW_S * 1_000_000
         < F.lit(lim_us)
     ).select(
         F.lit("append").alias("part"),

@@ -35,10 +35,21 @@ def _event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return convert_event_ts(raw)
 
 
+#: Tumbling-window width of the hourly aggregation — ONE definition,
+#: shared with the graded append-leg cutoff in queries/streaming_q.py
+#: (which needs the width in seconds to compute window END times). The
+#: width is a property of the aggregation; the watermark DELAY is a
+#: property of the lateness horizon — they happen to both be an hour
+#: here but are independent knobs, so neither may stand in for the
+#: other.
+WINDOW_DURATION = "1 hour"
+WINDOW_S = 3600
+
+
 def _hourly_agg(events: DataFrame, watermark: str | None) -> DataFrame:
     e = events.withWatermark("ts", watermark) if watermark else events
     return (
-        e.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        e.groupBy(F.window("ts", WINDOW_DURATION).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
@@ -56,15 +67,18 @@ def _run_to_completion(spark: SparkSession, sink, name: str) -> DataFrame:
     """Start a memory-sink stream, drain it, snapshot the result, and
     RELEASE the uuid-named temp view — the views would otherwise
     accumulate full result sets in driver memory across grading + test
-    runs (the stream_temporal_suite pattern)."""
+    runs (the stream_temporal_suite pattern). The view is dropped on
+    the FAILURE paths too (processAllAvailable or the snapshot read
+    raising), not just on success."""
     q = sink.queryName(name).start()
     try:
-        q.processAllAvailable()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name).localCheckpoint(eager=True)
     finally:
-        q.stop()
-    rows = spark.table(name).localCheckpoint(eager=True)
-    spark.catalog.dropTempView(name)
-    return rows
+        spark.catalog.dropTempView(name)
 
 
 def run_hourly_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -170,3 +170,21 @@ def test_classifier_duckdb_parity_on_adversarial_unicode(spark, tmp_path):
         ).fetchall()
     )
     assert got == want
+
+
+def test_sigmoid_expr_rejects_bad_shapes(spark):
+    """Empty features and a weights/features length mismatch are both
+    hard errors — zip would otherwise silently truncate and score a
+    partial w.x."""
+    import pytest
+
+    from project_clinical_data_etl_pipeline_spark.operators.classify import (
+        sigmoid_expr,
+    )
+
+    with pytest.raises(ValueError):
+        sigmoid_expr([], [])
+    with pytest.raises(ValueError):
+        sigmoid_expr(["a", "b"], [1.0])
+    with pytest.raises(ValueError):
+        sigmoid_expr(["a"], [1.0, 2.0])

@@ -174,17 +174,53 @@ def test_bm25_multi_bit_equal_to_per_query(spark, docs):
         "qc": ["missingterm", "fox"],
     }
     multi = bm25_topk_multi(docs, queries, k=10)
+    # consume via the documented contract: sort by (query_id, rank)
+    assert multi.columns == ["query_id", "rank", "doc_id", "score"]
     got: dict[str, list] = {}
-    for r in multi.collect():
+    ranks: dict[str, list] = {}
+    for r in multi.orderBy("query_id", "rank").collect():
         got.setdefault(r["query_id"], []).append(
             (r["doc_id"], repr(r["score"]))
         )
+        ranks.setdefault(r["query_id"], []).append(r["rank"])
     for qid, terms in queries.items():
         want = [
             (r["doc_id"], repr(r["score"]))
             for r in bm25_topk(docs, terms, k=10).collect()
         ]
         assert got.get(qid, []) == want, qid
+        # rank is 1..n contiguous in bm25_topk's exact order
+        assert ranks.get(qid, []) == list(range(1, len(want) + 1)), qid
+
+
+def test_bm25_multi_chunked_legs_parity(spark, docs):
+    """max_legs_per_plan bounds Catalyst analysis per plan (legs are
+    unioned and lineage-cut every chunk); results must be identical to
+    the unchunked plan for every chunk boundary shape — including a
+    final partial chunk and chunk size 1."""
+    from project_clinical_data_etl_pipeline_spark.operators.retrieval import (
+        bm25_topk_multi,
+    )
+
+    queries = {
+        f"q{i}": ts
+        for i, ts in enumerate(
+            [["spark"], ["table", "data"], ["fox"], ["spark", "fox"],
+             ["data"]]
+        )
+    }
+
+    def snap(df):
+        return [
+            (r["query_id"], r["rank"], r["doc_id"], repr(r["score"]))
+            for r in df.orderBy("query_id", "rank").collect()
+        ]
+
+    want = snap(bm25_topk_multi(docs, queries, k=4))
+    for legs in (1, 2):
+        assert snap(
+            bm25_topk_multi(docs, queries, k=4, max_legs_per_plan=legs)
+        ) == want, legs
 
 
 def test_bm25_multi_adversarial_unicode_parity(spark, tmp_path):
@@ -210,7 +246,7 @@ def test_bm25_multi_adversarial_unicode_parity(spark, tmp_path):
     queries = {"q1": ["spark", "table"], "q2": ["über", "match"]}
     multi = bm25_topk_multi(docs, queries, k=3)
     got: dict[str, list] = {}
-    for r in multi.collect():
+    for r in multi.orderBy("query_id", "rank").collect():
         got.setdefault(r["query_id"], []).append((r["doc_id"], repr(r["score"])))
     for qid, terms in queries.items():
         want = [
@@ -246,3 +282,17 @@ def test_bm25_multi_validates_terms(spark, docs):
         bm25_topk_multi(docs, {})
     with pytest.raises(ValueError):
         bm25_topk_multi(docs, {"q": ["bad'term"]})
+
+
+def test_bm25_multi_empty_corpus_schema(spark):
+    """The empty-corpus early-return must carry the SAME four-column
+    contract as the scored path (a consumer selecting rank must not
+    AnalysisException only when the corpus is empty)."""
+    from project_clinical_data_etl_pipeline_spark.operators.retrieval import (
+        bm25_topk_multi,
+    )
+
+    docs = spark.createDataFrame([], "doc_id bigint, text string")
+    out = bm25_topk_multi(docs, {"q": ["spark"]})
+    assert out.columns == ["query_id", "rank", "doc_id", "score"]
+    assert out.count() == 0
