@@ -273,7 +273,6 @@ def minhash_lsh_pairs(
     ONLY shared bucket was hot are lost (recall trade, documented) —
     exact duplicates still surface in every other band.
     """
-    rows_per_band = num_hashes // bands
     sig = with_shingles(fan_out(df), text_col, k).select(
         F.col(id_col).alias("__id"),
         minhash_signature_from_shingles(F.col("__shingles"), num_hashes).alias("__sig"),
@@ -284,6 +283,23 @@ def minhash_lsh_pairs(
         # (num_hashes × 8 B/doc) so the checkpoint is tiny relative to
         # the text; at warehouse scale persist to a table instead.
         sig = sig.localCheckpoint()
+    return _lsh_banded_pairs(sig, num_hashes, bands, max_bucket_size)
+
+
+def _lsh_banded_pairs(
+    sig: DataFrame,
+    num_hashes: int,
+    bands: int,
+    max_bucket_size: int | None,
+) -> DataFrame:
+    """Shared LSH tail: band a (__id, __sig) signature frame, equi-join
+    on band buckets, estimate Jaccard as the matching-position fraction.
+    ``__sig`` elements may be any equality-comparable, castable-to-
+    string type (bigint for the xxhash64 kernel, md5 hex strings for
+    the cross-engine-graded kernel) — banding stringifies, the estimate
+    compares with ``==``. One definition so the two kernels cannot
+    drift in banding/dedupe/estimate semantics."""
+    rows_per_band = num_hashes // bands
     banded = sig.select(
         "__id",
         "__sig",
@@ -334,6 +350,59 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     return pairs
+
+
+def minhash_signature_md5_from_shingles(
+    shingles: Column, num_hashes: int = 8
+) -> Column:
+    """MinHash signature as array<string>: ``sig[j] = min over shingles
+    of md5(j ‖ '|' ‖ shingle)`` — lexicographic min over lowercase hex,
+    identical in every engine that ships md5 (DuckDB included), so
+    sketch→band→pair is CROSS-ENGINE GRADABLE end-to-end, unlike the
+    xxhash64 production kernel (no DuckDB twin). The hash family is the
+    classic salted-hash minhash (one independent hash per salt); md5
+    costs ~an order of magnitude more than xxhash64 per shingle, which
+    is why this kernel grades correctness while
+    :func:`minhash_signature_from_shingles` serves production. Same
+    map-side-only shape: num_hashes × 32 B/doc, no shuffle."""
+    # NB: single-arg lambdas built by a factory — a second Python
+    # parameter (even defaulted) makes pyspark bind it to the element
+    # INDEX, silently changing the hash input.
+    def salted(j: int):
+        return lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
+
+    return F.array(
+        *[
+            F.array_min(F.transform(shingles, salted(j)))
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def minhash_md5_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    k: int = 3,
+    materialize_signatures: bool = True,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """MinHash+LSH pairs on the md5-salted signature kernel — the
+    DuckDB-twinnable variant of :func:`minhash_lsh_pairs` (same banding,
+    pair-dedupe, and matching-fraction estimate via
+    :func:`_lsh_banded_pairs`; only the hash family differs). Returns
+    (id_a, id_b, est_jaccard) with id_a < id_b."""
+    sig = with_shingles(fan_out(df), text_col, k).select(
+        F.col(id_col).alias("__id"),
+        minhash_signature_md5_from_shingles(F.col("__shingles"), num_hashes).alias(
+            "__sig"
+        ),
+    )
+    if materialize_signatures:
+        sig = sig.localCheckpoint()
+    return _lsh_banded_pairs(sig, num_hashes, bands, max_bucket_size)
 
 
 def simhash_votes(shingles: Column, k: int = 2) -> Column:

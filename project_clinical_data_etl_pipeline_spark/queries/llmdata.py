@@ -294,6 +294,63 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# MinHash(8, 4 bands)+LSH on the md5-salted kernel — the full
+# sketch→band→bucket-join→estimate pipeline re-derived in SQL:
+# sig[j] = min over 3-shingles of md5(j‖'|'‖shingle) (lexicographic min
+# over lowercase hex — engine-independent), pairs share ≥1 of 4 2-row
+# band buckets, est = matching-position fraction. Grading this leg
+# hash-match proves the LSH pipeline's SEMANTICS; the xxhash64
+# production kernel (dedup_sketch_pairs_suite, rows-only) shares the
+# banding/dedupe/estimate tail via dedup._lsh_banded_pairs, so the
+# proof transfers to everything but the hash family itself.
+_MINHASH_MD5_SQL = f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   generate_series(1, greatest(len(ws) - 2, 1)),
+                   i -> array_to_string(ws[i:i+2], ' '))) AS shs
+        FROM (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents)
+    ),
+    e AS (SELECT doc_id, unnest(shs) AS s FROM sh),
+    salts AS (SELECT unnest(generate_series(0, 7)) AS j),
+    sig AS (
+        SELECT doc_id, j, min(md5(CAST(j AS VARCHAR) || '|' || s)) AS mh
+        FROM e, salts GROUP BY doc_id, j
+    ),
+    sigv AS (SELECT doc_id, list(mh ORDER BY j) AS sig FROM sig GROUP BY doc_id),
+    bs AS (SELECT unnest(generate_series(0, 3)) AS b),
+    banded AS (
+        SELECT doc_id, b, sig[2*b+1] || '_' || sig[2*b+2] AS bucket
+        FROM sigv, bs
+    ),
+    cand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM banded l JOIN banded r
+          ON l.b = r.b AND l.bucket = r.bucket AND l.doc_id < r.doc_id
+    ),
+    pos AS (SELECT unnest(generate_series(0, 7)) AS p)
+    SELECT CAST(c.id_a AS BIGINT) AS id_a, CAST(c.id_b AS BIGINT) AS id_b,
+           CAST(sum(CASE WHEN sa.sig[p+1] = sb.sig[p+1] THEN 1 ELSE 0 END)
+                AS DOUBLE) / 8.0 AS est_jaccard
+    FROM cand c
+    JOIN sigv sa ON sa.doc_id = c.id_a
+    JOIN sigv sb ON sb.doc_id = c.id_b, pos
+    GROUP BY c.id_a, c.id_b
+"""
+
+
+def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)+LSH(4 bands) pairs on the md5-salted signature kernel
+    (operators.dedup.minhash_md5_lsh_pairs) — the cross-engine-graded
+    twin of the xxhash64 scale kernel: identical banding, pair-dedupe,
+    and matching-fraction estimate (shared _lsh_banded_pairs tail), only
+    the per-shingle hash differs. Graded as the 'minhash' leg of
+    dedup_exact_jaccard_suite."""
+    return D.minhash_md5_lsh_pairs(
+        load(spark, sf_dir, "documents"), "doc_id", "text", num_hashes=8, bands=4
+    )
+
+
 @spec(
     QUERIES,
     "dedup_exact_jaccard_suite",
@@ -307,12 +364,21 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(NULL AS BIGINT) AS keep_id, CAST(NULL AS BIGINT) AS n_dups,
                id_a, id_b, jaccard
         FROM ({_JACCARD_SQL})
+        UNION ALL
+        SELECT 'minhash' AS part, CAST(NULL AS VARCHAR) AS content_hash,
+               CAST(NULL AS BIGINT) AS keep_id, CAST(NULL AS BIGINT) AS n_dups,
+               id_a, id_b, est_jaccard AS jaccard
+        FROM ({_MINHASH_MD5_SQL})
     """,
     doc="Dedup suite: the exact normalized-hash leg (only (hash, id) "
-    "shuffles — never text; keep = min id) unioned with the exact "
-    "3-shingle Jaccard pair leg (inverted-index self-join, integer-"
-    "exact ratios; df_max is the 100 TB ubiquitous-shingle cap). Two "
-    "independent legs; zero-shuffle concat.",
+    "shuffles — never text; keep = min id), the exact 3-shingle "
+    "Jaccard pair leg (inverted-index self-join, integer-exact ratios; "
+    "df_max is the 100 TB ubiquitous-shingle cap), and the md5-salted "
+    "MinHash(8)+LSH(4 bands) leg — the full sketch→band→bucket-join→"
+    "estimate pipeline under a hash-match oracle (the xxhash64 "
+    "production kernel shares its banding tail, so only the hash "
+    "family itself stays rows-only). Independent legs; zero-shuffle "
+    "concat.",
     tags=("llm",),
 )
 def dedup_exact_jaccard_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -334,7 +400,16 @@ def dedup_exact_jaccard_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         "jaccard",
     )
-    return exact.unionByName(jac)
+    mh = dedup_minhash_md5(spark, sf_dir).select(
+        F.lit("minhash").alias("part"),
+        F.lit(None).cast("string").alias("content_hash"),
+        F.lit(None).cast("bigint").alias("keep_id"),
+        F.lit(None).cast("bigint").alias("n_dups"),
+        "id_a",
+        "id_b",
+        F.col("est_jaccard").alias("jaccard"),
+    )
+    return exact.unionByName(jac).unionByName(mh)
 
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -219,6 +219,58 @@ def test_minhash_pairs_match_python_oracle(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# md5-salted MinHash oracle (dedup_minhash_md5: num_hashes=8, bands=4,
+# k=3 — the DuckDB-twinnable kernel; same banding tail as above)
+
+
+def minhash_md5_pairs_oracle(
+    docs: list[tuple[int, str]], num_hashes: int = 8, bands: int = 4
+) -> dict[tuple[int, int], float]:
+    import hashlib
+
+    rows_per_band = num_hashes // bands
+    sigs = {
+        doc_id: [
+            min(
+                hashlib.md5(f"{j}|{sh}".encode("utf-8")).hexdigest()
+                for sh in shingles(text, 3)
+            )
+            for j in range(num_hashes)
+        ]
+        for doc_id, text in docs
+    }
+    buckets: dict[tuple[int, tuple[str, ...]], list[int]] = {}
+    for doc_id, sig in sigs.items():
+        for b in range(bands):
+            key = (b, tuple(sig[b * rows_per_band : (b + 1) * rows_per_band]))
+            buckets.setdefault(key, []).append(doc_id)
+    pairs: dict[tuple[int, int], float] = {}
+    for ids in buckets.values():
+        ids = sorted(ids)
+        for i, id_a in enumerate(ids):
+            for id_b in ids[i + 1 :]:
+                if (id_a, id_b) not in pairs:
+                    match = sum(
+                        1 for x, y in zip(sigs[id_a], sigs[id_b]) if x == y
+                    )
+                    pairs[(id_a, id_b)] = match / float(num_hashes)
+    return pairs
+
+
+def test_minhash_md5_pairs_match_python_oracle(spark, sf_dir):
+    docs = [
+        (r["doc_id"], r["text"])
+        for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    ]
+    expected = minhash_md5_pairs_oracle(docs)
+    got = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in llmdata.dedup_minhash_md5(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
 # SimHash oracle (dedup_simhash_pairs: k=2 shingles over RAW words,
 # xxhash64(shingle, 7), vote per occurrence, max_hamming=3)
 
