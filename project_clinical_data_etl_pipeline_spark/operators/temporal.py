@@ -342,9 +342,26 @@ def interval_overlap_join(
         return df.filter(cond)
 
     l0 = well_formed(left_start, left_end, left)
-    r0 = well_formed(right_start, right_end, right)
+    self_join = left is right and (left_start, left_end) == (
+        right_start,
+        right_end,
+    )
+    r0 = l0 if self_join else well_formed(right_start, right_end, right)
 
     if bucket_s is None:
+        # The span probe is an action, so without lineage truncation
+        # every side would pay TWO source scans: one feeding the max-
+        # span aggregate, one feeding the join. Cut the lineage with a
+        # lazy localCheckpoint: the probe's .first() materializes each
+        # side once and the join re-reads the checkpointed partitions.
+        # A self-join (same frame, same endpoint columns) materializes
+        # a single copy shared by both legs. Callers at warehouse
+        # scale who prefer a pruned double scan over materializing
+        # full-width rows can pass an explicit bucket_s — any positive
+        # width is correct; the auto width only tightens the fan-in
+        # bound.
+        l0 = l0.localCheckpoint(eager=False)
+        r0 = l0 if self_join else r0.localCheckpoint(eager=False)
         spans = (
             l0.select(
                 (_micros(F.col(left_end)) - _micros(F.col(left_start))).alias("__s")

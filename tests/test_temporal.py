@@ -711,3 +711,33 @@ def test_bucket_s_validation_fails_fast(spark, sf_dir):
             left_start="ts", left_end="ts",
             right_start="ts", right_end="ts", bucket_s=0,
         )
+
+
+def test_interval_auto_probe_shares_one_source_scan(spark, sf_dir):
+    """The auto span probe is an action; without lineage truncation the
+    join would re-scan every source a second time. With the lazy
+    localCheckpoint the executed JOIN plan must contain NO FileScan at
+    all (both legs read the partitions the probe materialized), and a
+    self-join (same frame, same endpoint columns) must share a single
+    checkpointed copy between its two legs."""
+    from project_clinical_data_etl_pipeline_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+    from project_clinical_data_etl_pipeline_spark.tables import load
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber",
+        F.col("l_shipdate").alias("ws"),
+        F.timestamp_add(
+            "DAY", F.col("l_quantity").cast("int"), F.col("l_shipdate")
+        ).alias("we"),
+    )
+    out = interval_overlap_join(
+        li, li, on="l_suppkey", left_start="ws", left_end="we",
+        right_start="ws", right_end="we", bucket_s=None,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "FileScan" not in plan, plan
+    # self-join shares one checkpoint between its two legs
+    assert plan.count("Scan ExistingRDD") == 2, plan
+    assert out.count() > 0
