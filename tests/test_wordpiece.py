@@ -1,0 +1,156 @@
+"""WordPiece subword tokenizer gates (operators.text.wordpiece_count):
+the expression kernel, the Arrow kernel, and the DuckDB twin must agree
+bit-for-bit; an independent pure-Python greedy reference pins the
+SEMANTICS (greedy longest-match, '##' continuations, [UNK] word = 1);
+and the 'auto' switch keeps graded plans all-JVM while big vocabs take
+the O(1)-plan Arrow path.
+"""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from project_clinical_data_etl_pipeline_spark.operators import text as X
+from project_clinical_data_etl_pipeline_spark.tables import load
+
+CASES = [
+    "the fast key order sort table scan",
+    "hello world",
+    "",
+    "   ",
+    "tab\tsep\nnewline mix",
+    "UPPER Case MiXeD lower",
+    "unknownéword test",
+    "中文 words",
+    "a1b2c3 ... !! it's a-b (x): done;",
+    "supercalifragilisticexpialidocious",
+    "x" * 63,
+    "12345 67890 000",
+    "interoperability transformation preprocessing",
+    "  leading and trailing  ",
+    "singleton",
+    "...",
+]
+
+
+def _python_oracle(text: str, vocab: list[str]) -> int:
+    """Independent greedy longest-match reference — written against the
+    WordPiece DEFINITION (longest vocab prefix, '##' continuation,
+    unknown word -> 1), not against the SQL construction."""
+    starts = {p for p in vocab if not p.startswith("##")}
+    conts = {p[2:] for p in vocab if p.startswith("##")}
+    max_len = max(len(p.removeprefix("##")) for p in vocab)
+    total = 0
+    for w in re.split("[ \t\n\x0b\f\r]+", text.strip(" ").lower()):
+        if not w:
+            continue
+        pos, cnt, bad = 0, 0, False
+        while pos < len(w):
+            table = starts if pos == 0 else conts
+            for l in range(min(max_len, len(w) - pos), 0, -1):
+                if w[pos : pos + l] in table:
+                    pos += l
+                    cnt += 1
+                    break
+            else:
+                bad = True
+                break
+        total += 1 if bad else cnt
+    return total
+
+
+@pytest.fixture(scope="module")
+def case_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CASES)], "i int, t string"
+    )
+
+
+def _collect(df, col):
+    return {r["i"]: r["c"] for r in df.select("i", col.alias("c")).collect()}
+
+
+def test_expr_kernel_matches_python_oracle(case_df):
+    got = _collect(case_df, X.wordpiece_count("t", kernel="expr"))
+    want = {i: _python_oracle(t, X.DEFAULT_WORDPIECE_VOCAB) for i, t in enumerate(CASES)}
+    assert got == want
+
+
+def test_arrow_kernel_matches_expr(case_df):
+    assert _collect(case_df, X.wordpiece_count("t", kernel="arrow")) == _collect(
+        case_df, X.wordpiece_count("t", kernel="expr")
+    )
+
+
+def test_duckdb_twin_matches_expr(case_df):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE tt(i INT, t VARCHAR)")
+    for i, t in enumerate(CASES):
+        con.execute("INSERT INTO tt VALUES (?, ?)", [i, t])
+    duck = dict(
+        con.execute(
+            f"SELECT i, {X.wordpiece_count_duck_sql('t')} FROM tt"
+        ).fetchall()
+    )
+    assert duck == _collect(case_df, X.wordpiece_count("t", kernel="expr"))
+
+
+def test_kernels_agree_on_documents_table(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    mism = (
+        d.select(
+            X.wordpiece_count("text", kernel="expr").alias("a"),
+            X.wordpiece_count("text", kernel="arrow").alias("b"),
+        )
+        .filter("a IS DISTINCT FROM b")
+        .count()
+    )
+    assert mism == 0
+
+
+def test_custom_vocab_and_unk_semantics(case_df):
+    # vocab with no single-char fallback: any word not exactly covered
+    # falls to [UNK] = 1 token per word
+    vocab = ["hel", "##lo", "world"]
+    got = _collect(case_df, X.wordpiece_count("t", vocab=vocab, kernel="expr"))
+    assert got[1] == 3  # "hello world" -> hel+##lo (2) + world (1)
+    want = {i: _python_oracle(t, vocab) for i, t in enumerate(CASES)}
+    assert got == want
+
+
+def test_auto_switch_and_validation(case_df):
+    small = case_df.select(X.wordpiece_count("t").alias("c"))
+    plan = small._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan  # graded vocab stays all-JVM
+    big_vocab = sorted(
+        set(X.DEFAULT_WORDPIECE_VOCAB)
+        | {f"zq{i:04d}" for i in range(X._WP_EXPR_MAX_PIECES)}
+    )
+    big = case_df.select(X.wordpiece_count("t", vocab=big_vocab).alias("c"))
+    bplan = big._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in bplan
+    assert "BatchEvalPython" not in bplan
+    # the padding pieces never match the cases, so counts are unchanged
+    assert {r["c"] for r in big.collect()} == {
+        r["c"] for r in small.collect()
+    } or big.collect() == small.collect()
+    with pytest.raises(ValueError):
+        X.wordpiece_count("t", kernel="simd")
+    with pytest.raises(ValueError):
+        X._wp_buckets(["ok", "##"])  # empty continuation body
+
+
+def test_vocab_quoting_survives_both_dialects(spark):
+    vocab = ["it", "##'", "##s", "a", "b", "'", "-"]
+    df = spark.createDataFrame([(0, "it's a-b '")], "i int, t string")
+    got = _collect(df, X.wordpiece_count("t", vocab=vocab, kernel="expr"))
+    con = duckdb.connect()
+    duck = con.execute(
+        f"SELECT {X.wordpiece_count_duck_sql('t', vocab)} FROM "
+        "(SELECT 'it''s a-b ''' AS t)"
+    ).fetchone()[0]
+    assert got[0] == duck == _python_oracle("it's a-b '", vocab)
