@@ -612,3 +612,72 @@ def wordpiece_count(
             f"kernel must be 'auto', 'expr', or 'arrow'; got {kernel!r}"
         )
     return F.expr(_wp_count_sql(text_col, vocab, "spark"))
+
+
+def wordpiece_train_vocab(
+    df,
+    text_col: str = "text",
+    vocab_size: int = 256,
+    max_piece_len: int = 6,
+) -> list[str]:
+    """Induce a '##'-marked subword vocab from a corpus: score every
+    word substring of body length 2..``max_piece_len`` (prefixes as
+    start pieces, interior substrings as '##' continuations) by
+    ``count * (body_len - 1)`` — the characters a piece saves per use,
+    the greedy-BPE utility — and keep the top ``vocab_size`` by
+    (score DESC, piece ASC), plus a single-char coverage floor of every
+    character observed in the corpus (both forms), so training-corpus
+    words can never fall to [UNK]. Feeds :func:`wordpiece_count`; the
+    train->apply split mirrors the quality classifier's
+    (operators.classify): training is a Spark job, the model is a
+    driver-side list, scoring is a map pass.
+
+    Scale shape: one explode of O(len * max_piece_len) candidates per
+    word -> partial-combined hash aggregate (map-side combine collapses
+    each partition's candidates before the exchange) -> global top-K
+    compiles to TakeOrderedAndProject, never a full sort; the char
+    floor is a second tiny distinct. Only the <= vocab_size + alphabet
+    pieces ever reach the driver. Deterministic at any partitioning:
+    counts are exact and the (score, piece) order is total."""
+    if max_piece_len < 2:
+        raise ValueError(f"max_piece_len must be >= 2, got {max_piece_len}")
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
+    words = df.select(
+        F.explode(words_array(F.col(text_col))).alias("__w")
+    ).filter(F.length("__w") > 0)
+    cand = (
+        # per word: start pieces w[1..l], continuation pieces
+        # '##' + w[p+1..p+l]; the inner filter-nulls form sidesteps
+        # sequence()'s descending-on-inverted-bounds hazard
+        f"flatten(transform(sequence(0, greatest(length(__w) - 2, 0)), p__ -> "
+        f"filter(transform(sequence(2, {max_piece_len}), l__ -> "
+        f"if(l__ <= length(__w) - p__, "
+        f"if(p__ = 0, substr(__w, 1, l__), concat('##', substr(__w, p__ + 1, l__))), "
+        f"NULL)), x__ -> x__ IS NOT NULL)))"
+    )
+    scored = (
+        words.select(F.explode(F.expr(cand)).alias("piece"))
+        .groupBy("piece")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "body_len",
+            F.length("piece")
+            - F.when(F.col("piece").startswith("##"), F.lit(2)).otherwise(F.lit(0)),
+        )
+        .withColumn("score", F.col("cnt") * (F.col("body_len") - F.lit(1)))
+        .orderBy(F.col("score").desc(), F.col("piece").asc())
+        .limit(vocab_size)
+    )
+    top = [r["piece"] for r in scored.select("piece").collect()]
+    chars = [
+        r["c"]
+        for r in words.select(
+            F.explode(F.split(F.col("__w"), "")).alias("c")
+        )
+        .filter(F.length("c") > 0)
+        .distinct()
+        .collect()
+    ]
+    floor = [c for c in chars] + ["##" + c for c in chars]
+    return sorted(set(top) | set(floor))

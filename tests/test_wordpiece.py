@@ -154,3 +154,54 @@ def test_vocab_quoting_survives_both_dialects(spark):
         "(SELECT 'it''s a-b ''' AS t)"
     ).fetchone()[0]
     assert got[0] == duck == _python_oracle("it's a-b '", vocab)
+
+
+def test_train_vocab_compresses_and_is_deterministic(spark, sf_dir):
+    d = load(spark, sf_dir, "documents")
+    v1 = X.wordpiece_train_vocab(d, vocab_size=64)
+    v2 = X.wordpiece_train_vocab(
+        d.repartition(7), vocab_size=64
+    )  # partitioning-invariant
+    assert v1 == v2
+    assert len(v1) <= 64 + 2 * 26 + 2 * 10  # top-K + char floor both forms
+    totals = d.select(
+        F.sum(X.wordpiece_count("text", vocab=v1)).alias("trained"),
+        F.sum(
+            X.wordpiece_count(
+                "text",
+                vocab=sorted(
+                    {c for c in "abcdefghijklmnopqrstuvwxyz0123456789"}
+                    | {"##" + c for c in "abcdefghijklmnopqrstuvwxyz0123456789"}
+                ),
+            )
+        ).alias("charonly"),
+        F.sum(X.token_count(F.col("text"))).alias("words"),
+    ).first()
+    # char floor guarantees no [UNK] on the training corpus, so trained
+    # count is a true subword total; induced pieces must compress it
+    assert totals["trained"] < totals["charonly"]
+    assert totals["trained"] >= totals["words"]  # >= 1 piece per word
+
+
+def test_train_vocab_plan_is_partial_agg_topk(spark, sf_dir):
+    """The candidate count must stay a map-side-combined hash aggregate
+    and the top-K a TakeOrderedAndProject — never a global sort of the
+    substring vocabulary (which is corpus-sized at 100 TB)."""
+    d = load(spark, sf_dir, "documents")
+    words = d.select(F.explode(X.words_array(F.col("text"))).alias("__w"))
+    # rebuild the trainer's scored frame shape via its public result
+    # indirectly: pin on a structurally-identical probe
+    probe = (
+        words.select(F.explode(F.split(F.col("__w"), "")).alias("piece"))
+        .groupBy("piece")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        .limit(10)
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    with pytest.raises(ValueError):
+        X.wordpiece_train_vocab(d, max_piece_len=1)
+    with pytest.raises(ValueError):
+        X.wordpiece_train_vocab(d, vocab_size=0)
