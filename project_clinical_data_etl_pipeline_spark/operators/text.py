@@ -305,14 +305,34 @@ def _rolling_from_words(words: Column, window: int) -> Column:
     return F.array_min(span_hashes)
 
 
-def with_rolling_fingerprint(df, text_col: str, out: str, window: int = 8):
+def _rolling_md5_from_words(words: Column, window: int) -> Column:
+    """md5 variant of :func:`_rolling_from_words`: the span minimum is
+    the LEXICOGRAPHIC min of the md5 hex digests — identical hex in any
+    engine, so the winnowing fingerprint becomes SQL-oracle-checkable
+    (same kernel-duality pattern as the minhash md5 leg,
+    operators.dedup). xxhash64 stays the production kernel (an order of
+    magnitude cheaper per span); both select A span minimum — the
+    robust-to-local-edits property is kernel-independent."""
+    n = F.size(words)
+    idx = F.sequence(F.lit(1), F.greatest(n - F.lit(window - 1), F.lit(1)))
+    span_hashes = F.transform(
+        idx, lambda i: F.md5(F.array_join(F.slice(words, i, window), " "))
+    )
+    return F.array_min(span_hashes)
+
+
+def with_rolling_fingerprint(
+    df, text_col: str, out: str, window: int = 8, kernel: str = "xxhash64"
+):
     """DataFrame-level rolling fingerprint with the words array
     materialized in its own projection (evaluated once per row, not once
-    per span)."""
+    per span). ``kernel``: 'xxhash64' (production, BIGINT) or 'md5'
+    (cross-engine-checkable hex STRING)."""
+    if kernel not in ("xxhash64", "md5"):
+        raise ValueError(f"kernel must be 'xxhash64' or 'md5'; got {kernel!r}")
+    roll = _rolling_from_words if kernel == "xxhash64" else _rolling_md5_from_words
     w = df.withColumn("__words", F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
-    return w.withColumn(out, _rolling_from_words(F.col("__words"), window)).drop(
-        "__words"
-    )
+    return w.withColumn(out, roll(F.col("__words"), window)).drop("__words")
 
 
 def corpus_top_ngrams(

@@ -746,18 +746,30 @@ def embed_neardup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @spec(
     QUERIES,
     "text_rolling_fingerprint",
-    sql=None,  # xxhash64 rolling hash — no DuckDB twin; rows-only check
-    doc="Winnowing-style rolling-hash fingerprint (min xxhash64 over "
-    "8-word spans) for fuzzy containment — robust to local edits where "
-    "md5 content-addressing is not. Map-only; words materialized once "
-    "per row.",
+    sql="""
+        SELECT doc_id,
+               list_min(list_transform(
+                   generate_series(1, greatest(len(ws) - 7, 1)),
+                   i -> md5(array_to_string(ws[i:i+7], ' ')))) AS rolling_fp_md5
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS ws
+              FROM documents)
+    """,
+    doc="Winnowing-style rolling-hash fingerprint (min hash over 8-word "
+    "spans) for fuzzy containment — robust to local edits where md5 "
+    "content-addressing of the whole text is not. Map-only; words "
+    "materialized once per row. GRADED via the md5 kernel (hex digests "
+    "order identically in every engine — the minhash-leg pattern); "
+    "xxhash64 stays the production kernel (operators.text."
+    "with_rolling_fingerprint kernel='xxhash64', an order of magnitude "
+    "cheaper per span, bit-exact-Python-oracle-tested).",
     tags=("llm",),
 )
 def text_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load(spark, sf_dir, "documents")
-    return X.with_rolling_fingerprint(d, "text", "rolling_fp").select(
-        "doc_id", "rolling_fp"
-    )
+    return X.with_rolling_fingerprint(
+        d, "text", "rolling_fp_md5", kernel="md5"
+    ).select("doc_id", "rolling_fp_md5")
 
 
 @spec(

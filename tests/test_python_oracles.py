@@ -353,18 +353,31 @@ def rolling_fingerprint(text: str, window: int = 8) -> int:
     return best
 
 
+def rolling_fingerprint_md5(text: str, window: int = 8) -> str:
+    """md5-kernel twin of :func:`rolling_fingerprint`: lexicographic min
+    of the span hex digests (the graded kernel)."""
+    import hashlib
+
+    words = java_words(text)
+    top = max(len(words) - (window - 1), 1)
+    return min(
+        hashlib.md5(" ".join(words[i : i + window]).encode()).hexdigest()
+        for i in range(top)
+    )
+
+
 def test_rolling_fingerprint_matches_python_oracle(spark, sf_dir):
     docs = {
         r["doc_id"]: r["text"]
         for r in load(spark, sf_dir, "documents").select("doc_id", "text").collect()
     }
     got = {
-        r["doc_id"]: r["rolling_fp"]
+        r["doc_id"]: r["rolling_fp_md5"]
         for r in REGISTRY["text_rolling_fingerprint"].run(spark, sf_dir).collect()
     }
     assert set(got) == set(docs)
     for doc_id, text in docs.items():
-        assert got[doc_id] == rolling_fingerprint(text), f"doc {doc_id}"
+        assert got[doc_id] == rolling_fingerprint_md5(text), f"doc {doc_id}"
 
 
 # ---------------------------------------------------------------------------
