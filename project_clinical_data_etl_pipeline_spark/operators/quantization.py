@@ -337,7 +337,7 @@ def ivfpq_index(
     subspace L2 argmins — all inlined literals, no join, no Exchange.
     Persist this (optionally bucketed by cell, plans.layout) and the
     serving scan reads ~24 B/vector instead of dim floats."""
-    from .similarity import cell_assign_expr, norm
+    from .similarity import cell_assign, norm
 
     coarse = fan_out(
         corpus.select(
@@ -346,7 +346,7 @@ def ivfpq_index(
             norm(F.col(vec_col), dim).alias("__n"),
         )
     ).withColumn(
-        "cell", cell_assign_expr(vec_col, "__n", centroids, dim)
+        "cell", cell_assign(vec_col, "__n", centroids, dim)
     )
     return pq_encode(coarse, codebooks, vec_col=vec_col).select(
         "neighbor_id", "cell", "pq_code"
@@ -492,13 +492,13 @@ def ivf_residuals(
     proper: the residual distribution is tighter than the raw one, so
     the same code budget buys more accuracy). One map pass: cosine
     argmax cell + literal-table lookup + elementwise subtract."""
-    from .similarity import cell_assign_expr, norm
+    from .similarity import cell_assign, norm
 
     assigned = corpus.select(
         F.col(id_col),
         F.col(vec_col),
         norm(F.col(vec_col), dim).alias("__n"),
-    ).withColumn("cell", cell_assign_expr(vec_col, "__n", centroids, dim))
+    ).withColumn("cell", cell_assign(vec_col, "__n", centroids, dim))
     res = (
         f"zip_with({vec_col}, {_centroid_lookup_expr(centroids)}, "
         f"(a, b) -> CAST(a AS DOUBLE) - b)"
