@@ -506,6 +506,10 @@ def _wp_count_sql(text_ref: str, vocab: list[str], dialect: str) -> str:
     can index it without re-evaluating the whole match array per step
     (interpreted HOFs have no CSE)."""
     match = _wp_match_sql("w__", "p__", vocab, dialect)
+    if text_ref.isidentifier():
+        # plain column names get dialect quoting; composite expressions
+        # pass through verbatim (caller owns their quoting)
+        text_ref = f"`{text_ref}`" if dialect == "spark" else f'"{text_ref}"'
     if dialect == "spark":
         words = f"split(lower(trim({text_ref})), '\\\\s+')"
         jumps = (
