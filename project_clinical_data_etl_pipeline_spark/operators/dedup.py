@@ -448,6 +448,78 @@ def with_simhash64(
     )
 
 
+_HEX_CHARS = "0123456789abcdef"
+
+
+def simhash_md5_votes(shingles: Column) -> Column:
+    """Per-bit SimHash votes (array<int>(64)) on the md5 hash family —
+    the cross-engine-gradable twin of :func:`simhash_votes` (same vote
+    rule, only the hash differs; the minhash-md5 pattern). Bits come
+    from the first 16 hex chars of ``md5(shingle)`` split into two
+    unsigned 32-bit halves (``conv`` hex→decimal — Spark has no
+    unsigned 64); bit ``b`` reads half ``lo`` for b<32 else ``hi`` at
+    position ``b%32`` via exact power-of-two integer division (the form
+    the DuckDB twin states verbatim). Duplicate shingles vote once
+    each — no dedupe, matching the production kernel."""
+    hs = F.transform(
+        shingles,
+        lambda s: F.struct(
+            F.conv(F.substring(F.md5(s), 1, 8), 16, 10)
+            .cast("bigint")
+            .alias("hi"),
+            F.conv(F.substring(F.md5(s), 9, 8), 16, 10)
+            .cast("bigint")
+            .alias("lo"),
+        ),
+    )
+    bit_idx = F.sequence(F.lit(0), F.lit(63))
+
+    def vote(acc: Column, h: Column) -> Column:
+        def one(a: Column, b: Column) -> Column:
+            half = F.when(b < 32, h["lo"]).otherwise(h["hi"])
+            p2 = F.floor(F.pow(F.lit(2.0), (b % 32).cast("double"))).cast(
+                "bigint"
+            )
+            bit = F.floor(half / p2).cast("bigint") % 2
+            return a + F.when(bit == 1, F.lit(1)).otherwise(F.lit(-1))
+
+        return F.zip_with(acc, bit_idx, one)
+
+    return F.aggregate(hs, F.array_repeat(F.lit(0), 64), vote)
+
+
+def with_simhash_md5_hex(
+    df: DataFrame, text_col: str, out_col: str = "simhash_hex", k: int = 3
+) -> DataFrame:
+    """Add the md5-family SimHash as a 16-char lowercase hex STRING —
+    hex char ``n`` encodes vote bits ``4n..4n+3`` with weight ``2^j``
+    for bit ``4n+j`` (documented little-endian-nibble layout; both
+    engines and the Python oracle state the same formula, so the
+    convention is total). A string signature sidesteps signed-64
+    packing entirely (bit 63 would be Long.MIN_VALUE) and compares
+    identically in every engine."""
+    d = with_shingles(df, text_col, k).withColumn(
+        "__votes", simhash_md5_votes(F.col("__shingles"))
+    )
+    char_arr = F.array(*[F.lit(c) for c in _HEX_CHARS])
+    nibbles = []
+    for n in range(16):
+        v = sum(
+            [
+                F.when(
+                    F.element_at(F.col("__votes"), 4 * n + j + 1) > 0,
+                    F.lit(1 << j),
+                ).otherwise(F.lit(0))
+                for j in range(4)
+            ],
+            F.lit(0),
+        )
+        nibbles.append(F.element_at(char_arr, v + 1))
+    return d.withColumn(out_col, F.concat(*nibbles)).drop(
+        "__votes", "__shingles"
+    )
+
+
 def simhash64_by_key(
     df: DataFrame, key_col: str, text_col: str, out_col: str = "simhash", k: int = 2
 ) -> DataFrame:

@@ -347,6 +347,59 @@ _MINHASH_MD5_SQL = f"""
 """
 
 
+# SimHash on the md5 hash family — the second sketch family under a
+# hash-match oracle. Bits = the first 16 hex chars of md5(shingle) as
+# two unsigned 32-bit halves ('0x…'::BIGINT / Spark conv()); vote rule
+# and the duplicate-shingles-vote-each semantics are the production
+# kernel's (operators.dedup.simhash_votes); the signature ships as a
+# 16-hex-char string (nibble n = bits 4n..4n+3, weight 2^j) so no
+# signed-64 packing is needed in any engine.
+_SIMHASH_MD5_SQL = f"""
+    WITH sh AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, greatest(len(ws) - 2, 1)),
+                   i -> array_to_string(ws[i:i+2], ' ')) AS shs
+        FROM (SELECT doc_id, string_split({_NORM}, ' ') AS ws FROM documents)
+    ),
+    hh AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(s), 1, 8))::BIGINT AS hi,
+               ('0x' || substr(md5(s), 9, 8))::BIGINT AS lo
+        FROM (SELECT doc_id, unnest(shs) AS s FROM sh)
+    ),
+    votes AS (
+        SELECT doc_id, b,
+               sum(CASE WHEN ((CASE WHEN b < 32 THEN lo ELSE hi END)
+                        // CAST(pow(2, b % 32) AS BIGINT)) % 2 = 1
+                        THEN 1 ELSE -1 END) AS v
+        FROM hh, (SELECT unnest(generate_series(0, 63)) AS b) bb
+        GROUP BY doc_id, b
+    ),
+    nib AS (
+        SELECT doc_id, b // 4 AS n,
+               CAST(sum(CASE WHEN v > 0
+                        THEN CAST(pow(2, b % 4) AS INT) ELSE 0 END) AS INT) AS nv
+        FROM votes GROUP BY doc_id, b // 4
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           string_agg(substr('0123456789abcdef', nv + 1, 1), '' ORDER BY n)
+               AS simhash_hex
+    FROM nib GROUP BY doc_id
+"""
+
+
+def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc md5-family SimHash signature (operators.dedup.
+    with_simhash_md5_hex) — graded as the 'simhash' leg of
+    dedup_exact_jaccard_suite; with the minhash leg this puts BOTH
+    sketch families under hash-match oracles, leaving only the xxhash64
+    production hash itself rows-only."""
+    return D.with_simhash_md5_hex(
+        load(spark, sf_dir, "documents"), "text"
+    ).select("doc_id", "simhash_hex")
+
+
 def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8)+LSH(4 bands) pairs on the md5-salted signature kernel
     (operators.dedup.minhash_md5_lsh_pairs) — the cross-engine-graded
@@ -377,6 +430,12 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(NULL AS BIGINT) AS keep_id, CAST(NULL AS BIGINT) AS n_dups,
                id_a, id_b, est_jaccard AS jaccard
         FROM ({_MINHASH_MD5_SQL})
+        UNION ALL
+        SELECT 'simhash' AS part, simhash_hex AS content_hash,
+               CAST(NULL AS BIGINT) AS keep_id, CAST(NULL AS BIGINT) AS n_dups,
+               doc_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+               CAST(NULL AS DOUBLE) AS jaccard
+        FROM ({_SIMHASH_MD5_SQL})
     """,
     doc="Dedup suite: the exact normalized-hash leg (only (hash, id) "
     "shuffles — never text; keep = min id), the exact 3-shingle "
@@ -385,8 +444,10 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "MinHash(8)+LSH(4 bands) leg — the full sketch→band→bucket-join→"
     "estimate pipeline under a hash-match oracle (the xxhash64 "
     "production kernel shares its banding tail, so only the hash "
-    "family itself stays rows-only). Independent legs; zero-shuffle "
-    "concat.",
+    "family itself stays rows-only), plus the md5-family SimHash "
+    "signature leg (hex-string bit votes, duplicate shingles vote "
+    "each — both sketch FAMILIES are now oracle-graded). Independent "
+    "legs; zero-shuffle concat.",
     tags=("llm",),
 )
 def dedup_exact_jaccard_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -417,7 +478,16 @@ def dedup_exact_jaccard_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.col("est_jaccard").alias("jaccard"),
     )
-    return exact.unionByName(jac).unionByName(mh)
+    sh = dedup_simhash_md5(spark, sf_dir).select(
+        F.lit("simhash").alias("part"),
+        F.col("simhash_hex").alias("content_hash"),
+        F.lit(None).cast("bigint").alias("keep_id"),
+        F.lit(None).cast("bigint").alias("n_dups"),
+        F.col("doc_id").alias("id_a"),
+        F.lit(None).cast("bigint").alias("id_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
+    return exact.unionByName(jac).unionByName(mh).unionByName(sh)
 
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -654,3 +654,62 @@ def test_winnow_guarantee_shared_run_yields_shared_fingerprint():
         assert set(winnow_oracle(a)) & set(winnow_oracle(b)), (a, b)
 
     check()
+
+
+# ---------------------------------------------------------------------------
+# md5-family SimHash hex oracle (dedup_exact_jaccard_suite 'simhash' leg:
+# bits = md5 first 16 hex chars as two unsigned 32-bit halves, k=3
+# shingles, duplicates vote each, nibble n = bits 4n..4n+3 weight 2^j)
+
+
+def simhash_md5_hex(text: str, k: int = 3) -> str:
+    import hashlib
+
+    votes = [0] * 64
+    for sh in shingles(text, k):
+        d = hashlib.md5(sh.encode()).hexdigest()
+        hi, lo = int(d[0:8], 16), int(d[8:16], 16)
+        for b in range(64):
+            half = lo if b < 32 else hi
+            votes[b] += 1 if (half >> (b % 32)) & 1 else -1
+    return "".join(
+        "0123456789abcdef"[
+            sum((1 << j) if votes[4 * n + j] > 0 else 0 for j in range(4))
+        ]
+        for n in range(16)
+    )
+
+
+def test_simhash_md5_hex_matches_python_oracle(spark, sf_dir):
+    from project_clinical_data_etl_pipeline_spark.operators.dedup import (
+        with_simhash_md5_hex,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    got = {
+        r["doc_id"]: r["simhash_hex"]
+        for r in with_simhash_md5_hex(d, "text")
+        .select("doc_id", "simhash_hex")
+        .collect()
+    }
+    docs = {r["doc_id"]: r["text"] for r in d.select("doc_id", "text").collect()}
+    assert set(got) == set(docs)
+    for doc_id, text in docs.items():
+        assert got[doc_id] == simhash_md5_hex(text), f"doc {doc_id}"
+
+
+def test_simhash_md5_hex_fuzz(spark):
+    from project_clinical_data_etl_pipeline_spark.operators.dedup import (
+        with_simhash_md5_hex,
+    )
+
+    rows = [(i, s) for i, s in enumerate(_fuzz_strings())]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["simhash_hex"]
+        for r in with_simhash_md5_hex(df, "text")
+        .select("doc_id", "simhash_hex")
+        .collect()
+    }
+    for doc_id, text in rows:
+        assert got[doc_id] == simhash_md5_hex(text), (doc_id, repr(text))
