@@ -1258,11 +1258,24 @@ def embed_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 @spec(
     QUERIES,
     "multimodal_decode",
-    sql=None,  # binary decode plumbing — no SQL twin; rows-only check
+    sql="""
+        SELECT doc_id AS media_id,
+               CAST(64 + ('0x' || substr(sha256(text), 1, 2))::INT AS INT)
+                   AS width,
+               CAST(64 + ('0x' || substr(sha256(text), 3, 2))::INT AS INT)
+                   AS height,
+               CAST(3 AS INT) AS n_channels
+        FROM documents
+    """,
     doc="Multimodal plumbing: treat document text bytes as an opaque "
     "binary payload, run the Arrow-batched mapInPandas decode kernel "
-    "(deterministic stub — real codecs absent in this container) and "
-    "return typed metadata. Proves schema/batch/partition contract.",
+    "(deterministic sha256-derived stub — compressed codecs absent in "
+    "this container; PPM/WAV decode for real via "
+    "operators.multimodal) and return typed metadata. HASH-MATCH "
+    "graded: the oracle re-derives the stub's dimensions from sha256 "
+    "hex independently, so the Arrow batch plumbing (schema, "
+    "iteration, partitioning) is proven byte-deterministic end to "
+    "end, not just row-counted.",
     tags=("llm",),
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,6 +1,6 @@
-"""Standalone Python bit-exact oracles for the four queries that have no
-DuckDB SQL twin (xxhash64-based sketches + the binary decode kernel) —
-the driver records only rows-only checks for these, so THIS module is
+"""Standalone Python bit-exact oracles for the kernels that have no
+DuckDB SQL twin (the xxhash64-based production sketches) —
+the driver records only rows-only checks for their suite, so THIS module is
 their correctness gate.
 
 Every reference implementation here is independent of the package under
