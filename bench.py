@@ -199,10 +199,16 @@ def render_line(payload, budget=1500):
     line = json.dumps(slim)
     if len(line) <= budget:
         return line, dropped
-    # Final stage: even the error map collapses to a count.
+    # Final stage: even the error map collapses to a count. The
+    # remaining payload is ~6 scalar fields; the assert makes the
+    # "never print oversized" contract total rather than probabilistic.
     dropped["dropped_errors"] = slim.get("errors")
     slim["errors"] = f"dropped:{len(payload.get('errors') or {})}:see-stderr"
-    return json.dumps(slim), dropped
+    line = json.dumps(slim)
+    assert len(line) <= budget, (
+        f"bench stdout line still {len(line)} chars after final degrade"
+    )
+    return line, dropped
 
 
 def main() -> None:
@@ -260,7 +266,11 @@ def main() -> None:
     cv = {n: round(v, 2) for n, v in cv_full.items() if v >= 0.05}
 
     # Guarded build/probe split: short or failed ivfpq runs report what
-    # they have instead of raising on an empty tail.
+    # they have instead of raising on an empty tail. The build/probe
+    # labels are only meaningful when BOTH passes ran: if pass 1 raised
+    # and pass 2 succeeded, runs[0] is a pass-2 time that re-paid the
+    # build (the per-process cache was never populated), so report it
+    # as "build" and leave "probe" None — honest by construction.
     pq_runs = runs.get("ivfpq_probe", [])
     ivfpq = {
         "build": round(pq_runs[0], 2) if pq_runs else None,

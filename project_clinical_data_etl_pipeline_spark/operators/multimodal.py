@@ -51,6 +51,7 @@ def decode_image_features(
     fake: bool = False,
     max_side: int | None = None,
     on_error: str = "raise",
+    skip_acc=None,
 ) -> DataFrame:
     """Decode + feature-extract image payloads via ``mapInPandas``.
 
@@ -65,6 +66,13 @@ def decode_image_features(
     drops undecodable rows instead of failing the task — at warehouse
     scale corrupt media is routine and one bad byte must not kill a
     100-partition stage.
+
+    Skips are never silent: pass ``skip_acc`` (a
+    ``sparkContext.accumulator(0)``) to get an exact dropped-row count
+    after the action completes; without one, each batch that dropped
+    rows logs its count to the executor's stderr. A partition-wide
+    decoder regression (every payload truncated) therefore shows up as
+    a number, not as an empty-but-healthy output.
     """
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip'; got {on_error!r}")
@@ -145,8 +153,11 @@ def decode_image_features(
         raise ValueError("unrecognized image payload")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
         for pdf in batches:
             rows = []
+            skipped = 0
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     rows.append((int(mid), *decode(payload)))
@@ -155,6 +166,16 @@ def decode_image_features(
                 except Exception:
                     if on_error == "raise":
                         raise
+                    skipped += 1
+            if skipped:
+                if skip_acc is not None:
+                    skip_acc.add(skipped)
+                else:
+                    print(
+                        f"decode_image_features: skipped {skipped}/{len(pdf)} "
+                        "undecodable payloads in batch",
+                        file=sys.stderr,
+                    )
             yield pd.DataFrame(
                 rows, columns=["media_id", "width", "height", "n_channels", "feature"]
             )
@@ -167,6 +188,7 @@ def decode_audio_features(
     id_col: str = "media_id",
     payload_col: str = "payload",
     on_error: str = "raise",
+    skip_acc=None,
 ) -> DataFrame:
     """REAL WAV (RIFF PCM, 8/16-bit) decode + feature extraction via
     ``mapInPandas`` — stdlib ``struct`` header walk + numpy sample
@@ -176,7 +198,10 @@ def decode_audio_features(
     computed on the channel-mean mono signal). Compressed audio
     (MP3/AAC) has no in-container codec and raises NotImplementedError;
     ``on_error='skip'`` drops malformed rows (truncated chunks, exotic
-    bit depths) instead of failing the stage."""
+    bit depths) instead of failing the stage — never silently: pass
+    ``skip_acc`` (a ``sparkContext.accumulator(0)``) for an exact
+    dropped-row count after the action, else each dropping batch logs
+    its count to executor stderr."""
     if on_error not in ("raise", "skip"):
         raise ValueError(f"on_error must be 'raise' or 'skip'; got {on_error!r}")
 
@@ -238,8 +263,11 @@ def decode_audio_features(
         )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import sys
+
         for pdf in batches:
             rows = []
+            skipped = 0
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 try:
                     rows.append((int(mid), *wav_decode(bytes(payload))))
@@ -248,6 +276,16 @@ def decode_audio_features(
                 except Exception:
                     if on_error == "raise":
                         raise
+                    skipped += 1
+            if skipped:
+                if skip_acc is not None:
+                    skip_acc.add(skipped)
+                else:
+                    print(
+                        f"decode_audio_features: skipped {skipped}/{len(pdf)} "
+                        "undecodable payloads in batch",
+                        file=sys.stderr,
+                    )
             yield pd.DataFrame(
                 rows,
                 columns=[

@@ -360,7 +360,7 @@ def bm25_sql(
     return f"""
         WITH w AS (
             SELECT {id_col},
-                   string_split_regex(lower(trim({text_col})), '\\s+') AS ws
+                   string_split_regex(lower(trim({text_col})), '[ \\t\\n\\x0b\\f\\r]+') AS ws
             FROM {table}
         ),
         d AS (

@@ -295,6 +295,7 @@ def interval_overlap_join(
     right_start: str,
     right_end: str,
     bucket_s: int | None = None,
+    probe: str = "shared",
 ) -> DataFrame:
     """Interval × interval overlap join: pairs (l, r) of the same ``on``
     key whose CLOSED intervals ``[left_start, left_end]`` and
@@ -324,7 +325,24 @@ def interval_overlap_join(
     columns unprefixed, right columns prefixed ``right_`` (the
     temporal-operator convention), plus ``overlap_us`` — the length of
     the intersection in µs (0 for touching endpoints).
+
+    ``probe`` picks how the auto-width span probe pays for its scan
+    (only consulted when ``bucket_s`` is None):
+
+    - ``"shared"`` (default): lazily ``localCheckpoint`` both inputs so
+      probe + join share ONE source scan. Fastest, but checkpoint
+      partitions hold full-width rows in executor storage and are not
+      fault-tolerant (an executor loss fails the job instead of
+      recomputing).
+    - ``"pruned"``: the probe aggregates a TWO-COLUMN projection of
+      each source (the parquet scan reads only the endpoint columns —
+      pushdown-pruned ReadSchema), and the join re-reads the source
+      lineage. Two scans, but zero executor-storage residency and full
+      lineage fault tolerance — the warehouse-scale default when the
+      endpoint columns are a small fraction of row width.
     """
+    if probe not in ("shared", "pruned"):
+        raise ValueError(f"probe must be 'shared' or 'pruned', got {probe!r}")
     keys = [on] if isinstance(on, str) else list(on)
     right_payload = [c for c in right.columns if c not in keys]
     _check_right_prefix_collisions(
@@ -351,17 +369,19 @@ def interval_overlap_join(
     if bucket_s is None:
         # The span probe is an action, so without lineage truncation
         # every side would pay TWO source scans: one feeding the max-
-        # span aggregate, one feeding the join. Cut the lineage with a
-        # lazy localCheckpoint: the probe's .first() materializes each
-        # side once and the join re-reads the checkpointed partitions.
-        # A self-join (same frame, same endpoint columns) materializes
-        # a single copy shared by both legs. Callers at warehouse
-        # scale who prefer a pruned double scan over materializing
-        # full-width rows can pass an explicit bucket_s — any positive
-        # width is correct; the auto width only tightens the fan-in
-        # bound.
-        l0 = l0.localCheckpoint(eager=False)
-        r0 = l0 if self_join else r0.localCheckpoint(eager=False)
+        # span aggregate, one feeding the join. probe='shared' cuts the
+        # lineage with a lazy localCheckpoint: the probe's .first()
+        # materializes each side once and the join re-reads the
+        # checkpointed partitions. A self-join (same frame, same
+        # endpoint columns) materializes a single copy shared by both
+        # legs. probe='pruned' instead aggregates a two-column
+        # projection (column-pruned scan) and lets the join re-read the
+        # source — see the docstring trade-off. An explicit bucket_s
+        # skips the probe entirely; any positive width is correct, the
+        # auto width only tightens the fan-in bound.
+        if probe == "shared":
+            l0 = l0.localCheckpoint(eager=False)
+            r0 = l0 if self_join else r0.localCheckpoint(eager=False)
         spans = (
             l0.select(
                 (_micros(F.col(left_end)) - _micros(F.col(left_start))).alias("__s")

@@ -531,7 +531,7 @@ def _wp_count_sql(text_ref: str, vocab: list[str], dialect: str) -> str:
             f"CAST(aggregate({jumps}, 0L, "
             f"(acc__, s__) -> acc__ + if(s__.n = 0, 0L, {chase})) AS BIGINT)"
         )
-    words = f"string_split_regex(lower(trim({text_ref})), '\\s+')"
+    words = f"string_split_regex(lower(trim({text_ref})), '[ \\t\\n\\x0b\\f\\r]+')"
     jumps = (
         f"list_transform({words}, w__ -> struct_pack("
         f"n := length(w__), "

@@ -53,7 +53,7 @@ def _langid_sql() -> str:
     mirroring text.lang_guess (same marker sets, same tie priority)."""
     counts = {
         lang: (
-            "len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), "
+            "len(list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'), "
             f"w -> w IN ({', '.join(repr(m) for m in markers)})))"
         )
         for lang, markers in X._LANG_MARKERS.items()
@@ -84,15 +84,15 @@ _TEXT_SUITE_SQL = f"""
     WITH t AS (
         SELECT doc_id, text, lang,
                CASE WHEN trim(text) = '' THEN 0
-                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+                    ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END AS n_tokens,
                CAST(length(text) AS BIGINT) AS n_chars_calc,
                CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
                    / greatest(length(text), 1) AS punct_ratio,
-               len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+               len(list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
                    w -> w IN ('the', 'and', 'of', 'to', 'is'))) AS n_stops,
                string_split(text, chr(10)) AS ls,
                string_split(text, chr(10) || chr(10)) AS ps,
-               string_split_regex(lower(trim(text)), '\\s+') AS ws
+               string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS ws
         FROM documents
     ),
     t2 AS (
@@ -234,7 +234,7 @@ def text_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _TOP_NGRAMS_SQL = """
     WITH w AS (
-        SELECT string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents
+        SELECT string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS ws FROM documents
     ),
     g AS (
         SELECT unnest(list_transform(generate_series(1, greatest(len(ws) - 1, 1)),
@@ -822,7 +822,7 @@ def embed_neardup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                    generate_series(1, greatest(len(ws) - 7, 1)),
                    i -> md5(array_to_string(ws[i:i+7], ' ')))) AS rolling_fp_md5
         FROM (SELECT doc_id,
-                     string_split_regex(lower(trim(text)), '\\s+') AS ws
+                     string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS ws
               FROM documents)
     """,
     doc="Winnowing-style rolling-hash fingerprint (min hash over 8-word "
@@ -880,10 +880,10 @@ _CURATION_SQL = f"""
                         '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE)
                         / greatest(length(text), 1) * 5.0, 1.0)) * 0.3
                  + least(CAST(len(list_filter(
-                        string_split_regex(lower(trim(text)), '\\s+'),
+                        string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
                         w -> w IN ('the', 'and', 'of', 'to', 'is'))) AS DOUBLE)
                         / greatest(CASE WHEN trim(text) = '' THEN 0
-                                   ELSE len(string_split_regex(trim(text), '\\s+'))
+                                   ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+'))
                                    END, 1) * 5.0, 1.0) * 0.3
                    AS quality
         FROM canon
@@ -1303,7 +1303,7 @@ _CLF_COLS = ["f_bias", "f_len", "f_stop", "f_wlen"]
 #: n_tokens with the empty-doc guard — shared by two feature ratios.
 _CLF_NTOK = (
     "CASE WHEN trim(text) = '' THEN 0 "
-    "ELSE len(string_split_regex(trim(text), '\\s+')) END"
+    "ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END"
 )
 
 _CLF_FEATS_SQL = f"""
@@ -1311,7 +1311,7 @@ _CLF_FEATS_SQL = f"""
         SELECT doc_id,
                1.0 AS f_bias,
                least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) AS f_len,
-               CAST(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+               CAST(len(list_filter(string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+'),
                     w -> w IN ('the', 'and', 'of', 'to', 'is'))) AS DOUBLE)
                    / greatest({_CLF_NTOK}, 1) AS f_stop,
                (CAST(length(regexp_replace(text, '\\s', '', 'g')) AS DOUBLE)

@@ -145,3 +145,29 @@ def test_fake_path_unchanged_for_plumbing_query(spark, media_df):
     out = decode_image_features(media_df, fake=True).collect()
     assert len(out) == 2  # every payload decodes through the stub
     assert all(len(r["feature"]) == 16 for r in out)
+
+
+def test_on_error_skip_surfaces_count_via_accumulator(spark):
+    """on_error='skip' is never silent: a passed accumulator carries the
+    exact dropped-row count after the action (both decoders). A
+    partition-wide decoder regression shows up as a number, not as an
+    empty-but-healthy output."""
+    ppm, _ = make_ppm(6, 4, seed=3)
+    rows = [
+        (0, bytearray(ppm)),             # decodes
+        (1, bytearray(b"garbage")),      # skip
+        (2, bytearray(b"P6\n1 1\n255\n")),  # truncated body -> skip
+    ]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    acc = spark.sparkContext.accumulator(0)
+    out = decode_image_features(df, on_error="skip", skip_acc=acc).collect()
+    assert len(out) == 1 and acc.value == 2
+
+    wav_rows = [
+        (0, bytearray(make_wav())),
+        (1, bytearray(b"RIFFxxxxWAVE")),  # no chunks -> skip
+    ]
+    wdf = spark.createDataFrame(wav_rows, "media_id long, payload binary")
+    wacc = spark.sparkContext.accumulator(0)
+    assert decode_audio_features(wdf, on_error="skip", skip_acc=wacc).count() == 1
+    assert wacc.value == 1

@@ -741,3 +741,45 @@ def test_interval_auto_probe_shares_one_source_scan(spark, sf_dir):
     # self-join shares one checkpoint between its two legs
     assert plan.count("Scan ExistingRDD") == 2, plan
     assert out.count() > 0
+
+
+def test_interval_overlap_probe_pruned_matches_shared(spark):
+    """probe='pruned' (two-column probe projection, no localCheckpoint,
+    join re-reads source lineage) must produce the identical pair set
+    and overlap lengths as the default probe='shared'; a typo'd probe
+    mode fails fast."""
+    import random
+
+    import pytest as _pytest
+
+    from project_clinical_data_etl_pipeline_spark.operators.temporal import (
+        interval_overlap_join,
+    )
+
+    m = 1_000_000
+    rng = random.Random(23)
+
+    def mk(base):
+        rows = []
+        for i in range(50):
+            start = rng.randint(0, 2000)
+            rows.append((base + i, rng.randint(1, 3), start * m,
+                         (start + rng.randint(0, 250)) * m))
+        df = spark.createDataFrame(rows, ["iid", "k", "s_us", "e_us"])
+        return df.select(
+            "iid", "k",
+            F.timestamp_micros(F.col("s_us")).alias("ws"),
+            F.timestamp_micros(F.col("e_us")).alias("we"),
+        )
+
+    lf, rf = mk(0), mk(1000)
+    kw = dict(on="k", left_start="ws", left_end="we",
+              right_start="ws", right_end="we")
+    shared = interval_overlap_join(lf, rf, **kw)
+    pruned = interval_overlap_join(lf, rf, probe="pruned", **kw)
+    s = {(r["iid"], r["right_iid"], r["overlap_us"]) for r in shared.collect()}
+    p = {(r["iid"], r["right_iid"], r["overlap_us"]) for r in pruned.collect()}
+    assert s == p and len(s) > 0
+
+    with _pytest.raises(ValueError, match="probe"):
+        interval_overlap_join(lf, rf, probe="fast", **kw)
