@@ -98,12 +98,26 @@ def op01_02_scan_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'has_rich_customers',
                CAST(CASE WHEN count(*) > 0 THEN 1 ELSE 0 END AS BIGINT)
         FROM customer WHERE c_acctbal > 999999.0
+        UNION ALL
+        SELECT 'dpp_click_count', CAST(count(*) AS BIGINT)
+        FROM events
+        WHERE event_type = 'click' AND CAST(ts AS DATE) IN (
+            SELECT DISTINCT CAST(ts AS DATE) FROM events
+            WHERE event_type = 'error' AND value > 300.0)
     """,
     doc="OP-22 count (reference len(data['entry']), src/coding_task_1.py:75) "
     "unioned with the OP-12 empty-result guard (`if 'entry' in data`, :74) "
-    "expressed in-plan — no driver branch, both map-side partial counts.",
+    "expressed in-plan — no driver branch, both map-side partial counts — "
+    "and the dynamic-partition-pruning leg (SURVEY §4.1): the same count "
+    "shape over a date-PARTITIONED events copy joined to a filtered dim, "
+    "where Catalyst's dynamicpruning# subquery restricts the fact scan to "
+    "the dim's qualifying dates (pruned-partition counts pinned in "
+    "tests/test_partition_pruning.py; the oracle expresses the identical "
+    "semantics as an IN-subquery over the raw table).",
 )
 def op12_22_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..plans.pruning import dpp_click_count
+
     n_orders = R.count_rows(load(spark, sf_dir, "orders"), alias="n").select(
         F.lit("n_orders").alias("check"), "n"
     )
@@ -118,7 +132,7 @@ def op12_22_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.lit("has_rich_customers").alias("check"), "n")
     )
-    return n_orders.unionByName(guard)
+    return n_orders.unionByName(guard).unionByName(dpp_click_count(spark, sf_dir))
 
 
 @spec(
