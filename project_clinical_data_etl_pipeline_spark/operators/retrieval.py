@@ -120,6 +120,7 @@ def bm25_topk(
     k1: float = 1.2,
     b: float = 0.75,
     score_dp: int = 6,
+    materialize: bool = True,
 ) -> DataFrame:
     """Top-``k`` documents by BM25 (Robertson/Sparck Jones idf with the
     +1 floor, as in Lucene) for a literal query-term list. Returns
@@ -129,11 +130,27 @@ def bm25_topk(
     Job 1 aggregates corpus stats (N, Σdl, per-term df) map-side-
     combined; scoring is a pure map pass with idf/avgdl inlined. Docs
     matching no query term are filtered before the top-k heap.
+
+    ``materialize`` (default True) lazily localCheckpoints the
+    tokenized (id, words, dl) projection so the stats job and the
+    scoring pass share ONE regex tokenization of the corpus — without
+    it both passes re-tokenize, which the sf1 scale run measured as the
+    dominant cost at 10x bench scale (11.2x growth for 10x data; the
+    shared-scan form restores ~linear). Pass False to keep recomputable
+    lineage on a real cluster and persist() yourself — same trade-off
+    as :func:`bm25_topk_multi`.
     """
     _check_terms(query_terms)
+    # NB deliberately NO fan_out before tokenizing: measured at sf1,
+    # the repartition shuffle costs more than the regex split saves
+    # (words_array is too cheap per row to be worth moving the text) —
+    # the opposite call from the shingling/signature ops, where the
+    # per-row work is 10-100x heavier
     base = docs.select(
         F.col(id_col), words_array(F.col(text_col)).alias("__ws")
     ).withColumn("__dl", F.expr("CAST(size(__ws) AS DOUBLE)"))
+    if materialize:
+        base = base.localCheckpoint(eager=False)
 
     stats = base.agg(
         F.count(F.lit(1)).alias("n"),

@@ -1,0 +1,137 @@
+"""Measured benefit of the physical-layout levers (plans.layout) —
+the round-8 verdict's gap: bucketed co-located joins and salted skew
+joins were correctness-tested but had zero recorded benefit. bench.py
+runs :func:`layout_experiments` per round and ships the numbers as the
+"layout" payload entry, so the levers that matter at 100x scale carry
+measured speedups, not just no-Exchange plan assertions
+(tests/test_layout.py keeps those).
+
+Two experiments:
+
+- **Bucketed co-located join**: orders x lineitem on the order key as
+  a forced sort-merge join (hint('merge') — the big-big shape where
+  bucketing matters; without the hint both sides broadcast at bench
+  scale and neither variant exchanges), once over identically-bucketed
+  sorted tables (NO Exchange, NO Sort on either side) and once over
+  raw parquet (both sides exchange + sort). The bucketed write is the
+  amortized one-time cost, reported separately as "bucketed_build".
+- **Salted skew join**: a synthetic Zipf-adversarial frame (half of
+  all rows on ONE key — the shape AQE's skew-join split does not
+  rescue at these partition sizes, since skewedPartitionThresholdInBytes
+  defaults to 256 MB) joined to a small dim, forced sort-merge (the
+  skew-relevant shape), plain vs plans.layout.salted_join(salt=8).
+  Plain serializes the hot key into one straggler task; salting
+  spreads it across 8. Result equality is pinned by
+  tests/test_layout.py; synthetic input (spark.range) keeps the
+  experiment sf-independent and deterministic.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..tables import load
+from .layout import drop_table_idempotent, salted_join, write_bucketed
+
+#: Rows in the synthetic skew experiment; ~half land on key 0.
+_SKEW_ROWS = 4_000_000
+_SKEW_KEYS = 1_000
+
+
+def _timed(df: DataFrame) -> float:
+    t0 = time.perf_counter()
+    df.count()
+    return round(time.perf_counter() - t0, 3)
+
+
+def _skew_frames(spark: SparkSession) -> tuple[DataFrame, DataFrame]:
+    left = spark.range(_SKEW_ROWS).select(
+        F.when(F.col("id") % 2 == 0, F.lit(0))
+        .otherwise(F.col("id") % _SKEW_KEYS)
+        .cast("bigint")
+        .alias("k"),
+        (F.col("id") * 17 % 97).alias("payload"),
+    )
+    right = spark.range(_SKEW_KEYS).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("dim_val")
+    )
+    return left, right
+
+
+def layout_experiments(
+    spark: SparkSession, sf_dir: str, passes: int = 2
+) -> dict[str, float]:
+    """Run both experiments, min-of-``passes`` per measured variant.
+    Returns {bucketed_build, join_bucketed, join_shuffle, salted_skew,
+    plain_skew} (seconds)."""
+    suffix = f"p{os.getpid()}"
+    ob, lb = f"layoutbench_orders_{suffix}", f"layoutbench_lineitem_{suffix}"
+
+    orders = load(spark, sf_dir, "orders")
+    lineitem = load(spark, sf_dir, "lineitem")
+    t0 = time.perf_counter()
+    write_bucketed(orders, ob, ["o_orderkey"], 32, sort_cols=["o_orderkey"])
+    write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        lb,
+        ["o_orderkey"],
+        32,
+        sort_cols=["o_orderkey"],
+    )
+    build = round(time.perf_counter() - t0, 3)
+
+    def bucketed():
+        return (
+            spark.table(ob)
+            .hint("merge")
+            .join(spark.table(lb), on="o_orderkey")
+            .groupBy("o_orderstatus")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+
+    def shuffled():
+        return (
+            orders.hint("merge")
+            .join(
+                lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+                on="o_orderkey",
+            )
+            .groupBy("o_orderstatus")
+            .agg(F.sum("l_extendedprice").alias("rev"))
+        )
+
+    left, right = _skew_frames(spark)
+
+    def plain_skew():
+        return (
+            left.hint("merge")
+            .join(right, on="k")
+            .agg(F.sum(F.col("payload") * F.col("dim_val")).alias("s"))
+        )
+
+    def salted_skew():
+        return (
+            salted_join(left.hint("merge"), right, "k", salt=8)
+            .agg(F.sum(F.col("payload") * F.col("dim_val")).alias("s"))
+        )
+
+    try:
+        runs: dict[str, list[float]] = {}
+        for _ in range(passes):
+            for name, fn in (
+                ("join_bucketed", bucketed),
+                ("join_shuffle", shuffled),
+                ("plain_skew", plain_skew),
+                ("salted_skew", salted_skew),
+            ):
+                runs.setdefault(name, []).append(_timed(fn()))
+        out = {name: min(ts) for name, ts in runs.items()}
+        out["bucketed_build"] = build
+        return out
+    finally:
+        drop_table_idempotent(spark, ob)
+        drop_table_idempotent(spark, lb)

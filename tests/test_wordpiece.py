@@ -205,3 +205,60 @@ def test_train_vocab_plan_is_partial_agg_topk(spark, sf_dir):
         X.wordpiece_train_vocab(d, max_piece_len=1)
     with pytest.raises(ValueError):
         X.wordpiece_train_vocab(d, vocab_size=0)
+
+
+def test_arrow_kernel_at_bert_scale_vocab(spark, sf_dir):
+    """BERT-scale vocab (~30k pieces — the size the corpus's 31-word
+    vocabulary can never induce, so built deterministically): kernel=
+    'auto' must route to the Arrow kernel (plan stays O(1) — no 30k
+    literal arrays in Catalyst), results must match the independent
+    Python oracle on the full sf documents table AND the literal-expr
+    kernel on a sample (which pays its one-time giant-plan analysis
+    here), and the full-table pass must complete in bounded wall time —
+    the production-parameter-size proof for the kernel-switch
+    invariant."""
+    import itertools
+    import string
+    import time
+
+    from pyspark.sql import functions as F
+
+    from project_clinical_data_etl_pipeline_spark.tables import load
+
+    letters = string.ascii_lowercase
+    two = ["".join(p) for p in itertools.product(letters, repeat=2)]
+    three = ["".join(p) for p in itertools.product(letters, repeat=3)]
+    vocab = (
+        list(letters) + list("0123456789")
+        + ["##" + c for c in letters] + ["##" + d for d in "0123456789"]
+        + two + three
+        + ["##" + p for p in two] + ["##" + p for p in three[:11000]]
+    )
+    assert 29_000 <= len(vocab) <= 32_000  # BERT-scale (30,522 in paper)
+
+    d = load(spark, sf_dir, "documents")
+    # auto must pick arrow at this size, and never row-at-a-time Python
+    col = X.wordpiece_count("text", vocab, kernel="auto")
+    out = d.select("doc_id", col.alias("n"))
+    t0 = time.time()
+    got = {r["doc_id"]: r["n"] for r in out.collect()}
+    elapsed = time.time() - t0
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+    assert elapsed < 60, f"30k-vocab arrow pass took {elapsed:.1f}s"
+
+    texts = {r["doc_id"]: r["text"] for r in d.select("doc_id", "text").collect()}
+    want = {i: _python_oracle(t, vocab) for i, t in texts.items()}
+    assert got == want
+
+    # literal-expr parity on a sample: the expr plan inlines ~47k
+    # bucketed literals — its one-time analysis cost is exactly what
+    # the auto switch exists to avoid, paid here once as the parity
+    # baseline
+    sample = d.filter(F.col("doc_id") < 20)
+    expr_col = X.wordpiece_count("text", vocab, kernel="expr")
+    expr_got = {
+        r["doc_id"]: r["n"]
+        for r in sample.select("doc_id", expr_col.alias("n")).collect()
+    }
+    assert expr_got == {i: want[i] for i in expr_got}
