@@ -41,10 +41,23 @@ ALPHABET_V = 37
 def _bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, __bg): all character bigrams of the normalized text —
     map-side ``explode(sequence)`` + substring fan-out, linear in
-    chars. Docs with < 2 normalized chars emit nothing."""
+    chars. Docs with < 2 normalized chars emit nothing.
+
+    fan_out first: the explode multiplies each row into ~|text| rows,
+    so a narrow scan (single-file corpus = 1-2 partitions) runs the
+    whole fan-out near-serial — measured 20.3s -> 4.5s at sf1 on
+    local[32] (SCALE.md). A no-op when the scan is already wide."""
+    from .dedup import fan_out
+
     nt = normalize_text(F.col(text_col))
     return (
-        df.filter(F.col(text_col).isNotNull())
+        # project to (id, text) BEFORE the repartition so the shuffle
+        # moves only the two columns the fan-out needs
+        fan_out(
+            df.filter(F.col(text_col).isNotNull()).select(
+                F.col(id_col), F.col(text_col)
+            )
+        )
         .select(F.col(id_col), nt.alias("__nt"))
         .filter(F.length("__nt") >= 2)
         .select(

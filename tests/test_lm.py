@@ -65,3 +65,22 @@ def test_lm_broadcasts_and_corpus_never_shuffles_text(spark, sf_dir):
     for seg in plan.split("Exchange")[1:]:
         first = seg.split("+-")[0]
         assert "text#" not in first, first
+
+
+def test_bigram_fanout_widens_narrow_scan(spark):
+    """The bigram explode multiplies each row ~|text|-fold, so a
+    narrow (single-partition) input must be fanned out before the
+    fan-out stage — measured 4.5x at sf1 (SCALE.md). Pinned here: a
+    1-partition frame's bigram plan runs at session shuffle
+    parallelism."""
+    from project_clinical_data_etl_pipeline_spark.operators.lm import _bigrams
+
+    one = spark.createDataFrame(
+        [(i, "abcdef" * 10) for i in range(100)], "doc_id long, text string"
+    ).coalesce(1)
+    assert one.rdd.getNumPartitions() == 1
+    bg = _bigrams(one, "doc_id", "text")
+    n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert bg.rdd.getNumPartitions() >= n
+    # and the values are unaffected: 60 chars -> 59 bigrams per doc
+    assert bg.count() == 100 * 59
