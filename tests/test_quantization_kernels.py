@@ -144,3 +144,28 @@ def test_ks256_pq_topk_bounded_compile_and_codes_only_scan(
     index_scans = [s for s in schemas if "pq_code" in s]
     assert index_scans, plan
     assert all("embedding" not in s for s in index_scans), index_scans
+
+
+def test_ivfpq256_bench_serving_contract(spark, sf_dir):
+    """bench.py's ks=256 serving twin end-to-end at production
+    parameters: k results per query, bucket-pruned scan reading codes
+    (never vectors), and ZERO Python in the probe plan — the decode is
+    the broadcast-joined codebook lookup, so the faiss-standard ks
+    never inlines its 16,384 scalars into Catalyst."""
+    from project_clinical_data_etl_pipeline_spark.queries.llmdata import (
+        ivfpq256_probe,
+    )
+
+    out = ivfpq256_probe(spark, sf_dir)
+    rows = out.collect()
+    by_q: dict[int, int] = {}
+    for r in rows:
+        by_q[r["query_id"]] = by_q.get(r["query_id"], 0) + 1
+    assert set(by_q) == set(range(8)) and all(v == 5 for v in by_q.values())
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SelectedBucketsCount" in plan
+    seg = next(s for s in plan.split("FileScan") if "SelectedBucketsCount" in s)
+    schema = seg[seg.index("ReadSchema: "):].split("\n")[0]
+    assert "pq_code" in schema and "embedding" not in schema, schema
+    assert "EvalPython" not in plan  # probe+decode stay all-JVM
