@@ -443,10 +443,14 @@ def interval_overlap_join(
     # Both sides are fact-sized in the typical self-join case, but the
     # explode keeps Catalyst's size estimate low enough that it happily
     # BROADCASTS a million-row build side — slow here, catastrophic at
-    # 100 TB. Pin the scale-true shape: shuffled hash join on
-    # (key, bucket), AQE-skew-splittable.
+    # 100 TB. Pin the scale-true shape: SORT-MERGE join on
+    # (key, bucket). Not shuffle_hash (the pre-round-9 pin): a hash
+    # join's build-side map cannot spill, and at sf1 a hot (key,
+    # bucket) partition died with "not enough memory to build hash
+    # map" (SCALE.md) — sort-merge pays a spillable sort instead and
+    # stays AQE-skew-splittable.
     return (
-        l.join(r.hint("shuffle_hash"), on=[*keys, "__bucket"])
+        l.join(r.hint("merge"), on=[*keys, "__bucket"])
         .filter(first_common & overlaps)
         .withColumn(
             "overlap_us",
