@@ -25,12 +25,12 @@ QUERIES: dict[str, QuerySpec] = {}
         SELECT l_returnflag, l_linestatus,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
                    AS sum_disc_price,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
                         * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))
-                        * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE)
+                        * (CAST(1 AS DECIMAL(4,2)) + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE)
                    AS sum_charge,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_qty,
                CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_price,
@@ -42,7 +42,13 @@ QUERIES: dict[str, QuerySpec] = {}
     """,
     doc="TPC-H Q1 pricing summary — the headline scan+agg bench query. "
     "Maps OP-39 group-count onto the classic 8-aggregate shape. One scan, "
-    "map-side partial agg, shuffle carries |groups|×partitions rows only.",
+    "map-side partial agg, shuffle carries |groups|×partitions rows only. "
+    "The product sums ROUND to scale 2 (money) BEFORE the double cast: a "
+    "scale-6 DECIMAL sum's unscaled int128 crosses 2^53 at sf1, where "
+    "DuckDB's decimal->double cast double-rounds ((double)int128 then "
+    "/10^scale) while Spark's BigDecimal path rounds once — a measured "
+    "1-ulp cross-engine divergence (SCALE.md). Scale-2 keeps the "
+    "unscaled value exactly representable until ~sf4000.",
     tags=("bench",),
 )
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -57,13 +63,18 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(dec2("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(dec2("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(dec2("l_extendedprice") * (one - dec_small("l_discount")))
+            F.round(
+                F.sum(dec2("l_extendedprice") * (one - dec_small("l_discount"))), 2
+            )
             .cast("double")
             .alias("sum_disc_price"),
-            F.sum(
-                dec2("l_extendedprice")
-                * (one - dec_small("l_discount"))
-                * (one + dec_small("l_tax"))
+            F.round(
+                F.sum(
+                    dec2("l_extendedprice")
+                    * (one - dec_small("l_discount"))
+                    * (one + dec_small("l_tax"))
+                ),
+                2,
             )
             .cast("double")
             .alias("sum_charge"),

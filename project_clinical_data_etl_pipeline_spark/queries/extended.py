@@ -373,8 +373,8 @@ def hierarchy_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     QUERIES,
     "q6_forecast_revenue",
     sql="""
-        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue
+        SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE) AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
           AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
@@ -397,9 +397,14 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24.0)
         )
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * F.col("l_discount").cast("decimal(4,2)")
+            # round to scale 2 pre-cast: q1's 2^53-unscaled DuckDB cast
+            # hazard (SCALE.md) — one global sum, crosses at ~sf700
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * F.col("l_discount").cast("decimal(4,2)")
+                ),
+                2,
             )
             .cast("double")
             .alias("revenue")
@@ -509,8 +514,8 @@ def dim_rollup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_regional_revenue",
     sql="""
         SELECT n_name,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+               CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (CAST(1 AS DECIMAL(4,2)) - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE)
                    AS revenue
         FROM lineitem, orders, customer, nation, region
         WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
@@ -544,9 +549,14 @@ def q5_regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.sum(
-                F.col("l_extendedprice").cast("decimal(18,2)")
-                * (one - F.col("l_discount").cast("decimal(4,2)"))
+            # round to scale 2 pre-cast: q1's 2^53-unscaled DuckDB cast
+            # hazard (SCALE.md) — this global-ish sum crosses at ~sf700
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(18,2)")
+                    * (one - F.col("l_discount").cast("decimal(4,2)"))
+                ),
+                2,
             )
             .cast("double")
             .alias("revenue")
