@@ -33,7 +33,11 @@ def normalize_text(col: Column) -> Column:
     return F.trim(c)
 
 
-def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+def fan_out(
+    df: DataFrame,
+    min_partitions: int | None = None,
+    min_bytes: int = 0,
+) -> DataFrame:
     """Round-robin repartition iff the input is narrower than the session's
     shuffle parallelism. Expensive per-row map stages (signatures,
     shingling) otherwise run on however few partitions the scan produced
@@ -41,13 +45,34 @@ def fan_out(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
 
     At 100 TB this is a no-op (the scan already yields thousands of
     partitions); it only pays the shuffle when the input is pathologically
-    narrow relative to the cluster."""
+    narrow relative to the cluster.
+
+    ``min_bytes`` adds a cost floor for call sites whose per-row work is
+    only MODERATELY heavy: below it, the widened stage's shuffle + extra
+    task scheduling cost more than the serial map it saves (measured:
+    the classifier's regex features over sf0.1's 0.6 MB corpus lose
+    ~0.5 s to a 32-way fan-out that wins 1.7x at sf1's 6 MB — and its
+    8 GD jobs each re-pay the width against the checkpointed
+    projection). The estimate is Catalyst's optimized-plan
+    ``sizeInBytes`` (file size x column-pruning fraction — driver-side,
+    no job). Truly heavy stages (explode fan-outs: |text| rows per row)
+    should keep the default 0 — they amortize any shuffle."""
     try:
         n = min_partitions or int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
     except Exception:
         n = min_partitions or 32
+    if min_bytes:
+        try:
+            # py4j maps the scala BigInt straight to a Python int
+            est = int(
+                df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+            )
+            if est < min_bytes:
+                return df
+        except Exception:
+            pass  # stats unavailable -> fall through to the width check
     if df.rdd.getNumPartitions() < n:
         return df.repartition(n)
     return df

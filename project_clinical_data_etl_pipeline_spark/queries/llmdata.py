@@ -1395,8 +1395,15 @@ def quality_classifier_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fan_out the (id, text) projection before feature extraction: the
     # regex-heavy features (stopword ratio, mean word length) otherwise
     # run near-serial off a narrow single-file scan — measured 4.3s ->
-    # 2.5s at sf1 (SCALE.md); no-op when the scan is already wide
-    d = fan_out(load(spark, sf_dir, "documents").select("doc_id", "text"))
+    # 2.5s at sf1 (SCALE.md); no-op when the scan is already wide.
+    # min_bytes gates the toy end: below ~1 MB the widened checkpoint
+    # makes all 8 GD jobs pay 32-task scheduling for sub-second maps
+    # (measured -0.5s at sf0.1, whose pruned-scan estimate is 0.25 MB;
+    # sf1's is 2.6 MB — the floor sits geometrically between them).
+    d = fan_out(
+        load(spark, sf_dir, "documents").select("doc_id", "text"),
+        min_bytes=1 << 20,
+    )
     t = F.col("text")
     feats = d.select(
         "doc_id",

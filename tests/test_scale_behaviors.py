@@ -131,3 +131,28 @@ def test_components_converge_logarithmically_on_chains(spark):
     )
     got = {r["id"]: r["comp"] for r in D.dedup_components(pairs, max_iterations=7).collect()}
     assert got == {i: 0 for i in range(64)}
+
+
+def test_fan_out_size_gate(spark, sf_dir):
+    """fan_out(min_bytes=...) must skip the repartition when Catalyst's
+    optimized-plan size estimate is below the floor (toy inputs: the
+    widened stage costs more than the serial map it saves — measured
+    -0.5s on the classifier at sf0.1) and still widen above it. The
+    floor only ever SKIPS work, so correctness is unaffected."""
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    narrow = docs.rdd.getNumPartitions()
+    wide = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    assert narrow < wide, "fixture corpus must scan narrow for this test"
+
+    # A floor far above any test corpus: gate holds, width unchanged.
+    gated = D.fan_out(docs, min_bytes=1 << 40)
+    assert gated.rdd.getNumPartitions() == narrow
+
+    # A floor below the estimate (plan stats are >= ~file bytes; 1 byte
+    # is always below): gate passes, default widening applies.
+    widened = D.fan_out(docs, min_bytes=1)
+    assert widened.rdd.getNumPartitions() == wide
+
+    # Default (min_bytes=0) is the pre-gate behavior: always widen
+    # narrow scans — heavy stages (explode fan-outs) rely on this.
+    assert D.fan_out(docs).rdd.getNumPartitions() == wide
