@@ -260,9 +260,12 @@ def cell_assign_expr(
 #: thousands and the literal tree would be megabytes per plan.
 #: kernel='auto' switches to the Arrow kernel there (O(1) plan size,
 #: bit-identical assignment — pinned by tests/test_similarity_kernels).
-#: The graded suites stay below this bound (k ≤ 128 at dim 64) and keep
-#: the all-JVM plan.
-_ASSIGN_EXPR_MAX_SCALARS = 8192
+#: The bound is MEASURED, not argued: at 2,816 scalars (SemDeDup's
+#: k=44 at sf0.1) the expr kernel's repeated plan analysis costs the
+#: neardup suite ~0.7s/run more than Arrow (4.0s vs 3.3s min-of-3),
+#: so the crossover sits below it; the k=16 suites (1,024 scalars —
+#: IVF probe, ivfpq coarse) stay on the all-JVM expr path.
+_ASSIGN_EXPR_MAX_SCALARS = 2048
 
 
 def _cell_assign_arrow_udf(centroids: list[list[float]]):

@@ -80,9 +80,13 @@ def test_flags_shuffle_join_when_broadcast_expected(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # (b) every registered query passes the lint
 
-#: queries whose WHOLE POINT is a declared Arrow kernel
+#: queries whose WHOLE POINT is a declared Arrow kernel — plus
+#: embed_neardup_suite, whose derived k=44 at sf0.1 puts its Voronoi
+#: assignment past _ASSIGN_EXPR_MAX_SCALARS (the measured expr/arrow
+#: crossover, similarity.py) onto the declared Arrow kernel
 _PYTHON_KERNEL = {"op44_vectorized_udf", "multimodal_decode",
-                  "multimodal_frame_sample", "sessionize_events"}
+                  "multimodal_frame_sample", "sessionize_events",
+                  "embed_neardup_suite"}
 #: queries that broadcast a declared-tiny side into a non-equi join
 #: (query vectors — bounded by construction). embed_neardup_suite left
 #: this list in round 5: its cell assignment is now a map-side codegen
