@@ -681,6 +681,200 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= threshold)
 
 
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.5,
+    positional: bool = True,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via prefix filtering — output-identical
+    to :func:`ngram_jaccard_pairs` (df_max=None) but with candidate
+    generation bounded by the AllPairs/PPJoin prefix principle
+    (Chaudhuri et al. SSJoin 2006; Bayardo et al. WWW'07; Xiao et al.
+    WWW'08 — all public):
+
+      two shingle sets with J(A,B) ≥ t MUST share a token inside each
+      other's PREFIX — the first ``n − ⌈t·n⌉ + 1`` tokens under a global
+      canonical order. Ordering tokens by ascending document frequency
+      makes the indexed prefix tokens the RAREST ones, so posting lists
+      in the self-join are short where the naive inverted index is hot.
+
+    Stages (all linear shuffles; candidate set is the only data-dependent
+    term, and it shrinks as t grows):
+      1. global df per shingle (one partial-agg groupBy);
+      2. per-doc sort by (df, shingle) — deterministic total order —
+         and slice the prefix;
+      3. self-join on prefix tokens + LENGTH filter (t·max ≤ min) and,
+         when ``positional``, the PPJoin positional bound
+         ``1 + min(n_a − p_a, n_b − p_b) ≥ ⌈t/(1+t)·(n_a+n_b)⌉``
+         (kept iff ANY shared prefix token passes — weaker than
+         PPJoin's sequential accumulation, therefore sound);
+      4. distinct candidate pairs re-join their full distinct-shingle
+         arrays and verify EXACTLY via array_intersect.
+
+    Candidate filters use epsilon-guarded ceils (never drop a boundary
+    pair to float error); the final filter is the exact integer ratio,
+    so the output matches the naive path bit-for-bit.
+
+    Use the naive :func:`ngram_jaccard_pairs` for t ≲ 0.1 (prefix ≈ the
+    whole set there — the sort/df-join overhead buys nothing); this path
+    is the dense-corpus scale answer for realistic thresholds, where the
+    naive index's every-shingle fan-out is quadratic (measured in
+    SCALE.md: the bench corpus's 31-word vocabulary makes every shingle
+    medium-hot)."""
+    if not (0.0 < threshold <= 1.0):
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    eps = 1e-9
+    sizes = (
+        with_shingles(fan_out(df), text_col, k)
+        .select(
+            F.col(id_col).alias("__id"),
+            F.array_distinct(F.col("__shingles")).alias("__sh"),
+        )
+        .select("__id", "__sh", F.size("__sh").alias("__n"))
+    )
+    tok = sizes.select("__id", "__n", F.explode("__sh").alias("__s"))
+    dfreq = tok.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
+    # per-doc canonical order: ascending (df, shingle) — deterministic
+    ranked = tok.join(dfreq, "__s")
+    sorted_docs = ranked.groupBy("__id").agg(
+        F.min("__n").alias("__n"),
+        F.array_sort(F.collect_list(F.struct("__df", "__s"))).alias("__toks"),
+    )
+    # prefix length p = n − ⌈t·n⌉ + 1 (ceil guarded DOWN so float error
+    # can only lengthen the prefix, never lose a true pair)
+    plen = (
+        F.col("__n")
+        - F.ceil(F.col("__n").cast("double") * F.lit(threshold) - F.lit(eps))
+        + F.lit(1)
+    ).cast("int")
+    pref = sorted_docs.select(
+        "__id",
+        "__n",
+        F.posexplode(F.slice("__toks", 1, plen)).alias("__pos", "__t"),
+    ).select("__id", "__n", "__pos", F.col("__t.__s").alias("__s"))
+    l, r = pref.alias("l"), pref.alias("r")
+    joined = l.join(r, on="__s").filter(F.col("l.__id") < F.col("r.__id"))
+    # length filter: J ≥ t ⇒ t·max(na,nb) ≤ min(na,nb)
+    na, nb = F.col("l.__n"), F.col("r.__n")
+    joined = joined.filter(
+        F.greatest(na, nb).cast("double") * F.lit(threshold)
+        <= F.least(na, nb).cast("double") + F.lit(eps)
+    )
+    if positional:
+        # overlap requirement α = ⌈t/(1+t)·(na+nb)⌉ (guarded down);
+        # upper bound from this match's suffix lengths must reach it
+        alpha = F.ceil(
+            (na + nb).cast("double") * F.lit(threshold / (1.0 + threshold))
+            - F.lit(eps)
+        )
+        ubound = F.lit(1) + F.least(
+            na - F.col("l.__pos") - F.lit(1), nb - F.col("r.__pos") - F.lit(1)
+        )
+        joined = joined.filter(ubound >= alpha)
+    cands = joined.select(
+        F.col("l.__id").alias("id_a"), F.col("r.__id").alias("id_b")
+    ).distinct()
+    # exact verification: rejoin the full distinct-shingle arrays
+    a = sizes.select(
+        F.col("__id").alias("id_a"),
+        F.col("__sh").alias("__sha"),
+        F.col("__n").alias("__na"),
+    )
+    b = sizes.select(
+        F.col("__id").alias("id_b"),
+        F.col("__sh").alias("__shb"),
+        F.col("__n").alias("__nb"),
+    )
+    inter = F.size(F.array_intersect("__sha", "__shb"))
+    jac = inter.cast("double") / (
+        F.col("__na") + F.col("__nb") - inter
+    ).cast("double")
+    return (
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= F.lit(threshold))
+    )
+
+
+def line_dedup_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_chars: int = 1,
+) -> DataFrame:
+    """C4-style cross-document line deduplication (Raffel et al. 2020
+    §2.2 keep-one-occurrence policy, applied at line granularity):
+    every distinct line longer than ``min_chars − 1`` characters keeps
+    exactly its FIRST occurrence — ordered by (doc id, line position) —
+    and every other occurrence, in any document, is removed. Lines
+    shorter than ``min_chars`` (e.g. blanks) always survive, preserving
+    document structure.
+
+    Returns one row per input document:
+      (id, text_clean, n_lines_kept, n_lines_dropped, kept_frac) —
+    documents whose every line was dropped stay present with an empty
+    ``text_clean``.
+
+    Scale shape: the winner per distinct line is ``min(struct(id, pos))``
+    under a groupBy on the LINE — partial aggregation (map-side combine)
+    collapses hot boilerplate lines before the shuffle, unlike a
+    row_number window, whose hot-line partition would sort every copy in
+    one task. The join back (lines × one-row-per-distinct-line winners)
+    never expands, and AQE's skew-join split handles hot lines. Two
+    linear corpus shuffles total (winner join + per-doc reassembly) —
+    inherent, since reconstruction must co-locate each doc's lines."""
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n", -1)).alias(
+            "__pos", "__line"
+        ),
+    )
+    dedupable = lines.filter(F.length("__line") >= min_chars)
+    keep_always = lines.filter(F.length("__line") < min_chars)
+    winners = dedupable.groupBy("__line").agg(
+        F.min(F.struct("__id", "__pos")).alias("__w")
+    )
+    kept_dedup = (
+        dedupable.join(winners, "__line")
+        .filter(
+            (F.col("__id") == F.col("__w.__id"))
+            & (F.col("__pos") == F.col("__w.__pos"))
+        )
+        .select("__id", "__pos", "__line")
+    )
+    kept = kept_dedup.unionByName(keep_always.select("__id", "__pos", "__line"))
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda x: x["__line"],
+            ),
+            "\n",
+        ).alias("text_clean"),
+        F.count(F.lit(1)).alias("n_lines_kept"),
+    )
+    totals = lines.groupBy("__id").agg(F.count(F.lit(1)).alias("__total"))
+    return (
+        totals.join(rebuilt, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.coalesce("text_clean", F.lit("")).alias("text_clean"),
+            F.coalesce("n_lines_kept", F.lit(0)).alias("n_lines_kept"),
+            (F.col("__total") - F.coalesce("n_lines_kept", F.lit(0))).alias(
+                "n_lines_dropped"
+            ),
+            (
+                F.coalesce("n_lines_kept", F.lit(0)).cast("double")
+                / F.col("__total").cast("double")
+            ).alias("kept_frac"),
+        )
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str,

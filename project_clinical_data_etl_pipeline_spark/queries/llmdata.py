@@ -389,6 +389,61 @@ _SIMHASH_MD5_SQL = f"""
 """
 
 
+# C4-style cross-document line dedup (keep-one-occurrence): winner per
+# distinct line = first (doc_id, position); blank lines always kept.
+# The twin re-derives it with a row_number window — equivalent to the
+# Spark side's min(struct(doc_id, pos)) winner because (doc_id, p) is
+# unique per occurrence.
+_LINEDUP_SQL = """
+    WITH dl AS (
+        SELECT doc_id, string_split(text, chr(10)) AS l FROM documents
+    ),
+    lx AS (
+        SELECT doc_id, l, unnest(generate_series(1, len(l))) AS p FROM dl
+    ),
+    lines AS (SELECT doc_id, p, l[p] AS line FROM lx),
+    ranked AS (
+        SELECT doc_id, p, line,
+               CASE WHEN length(line) >= 1
+                    THEN row_number() OVER (PARTITION BY line
+                                            ORDER BY doc_id, p)
+                    ELSE 1 END AS rn
+        FROM lines
+    ),
+    rebuilt AS (
+        SELECT doc_id,
+               string_agg(line, chr(10) ORDER BY p) AS text_clean,
+               count(*) AS n_kept
+        FROM ranked WHERE rn = 1 GROUP BY doc_id
+    ),
+    totals AS (SELECT doc_id, count(*) AS total FROM lines GROUP BY doc_id)
+    SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+           md5(coalesce(r.text_clean, '')) AS clean_hash,
+           CAST(t.total - coalesce(r.n_kept, 0) AS BIGINT) AS n_dropped,
+           CAST(coalesce(r.n_kept, 0) AS DOUBLE) / CAST(t.total AS DOUBLE)
+               AS kept_frac
+    FROM totals t LEFT JOIN rebuilt r ON t.doc_id = r.doc_id
+"""
+
+
+def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style global line dedup (operators.dedup.line_dedup_corpus):
+    each distinct non-blank line keeps exactly its first (doc_id, pos)
+    occurrence corpus-wide; docs reassemble from surviving lines. The
+    winner aggregate partial-combines map-side (the hot-boilerplate skew
+    answer — no row_number window sort over a hot line's copies).
+    Graded as the 'linedup' leg of dedup_exact_jaccard_suite."""
+    out = D.line_dedup_corpus(
+        load(spark, sf_dir, "documents"), "doc_id", "text", min_chars=1
+    )
+    return out.select(
+        "doc_id",
+        F.md5("text_clean").alias("clean_hash"),
+        F.col("n_lines_dropped").alias("n_dropped"),
+        "kept_frac",
+    )
+
+
 def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc md5-family SimHash signature (operators.dedup.
     with_simhash_md5_hex) — graded as the 'simhash' leg of
@@ -436,6 +491,12 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
                doc_id AS id_a, CAST(NULL AS BIGINT) AS id_b,
                CAST(NULL AS DOUBLE) AS jaccard
         FROM ({_SIMHASH_MD5_SQL})
+        UNION ALL
+        SELECT 'linedup' AS part, clean_hash AS content_hash,
+               doc_id AS keep_id, n_dropped AS n_dups,
+               CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
+               kept_frac AS jaccard
+        FROM ({_LINEDUP_SQL})
     """,
     doc="Dedup suite: the exact normalized-hash leg (only (hash, id) "
     "shuffles — never text; keep = min id), the exact 3-shingle "
@@ -446,8 +507,10 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "production kernel shares its banding tail, so only the hash "
     "family itself stays rows-only), plus the md5-family SimHash "
     "signature leg (hex-string bit votes, duplicate shingles vote "
-    "each — both sketch FAMILIES are now oracle-graded). Independent "
-    "legs; zero-shuffle concat.",
+    "each — both sketch FAMILIES are now oracle-graded), plus the "
+    "C4-style cross-document line-dedup leg (keep-one-occurrence per "
+    "distinct line; partial-agg winner rule, no hot-line window sort). "
+    "Independent legs; zero-shuffle concat.",
     tags=("llm",),
 )
 def dedup_exact_jaccard_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,7 +550,18 @@ def dedup_exact_jaccard_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("id_b"),
         F.lit(None).cast("double").alias("jaccard"),
     )
-    return exact.unionByName(jac).unionByName(mh).unionByName(sh)
+    ld = corpus_line_dedup(spark, sf_dir).select(
+        F.lit("linedup").alias("part"),
+        F.col("clean_hash").alias("content_hash"),
+        F.col("doc_id").alias("keep_id"),
+        F.col("n_dropped").alias("n_dups"),
+        F.lit(None).cast("bigint").alias("id_a"),
+        F.lit(None).cast("bigint").alias("id_b"),
+        F.col("kept_frac").alias("jaccard"),
+    )
+    return (
+        exact.unionByName(jac).unionByName(mh).unionByName(sh).unionByName(ld)
+    )
 
 
 def dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
