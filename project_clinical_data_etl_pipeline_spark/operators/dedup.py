@@ -688,6 +688,7 @@ def jaccard_pairs_prefix(
     k: int = 3,
     threshold: float = 0.5,
     positional: bool = True,
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via prefix filtering — output-identical
     to :func:`ngram_jaccard_pairs` (df_max=None) but with candidate
@@ -723,7 +724,15 @@ def jaccard_pairs_prefix(
     is the dense-corpus scale answer for realistic thresholds, where the
     naive index's every-shingle fan-out is quadratic (measured in
     SCALE.md: the bench corpus's 31-word vocabulary makes every shingle
-    medium-hot)."""
+    medium-hot).
+
+    ``checkpoint`` (default True) puts localCheckpoint lineage cuts on
+    the shingle-array frame and the exploded prefix: the plan references
+    each TWICE (self-join) plus the arrays twice more (verification), so
+    a lazy lineage re-runs the shingling regex pipeline up to six times —
+    measured 72s → ~30s at sf1/t=0.7, vs the naive path's 138s. Pass
+    False where executor-loss resilience matters more than the saved
+    recomputation (localCheckpoint blocks are not fault-tolerant)."""
     if not (0.0 < threshold <= 1.0):
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     eps = 1e-9
@@ -735,6 +744,8 @@ def jaccard_pairs_prefix(
         )
         .select("__id", "__sh", F.size("__sh").alias("__n"))
     )
+    if checkpoint:
+        sizes = sizes.localCheckpoint()
     tok = sizes.select("__id", "__n", F.explode("__sh").alias("__s"))
     dfreq = tok.groupBy("__s").agg(F.count(F.lit(1)).alias("__df"))
     # per-doc canonical order: ascending (df, shingle) — deterministic
@@ -755,6 +766,10 @@ def jaccard_pairs_prefix(
         "__n",
         F.posexplode(F.slice("__toks", 1, plen)).alias("__pos", "__t"),
     ).select("__id", "__n", "__pos", F.col("__t.__s").alias("__s"))
+    if checkpoint:
+        # fixed-width (id, n, pos, token) rows — cheap to materialize,
+        # read twice by the self-join
+        pref = pref.localCheckpoint()
     l, r = pref.alias("l"), pref.alias("r")
     joined = l.join(r, on="__s").filter(F.col("l.__id") < F.col("r.__id"))
     # length filter: J ≥ t ⇒ t·max(na,nb) ≤ min(na,nb)
