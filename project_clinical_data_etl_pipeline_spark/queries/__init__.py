@@ -59,7 +59,7 @@ _ORDER: tuple[str, ...] = (
     # --- TPC-H-style headline bench queries ---
     "q1_pricing_summary",
     "q3_top_revenue_orders",
-    "q4_priority_with_late_items",
+    "tpch_extension_suite",
     "q5_regional_revenue",
     "q6_forecast_revenue",
     "dim_rollup_suite",
