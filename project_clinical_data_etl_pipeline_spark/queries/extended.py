@@ -19,6 +19,7 @@ from ..operators import hierarchy as H
 from ..operators import relational as R
 from ..tables import load
 from .base import QuerySpec, spec
+from .tpch_ext import EXTRA_LEGS as TPCH_EXTRA_LEGS
 
 QUERIES: dict[str, QuerySpec] = {}
 
@@ -753,6 +754,12 @@ def tpch_q19_branded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EXTRA_LEG_SQL = "\n        UNION ALL\n".join(
+    f"        SELECT '{name}' AS part, k, v FROM ({sql})"
+    for name, _fn, sql in TPCH_EXTRA_LEGS
+)
+
+
 @spec(
     QUERIES,
     "tpch_extension_suite",
@@ -773,14 +780,26 @@ def tpch_q19_branded(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'q14' AS part, k, v FROM ({_Q14_SQL})
         UNION ALL
         SELECT 'q19' AS part, k, v FROM ({_Q19_SQL})
+        UNION ALL
+{_EXTRA_LEG_SQL}
     """,
-    doc="TPC-H extension suite normalized to (part, k, v): Q4 priority "
-    "check (EXISTS → left-semi), Q7 bilateral volume (6-table join, "
-    "nation-pair filter, revenue by nation-pair×year), Q10 returned-item "
-    "top-20 customers (deterministic rank: rounded revenue DESC, custkey "
-    "ASC), Q14 promo share per month (conditional DECIMAL sum), Q19 "
-    "disjunctive brand/size/quantity revenue. Q2/Q9/Q12 need "
-    "partsupp/commitdate/shipmode — absent from the driver schema.",
+    doc="TPC-H extension suite normalized to (part, k, v): all 17 TPC-H "
+    "query shapes beyond the standalone q1/q3/q5/q6 entries, so every "
+    "one of the 22 dbgen queries has a graded analog. Q4 priority check "
+    "(EXISTS → left-semi), Q7 bilateral volume, Q10 returned-item top-20, "
+    "Q14 promo share, Q19 disjunctive brand/size/quantity revenue, plus "
+    "the round-9 legs (queries/tpch_ext.py): Q2 min-cost supplier "
+    "(derived partsupp + aggregate-then-join-back), Q8 market share, Q9 "
+    "profit (10% retail cost model), Q11 stock-value threshold (scalar "
+    "subquery), Q12 late-priority counts, Q13 order-count distribution "
+    "(left join with ON-clause filter), Q15 scalar-max top supplier, Q16 "
+    "distinct-supplier counts (anti-join exclusion), Q17 correlated-avg "
+    "small-quantity revenue, Q18 HAVING-semi large orders, Q20 "
+    "stock/demand ratio nest, Q21 semi+anti lineitem self-join, Q22 "
+    "dormant high-balance customers (scalar threshold + anti-join). "
+    "partsupp/commitdate/shipmode/phone don't exist in the driver "
+    "schema; the analogs derive partsupp from the fact table and adapt "
+    "columns as documented per leg.",
 )
 def tpch_extension_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     q4 = q4_priority_with_late_items(spark, sf_dir).select(
@@ -796,7 +815,7 @@ def tpch_extension_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ("q14", tpch_q14_promo),
             ("q19", tpch_q19_branded),
         )
-    ]
+    ] + [(name, fn(spark, sf_dir)) for name, fn, _sql in TPCH_EXTRA_LEGS]
     out = q4
     for name, df in legs:
         out = out.unionByName(df.select(F.lit(name).alias("part"), "k", "v"))
