@@ -322,6 +322,31 @@ def op40_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op40_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD history of each user's event_type over the events
+    stream (operators.relational.scd2_history): consecutive same-type
+    runs collapse to one versioned (valid_from, valid_to] interval,
+    open interval = current version. Graded as the 'scd2' leg of
+    op40_window_suite."""
+    e = load(spark, sf_dir, "events")
+    hist = R.scd2_history(
+        e, key="user_id", attr="event_type", ts="ts",
+        order_cols=["ts", "event_id"],
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss"
+    return hist.select(
+        "user_id",
+        "event_type",
+        F.concat_ws(
+            "|",
+            F.date_format("valid_from", fmt),
+            F.coalesce(F.date_format("valid_to", fmt), F.lit("current")),
+        ).alias("interval"),
+        "version",
+        F.col("is_current").cast("bigint").alias("is_current"),
+    )
+
+
 @spec(
     QUERIES,
     "op40_window_suite",
@@ -348,14 +373,41 @@ def op40_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       ORDER BY ts DESC, event_id DESC) AS rn
             FROM events
         ) WHERE rn = 1
+        UNION ALL
+        SELECT 'scd2' AS part,
+               strftime(valid_from, '%Y-%m-%d %H:%M:%S') || '|' ||
+                 coalesce(strftime(valid_to, '%Y-%m-%d %H:%M:%S'),
+                          'current') AS bucket,
+               event_type,
+               user_id,
+               CAST(version AS BIGINT) AS event_id,
+               CAST(valid_to IS NULL AS BIGINT) AS n_events,
+               CAST(NULL AS DOUBLE) AS total_value
+        FROM (
+            SELECT user_id, event_type, ts AS valid_from,
+                   lead(ts) OVER w2 AS valid_to,
+                   row_number() OVER w2 AS version
+            FROM (
+                SELECT user_id, event_type, ts, event_id,
+                       lag(event_type) OVER w1 AS prev,
+                       row_number() OVER w1 AS rn
+                FROM events
+                WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            WHERE rn = 1 OR prev IS DISTINCT FROM event_type
+            WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
     """,
     doc="OP-40 window-function suite: the weekly time-bucket trend "
     "(date_trunc hash-agg) unioned with latest-event-per-user computed "
     "by the WINDOWLESS max_by argmax (operators.relational."
     "argmax_per_key) — the oracle re-derives the latter with a ranking "
     "window, proving argmax ≡ row_number()=1 under a unique order "
-    "tuple. Two independent single-shuffle legs; the union is a "
-    "zero-shuffle concat.",
+    "tuple — and (round 9) the type-2 SCD change history of each "
+    "user's event_type (operators.relational.scd2_history: lag change "
+    "flag → lead interval close → version number; the warehouse "
+    "change-capture shape). Three independent legs, each one "
+    "hash-partition of its key; the union is a zero-shuffle concat.",
     tags=("window",),
 )
 def op40_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,7 +429,16 @@ def op40_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n_events"),
         F.lit(None).cast("double").alias("total_value"),
     )
-    return trend.unionByName(latest)
+    scd2 = op40_scd2_history(spark, sf_dir).select(
+        F.lit("scd2").alias("part"),
+        F.col("interval").alias("bucket"),
+        "event_type",
+        "user_id",
+        F.col("version").alias("event_id"),
+        F.col("is_current").alias("n_events"),
+        F.lit(None).cast("double").alias("total_value"),
+    )
+    return trend.unionByName(latest).unionByName(scd2)
 
 
 def op43_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
