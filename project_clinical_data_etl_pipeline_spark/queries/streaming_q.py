@@ -167,6 +167,11 @@ _STREAM_TEMPORAL_SQL = f"""
                    - 1000000 AS lim_us
         FROM events WHERE event_type IN ('click', 'purchase')
     ),
+    lim_all AS (
+        SELECT (epoch_us(max(ts)) // 1000 - {_HORIZON_S * 1000}) * 1000
+                   - 1000000 AS lim_us
+        FROM events
+    ),
     p AS (SELECT event_id, user_id, epoch_us(ts) AS t
           FROM events WHERE event_type = 'purchase'),
     c AS (SELECT event_id, user_id, epoch_us(ts) AS t
@@ -180,13 +185,15 @@ _STREAM_TEMPORAL_SQL = f"""
     )
     SELECT 'asof' AS part, event_id, user_id, t AS ts_us,
            match_event_id, match_ts_us,
-           CAST(NULL AS BIGINT) AS n_right
+           CAST(NULL AS BIGINT) AS n_right,
+           CAST(NULL AS VARCHAR) AS attr
     FROM m, lim WHERE rn = 1 AND t < lim_us
     UNION ALL
     SELECT 'range' AS part, er.event_id, er.user_id, er.t AS ts_us,
            CAST(NULL AS BIGINT) AS match_event_id,
            CAST(NULL AS BIGINT) AS match_ts_us,
-           CAST(count(*) AS BIGINT) AS n_right
+           CAST(count(*) AS BIGINT) AS n_right,
+           CAST(NULL AS VARCHAR) AS attr
     FROM (SELECT event_id, user_id, epoch_us(ts) AS t
           FROM events WHERE event_type = 'error') er
     JOIN (SELECT user_id, epoch_us(ts) AS t
@@ -194,6 +201,29 @@ _STREAM_TEMPORAL_SQL = f"""
       ON cl.user_id = er.user_id
          AND er.t - cl.t >= 0 AND er.t - cl.t < {_HORIZON_S * 1000000}
     GROUP BY er.event_id, er.user_id, er.t
+    UNION ALL
+    SELECT 'scd2' AS part, CAST(version AS BIGINT) AS event_id, user_id,
+           valid_from_us AS ts_us,
+           CAST(NULL AS BIGINT) AS match_event_id,
+           valid_to_us AS match_ts_us,
+           CAST(NULL AS BIGINT) AS n_right,
+           attr
+    FROM (
+        SELECT user_id, attr, valid_from_us,
+               lead(valid_from_us) OVER w2 AS valid_to_us,
+               row_number() OVER w2 AS version
+        FROM (
+            SELECT user_id, event_type AS attr, epoch_us(ts) AS valid_from_us,
+                   event_id,
+                   lag(event_type) OVER w1 AS prev,
+                   row_number() OVER w1 AS rn
+            FROM events
+            WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        WHERE rn = 1 OR prev IS DISTINCT FROM attr
+        WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from_us, event_id)
+    ), lim_all
+    WHERE valid_to_us IS NOT NULL AND valid_to_us < lim_us
 """
 
 
@@ -213,8 +243,13 @@ _STREAM_TEMPORAL_SQL = f"""
     "watermarked stream-stream inner join (streaming/temporal.py) — "
     "clicks within the 10 minutes before each error, grouped to "
     "per-error counts; a single micro-batch emits the complete pair "
-    "set, equal to the batch binned range join. State on both legs is "
-    "O(watermark horizon × key arrival rate), never history-sized.",
+    "set, equal to the batch binned range join. 'scd2' leg (round 9): "
+    "the streaming type-2 SCD change-capture kernel "
+    "(streaming/scd2.py) — closed versions finalized once the closing "
+    "change row clears the watermark, proven equal to the batch "
+    "scd2_history under the same cutoff (derived over ALL events for "
+    "this unfiltered stream). State on every leg is O(watermark "
+    "horizon × key arrival rate), never history-sized.",
     tags=("streaming", "temporal"),
 )
 def stream_temporal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,6 +313,7 @@ def stream_temporal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("matched_event_id").alias("match_event_id"),
             F.col("matched_ts_us").alias("match_ts_us"),
             F.lit(None).cast("bigint").alias("n_right"),
+            F.lit(None).cast("string").alias("attr"),
         )
     )
 
@@ -318,9 +354,53 @@ def stream_temporal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(None).cast("bigint").alias("match_event_id"),
             F.lit(None).cast("bigint").alias("match_ts_us"),
             "n_right",
+            F.lit(None).cast("string").alias("attr"),
         )
     )
-    return asof_leg.unionByName(range_leg)
+
+    # --- scd2 leg: custom stateful change-capture kernel ---
+    from ..streaming.scd2 import stream_scd2_history
+
+    name_s = f"stsuite_scd2_{uuid.uuid4().hex[:8]}"
+    qs = (
+        stream_scd2_history(_event_stream(spark, sf_dir), watermark_s=_HORIZON_S)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name_s)
+        .start()
+    )
+    try:
+        qs.processAllAvailable()
+    finally:
+        qs.stop()
+    scd2_rows = spark.table(name_s).localCheckpoint(eager=True)
+    spark.catalog.dropTempView(name_s)
+    # same deterministic cutoff, derived over ALL events (the scd2
+    # stream is unfiltered, so its watermark comes from the global max)
+    lim_all_us = int(
+        e.agg(
+            (
+                (F.floor(F.max(ux) / 1000).cast("bigint") - _HORIZON_S * 1000)
+                * 1000
+                - 1_000_000
+            ).alias("__lim_us")
+        ).collect()[0][0]
+    )
+    scd2_leg = (
+        scd2_rows
+        .filter(F.col("valid_to_us") < F.lit(lim_all_us))
+        .select(
+            F.lit("scd2").alias("part"),
+            F.col("version").alias("event_id"),
+            "user_id",
+            F.col("valid_from_us").alias("ts_us"),
+            F.lit(None).cast("bigint").alias("match_event_id"),
+            F.col("valid_to_us").alias("match_ts_us"),
+            F.lit(None).cast("bigint").alias("n_right"),
+            "attr",
+        )
+    )
+    return asof_leg.unionByName(range_leg).unionByName(scd2_leg)
 
 
 @spec(
