@@ -453,12 +453,33 @@ def q4_priority_with_late_items(spark: SparkSession, sf_dir: str) -> DataFrame:
             ORDER BY n DESC, group_key ASC
             LIMIT 10
         )
+        UNION ALL
+        SELECT 'roll:' || coalesce(r_name, 'ALL') || '/'
+                       || coalesce(n_name, 'ALL') AS group_key,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS metric
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP(r_name, n_name)
+        UNION ALL
+        SELECT 'cube:' || coalesce(c_mktsegment, 'ALL') || '/'
+                       || coalesce(o_orderpriority, 'ALL') AS group_key,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS metric
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY CUBE(c_mktsegment, o_orderpriority)
     """,
     doc="Dimension-rollup suite (OP-24/39 shapes beyond the graded "
     "op24/op39 queries): supplier-side broadcast-nation enrichment with "
     "decimal-exact balance sums, unioned with the part-catalog brand "
     "rollup (decimal-exact average + deterministic top-10, "
-    "TakeOrderedAndProject).",
+    "TakeOrderedAndProject), plus (round 9) native GROUPING SETS "
+    "coverage: GROUP BY ROLLUP(region, nation) over supplier balances "
+    "and GROUP BY CUBE(mktsegment, orderpriority) over order totals — "
+    "Spark's Expand-based multi-level aggregate (one scan, one shuffle "
+    "for every grouping set) graded against DuckDB's ROLLUP/CUBE. "
+    "Dimension values never collide with the 'ALL' sentinel.",
 )
 def dim_rollup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.scalars import decimal_sum
@@ -496,7 +517,51 @@ def dim_rollup_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), F.col("group_key").asc())
         .limit(10)
     )
-    return supplier_side.unionByName(part_side)
+    r = load(spark, sf_dir, "region")
+    roll_side = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            decimal_sum("s_acctbal").alias("metric"),
+        )
+        .select(
+            F.concat(
+                F.lit("roll:"),
+                F.coalesce(F.col("r_name"), F.lit("ALL")),
+                F.lit("/"),
+                F.coalesce(F.col("n_name"), F.lit("ALL")),
+            ).alias("group_key"),
+            "n",
+            "metric",
+        )
+    )
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    cube_side = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .cube("c_mktsegment", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            decimal_sum("o_totalprice").alias("metric"),
+        )
+        .select(
+            F.concat(
+                F.lit("cube:"),
+                F.coalesce(F.col("c_mktsegment"), F.lit("ALL")),
+                F.lit("/"),
+                F.coalesce(F.col("o_orderpriority"), F.lit("ALL")),
+            ).alias("group_key"),
+            "n",
+            "metric",
+        )
+    )
+    return (
+        supplier_side.unionByName(part_side)
+        .unionByName(roll_side)
+        .unionByName(cube_side)
+    )
 
 
 @spec(
