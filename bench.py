@@ -133,6 +133,9 @@ _DIRECT = {
     "ivfpq_probe": "llmdata",  # bench-only serving path (never graded)
     "bm25_multi_search": "llmdata",  # bench-only batched variant
     "ivfpq256_probe": "llmdata",  # bench-only ks=256 serving twin
+    # r9: graded inside hierarchy_graph_suite (closure ∪ pagerank);
+    # this timing series stays the closure alone, same label since r5
+    "hierarchy_transitive_closure": "extended",
 }
 
 

@@ -86,3 +86,73 @@ def descendants_of_any(
         on="ancestor_id",
         how="inner",
     ).select(F.col("descendant_id"), F.col("ancestor_id"), F.col("min_depth"))
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    rank_dp: int = 10,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list
+    ``(src, dst)`` — the graph-centrality primitive (Brin & Page 1998;
+    simplified form without dangling-mass redistribution, the common
+    analytics variant). Returns ``(node, rank)`` for every node
+    appearing in the edge list.
+
+    Bit-reproducible cross-engine by the classifier's round-shield
+    recipe (operators/classify.py): per-edge contributions round to
+    ``rank_dp`` decimals and accumulate as DECIMAL(28, rank_dp) — the
+    only order-sensitive float reduction becomes an exact integer sum —
+    and each new rank re-rounds before it feeds the next iteration, so
+    a DuckDB oracle replaying the same chain lands on identical
+    doubles. Divisions and the damping blend are single IEEE ops on
+    identical inputs.
+
+    Plan shape at scale: per iteration, one equi-join of the edge list
+    with the N-row rank frame (partial-combined groupBy on dst) + one
+    left join back to the node set — both shuffle on node id; AQE
+    broadcasts the rank frame when small. ``iterations`` is fixed (no
+    driver-side convergence loop), so the whole run is
+    ``iterations × 2`` shuffles. Lineage is cut per iteration with a
+    lazy localCheckpoint: five chained join/agg rounds would otherwise
+    re-derive every prior iteration at each action.
+    """
+    e = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n = nodes.count()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    base = (1.0 - damping) / n
+    dec = f"decimal(28,{rank_dp})"
+
+    ranks = nodes.select("node", F.round(F.lit(1.0 / n), rank_dp).alias("rank"))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e.src == ranks.node)
+            .join(deg, on="src")
+            .groupBy("dst")
+            .agg(
+                F.sum(
+                    F.round(F.col("rank") / F.col("outdeg"), rank_dp).cast(dec)
+                ).alias("acc")
+            )
+        )
+        ranks = (
+            nodes.join(contribs, nodes.node == contribs.dst, "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(base)
+                    + F.lit(damping)
+                    * F.coalesce(F.col("acc").cast("double"), F.lit(0.0)),
+                    rank_dp,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks

@@ -54,8 +54,8 @@ _ORDER: tuple[str, ...] = (
     "op33_live_timestamp",
     # --- sources / sinks / serde (§2.2) ---
     "op03_37_serde_suite",
-    # --- hierarchy (§4.3.1) ---
-    "hierarchy_transitive_closure",
+    # --- hierarchy / graph algorithms (§4.3.1 + extension) ---
+    "hierarchy_graph_suite",
     # --- TPC-H-style headline bench queries ---
     "q1_pricing_summary",
     "q3_top_revenue_orders",

@@ -335,10 +335,74 @@ def op03_37_serde_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roundtrip.unionByName(json_leg)
 
 
+def hierarchy_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §4.3.1 SNOMED-style transitive closure (generalized ECL <<
+    over the one-hop edges of src/coding_task_1.py:158): path-doubling
+    iterative self-join to fixpoint (⌈log2 depth⌉ shuffles, not depth),
+    checked against DuckDB's recursive CTE on a ~11-level synthetic
+    binary-tree hierarchy derived from customer keys. Graded as the
+    'closure' leg of hierarchy_graph_suite; standalone for bench.py's
+    timing series (same label as rounds 5-8)."""
+    c = load(spark, sf_dir, "customer")
+    edges = c.filter(F.col("c_custkey") >= 2).select(
+        F.col("c_custkey").alias("child_id"),
+        (F.col("c_custkey") / 2).cast("bigint").alias("parent_id"),
+    )
+    closure = H.transitive_closure(edges)
+    return closure.select(
+        "descendant_id", "ancestor_id", F.col("min_depth").cast("int").alias("min_depth")
+    )
+
+
+_PR_ITERS, _PR_DAMPING, _PR_DP = 5, 0.85, 10
+
+
+def _pagerank_sql() -> str:
+    """DuckDB twin of operators.hierarchy.pagerank on the consecutive-
+    lineitem part graph: the same 5 rounds of round-shielded
+    contribution sums, generated as a CTE chain (the Lloyd-training
+    oracle pattern). Float literals are inlined via repr() so both
+    engines start from bit-identical doubles."""
+    base_num = repr(1.0 - _PR_DAMPING)
+    legs = []
+    for i in range(1, _PR_ITERS + 1):
+        legs.append(f"""
+    r{i} AS (
+        SELECT n2.node,
+               ROUND({base_num} / (SELECT n FROM nn)
+                     + {_PR_DAMPING!r} * COALESCE(CAST(s.acc AS DOUBLE), 0.0),
+                     {_PR_DP}) AS rank
+        FROM nodes n2 LEFT JOIN (
+            SELECT e.dst,
+                   SUM(CAST(ROUND(p.rank / d.outdeg, {_PR_DP})
+                            AS DECIMAL(28,{_PR_DP}))) AS acc
+            FROM edges e
+            JOIN r{i - 1} p ON e.src = p.node
+            JOIN deg d ON e.src = d.src
+            GROUP BY e.dst) s ON n2.node = s.dst
+    )""")
+    return f"""
+    WITH edges AS (
+        SELECT DISTINCT l.l_partkey AS src, r.l_partkey AS dst
+        FROM lineitem l JOIN lineitem r
+          ON l.l_orderkey = r.l_orderkey
+         AND r.l_linenumber = l.l_linenumber + 1
+    ),
+    nodes AS (SELECT src AS node FROM edges
+              UNION SELECT dst AS node FROM edges),
+    deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
+    nn AS (SELECT count(*) AS n FROM nodes),
+    r0 AS (SELECT node, ROUND(1.0 / (SELECT n FROM nn), {_PR_DP}) AS rank
+           FROM nodes),
+    {",".join(legs)}
+    SELECT node, rank FROM r{_PR_ITERS}
+"""
+
+
 @spec(
     QUERIES,
-    "hierarchy_transitive_closure",
-    sql="""
+    "hierarchy_graph_suite",
+    sql=f"""
         WITH RECURSIVE e AS (
             SELECT c_custkey AS child_id, c_custkey // 2 AS parent_id
             FROM customer WHERE c_custkey >= 2
@@ -350,25 +414,55 @@ def op03_37_serde_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT cl.descendant_id, e.parent_id, cl.min_depth + 1
             FROM cl JOIN e ON cl.ancestor_id = e.child_id
         )
-        SELECT descendant_id, ancestor_id, CAST(min(min_depth) AS INT) AS min_depth
-        FROM cl GROUP BY 1, 2
+        SELECT 'closure' AS part, descendant_id AS node_a, ancestor_id AS node_b,
+               CAST(min(min_depth) AS INT) AS depth, CAST(NULL AS DOUBLE) AS score
+        FROM cl GROUP BY 1, 2, 3
+        UNION ALL
+        SELECT 'pagerank' AS part, node AS node_a, CAST(NULL AS BIGINT) AS node_b,
+               CAST(NULL AS INT) AS depth, rank AS score
+        FROM ({_pagerank_sql()})
     """,
-    doc="SURVEY §4.3.1 SNOMED-style transitive closure (generalized ECL << "
-    "over the one-hop edges of src/coding_task_1.py:158): path-doubling "
-    "iterative self-join to fixpoint (⌈log2 depth⌉ shuffles, not depth), "
-    "checked against DuckDB's recursive CTE on a ~11-level synthetic "
-    "binary-tree hierarchy derived from customer keys.",
+    doc="Graph-algorithm suite. 'closure' leg: the §4.3.1 SNOMED-style "
+    "transitive closure (path-doubling to fixpoint, ⌈log2 depth⌉ "
+    "shuffles) vs DuckDB's recursive CTE. 'pagerank' leg (round 9): "
+    "5-iteration damped PageRank (operators.hierarchy.pagerank) over "
+    "the consecutive-lineitem part graph — per-edge contributions "
+    "round-shielded to 10 dp and summed as DECIMAL(28,10) so the only "
+    "order-sensitive float reduction is exact, making the iterative "
+    "chain bit-reproducible against the oracle's generated 5-CTE "
+    "replay (the classifier/Lloyd grading recipe applied to a graph "
+    "algorithm).",
 )
-def hierarchy_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = load(spark, sf_dir, "customer")
-    edges = c.filter(F.col("c_custkey") >= 2).select(
-        F.col("c_custkey").alias("child_id"),
-        (F.col("c_custkey") / 2).cast("bigint").alias("parent_id"),
+def hierarchy_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    closure = hierarchy_transitive_closure(spark, sf_dir).select(
+        F.lit("closure").alias("part"),
+        F.col("descendant_id").alias("node_a"),
+        F.col("ancestor_id").alias("node_b"),
+        F.col("min_depth").alias("depth"),
+        F.lit(None).cast("double").alias("score"),
     )
-    closure = H.transitive_closure(edges)
-    return closure.select(
-        "descendant_id", "ancestor_id", F.col("min_depth").cast("int").alias("min_depth")
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
     )
+    l, r = li.alias("l"), li.alias("r")
+    edges = l.join(
+        r,
+        (F.col("l.l_orderkey") == F.col("r.l_orderkey"))
+        & (F.col("r.l_linenumber") == F.col("l.l_linenumber") + 1),
+    ).select(
+        F.col("l.l_partkey").alias("src"), F.col("r.l_partkey").alias("dst")
+    )
+    ranks = H.pagerank(
+        edges, iterations=_PR_ITERS, damping=_PR_DAMPING, rank_dp=_PR_DP
+    )
+    pr = ranks.select(
+        F.lit("pagerank").alias("part"),
+        F.col("node").alias("node_a"),
+        F.lit(None).cast("bigint").alias("node_b"),
+        F.lit(None).cast("int").alias("depth"),
+        F.col("rank").alias("score"),
+    )
+    return closure.unionByName(pr)
 
 
 @spec(
