@@ -1385,3 +1385,77 @@ def semantic_dedup(
         .withColumn("semdedup_keep", F.col("__dropped").isNull())
         .drop("__dropped")
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 3,
+) -> DataFrame:
+    """Fuzzy near-duplicate pairs by Levenshtein distance — the
+    entity-resolution / master-data member of the dedup family (exact
+    hash, shingle Jaccard, MinHash, SimHash, line dedup, and now edit
+    distance). Returns one row per unordered pair of DISTINCT values
+    whose edit distance is ≤ ``max_dist``:
+    ``(val_a, val_b, n_a, n_b, min_id_a, min_id_b, dist, sim)`` with
+    ``sim = 1 − dist / max(len_a, len_b)`` (both engines derive it
+    from the same integers — one IEEE division, no ulp boundary).
+
+    Plan shape at scale: rows first collapse to the distinct VALUE
+    domain (one hash aggregate — the only pass over the full data);
+    candidate pairs then come from a length-banded EQUI-join — the
+    right side replicates to the ``2·max_dist + 1`` length buckets it
+    can match (|len_a − len_b| ≤ dist is a true lower bound, so the
+    banding loses nothing), the left side joins on its own length, and
+    each pair meets exactly once. No theta join, no nested loop; the
+    JVM-side ``levenshtein`` prunes the band. For huge value domains
+    (edit distance over full documents) the candidate step should be
+    q-gram prefix blocking instead — see ``jaccard_pairs_prefix``;
+    length banding is the exact, blocking-free form for the
+    short-string entity domains this operator targets.
+    """
+    vals = (
+        df.groupBy(F.col(text_col).alias("val"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.col(id_col)).alias("min_id"),
+        )
+        .withColumn("len", F.length("val"))
+    )
+    left = vals.select(
+        F.col("val").alias("val_a"),
+        F.col("n").alias("n_a"),
+        F.col("min_id").alias("min_id_a"),
+        F.col("len").alias("len_a"),
+        F.col("len").alias("__bucket"),
+    )
+    right = vals.select(
+        F.col("val").alias("val_b"),
+        F.col("n").alias("n_b"),
+        F.col("min_id").alias("min_id_b"),
+        F.col("len").alias("len_b"),
+        F.explode(
+            F.sequence(F.col("len") - max_dist, F.col("len") + max_dist)
+        ).alias("__bucket"),
+    )
+    d = F.levenshtein(F.col("val_a"), F.col("val_b"))
+    return (
+        left.join(right, on="__bucket")
+        .filter(F.col("val_a") < F.col("val_b"))
+        .filter(d <= max_dist)
+        .select(
+            "val_a",
+            "val_b",
+            "n_a",
+            "n_b",
+            "min_id_a",
+            "min_id_b",
+            d.cast("int").alias("dist"),
+            (
+                F.lit(1.0)
+                - d.cast("double")
+                / F.greatest("len_a", "len_b").cast("double")
+            ).alias("sim"),
+        )
+    )

@@ -444,6 +444,43 @@ def corpus_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_EDITDIST_SQL = """
+    WITH vals AS (
+        SELECT p_name AS val, count(*) AS n, min(p_partkey) AS min_id,
+               length(p_name) AS len
+        FROM part GROUP BY p_name
+    )
+    SELECT a.val || '|' || b.val AS pair_key,
+           a.min_id AS min_id_a, b.min_id AS min_id_b,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           1.0 - CAST(levenshtein(a.val, b.val) AS DOUBLE)
+               / CAST(greatest(a.len, b.len) AS DOUBLE) AS sim
+    FROM vals a JOIN vals b
+      ON a.val < b.val AND abs(a.len - b.len) <= 3
+    WHERE levenshtein(a.val, b.val) <= 3
+"""
+
+
+def dedup_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Levenshtein near-dup pairs over the part-name entity domain
+    (operators.dedup.edit_distance_pairs, max_dist=3) — the
+    entity-resolution member of the dedup family. Distinct-value
+    aggregate → length-banded EQUI-join (no theta/BNLJ) → JVM-side
+    levenshtein prune. Graded as the 'editdist' leg of
+    dedup_exact_jaccard_suite."""
+    out = D.edit_distance_pairs(
+        load(spark, sf_dir, "part"), "p_partkey", "p_name", max_dist=3
+    )
+    return out.select(
+        F.concat_ws("|", "val_a", "val_b").alias("pair_key"),
+        "min_id_a",
+        "min_id_b",
+        "n_a",
+        "n_b",
+        "sim",
+    )
+
+
 def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc md5-family SimHash signature (operators.dedup.
     with_simhash_md5_hex) — graded as the 'simhash' leg of
@@ -497,6 +534,12 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(NULL AS BIGINT) AS id_a, CAST(NULL AS BIGINT) AS id_b,
                kept_frac AS jaccard
         FROM ({_LINEDUP_SQL})
+        UNION ALL
+        SELECT 'editdist' AS part, pair_key AS content_hash,
+               min_id_a AS keep_id, min_id_b AS n_dups,
+               n_a AS id_a, n_b AS id_b,
+               sim AS jaccard
+        FROM ({_EDITDIST_SQL})
     """,
     doc="Dedup suite: the exact normalized-hash leg (only (hash, id) "
     "shuffles — never text; keep = min id), the exact 3-shingle "
@@ -509,7 +552,10 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "signature leg (hex-string bit votes, duplicate shingles vote "
     "each — both sketch FAMILIES are now oracle-graded), plus the "
     "C4-style cross-document line-dedup leg (keep-one-occurrence per "
-    "distinct line; partial-agg winner rule, no hot-line window sort). "
+    "distinct line; partial-agg winner rule, no hot-line window sort), "
+    "plus (round 9) the Levenshtein entity-resolution leg: distinct "
+    "values → length-banded equi-join (|Δlen| ≤ d is a lossless bound) "
+    "→ JVM-side edit-distance prune, over the part-name domain. "
     "Independent legs; zero-shuffle concat.",
     tags=("llm",),
 )
@@ -559,8 +605,18 @@ def dedup_exact_jaccard_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("id_b"),
         F.col("kept_frac").alias("jaccard"),
     )
+    ed = dedup_editdist_pairs(spark, sf_dir).select(
+        F.lit("editdist").alias("part"),
+        F.col("pair_key").alias("content_hash"),
+        F.col("min_id_a").alias("keep_id"),
+        F.col("min_id_b").alias("n_dups"),
+        F.col("n_a").alias("id_a"),
+        F.col("n_b").alias("id_b"),
+        F.col("sim").alias("jaccard"),
+    )
     return (
-        exact.unionByName(jac).unionByName(mh).unionByName(sh).unionByName(ld)
+        exact.unionByName(jac).unionByName(mh).unionByName(sh)
+        .unionByName(ld).unionByName(ed)
     )
 
 
