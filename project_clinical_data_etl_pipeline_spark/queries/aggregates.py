@@ -178,6 +178,27 @@ _OP39_43_SQL = """
            quantile_cont(o_totalprice, 0.5) AS median_price,
            quantile_cont(o_totalprice, 0.9) AS p90_price
     FROM orders GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'unpivot' AS part,
+           p_brand || '/' || measure AS o_orderstatus,
+           CAST(NULL AS BIGINT) AS c_custkey,
+           CAST(NULL AS BIGINT) AS n_urgent,
+           CAST(NULL AS BIGINT) AS n_high,
+           CAST(NULL AS BIGINT) AS n_total,
+           value AS median_price,
+           CAST(NULL AS DOUBLE) AS p90_price
+    FROM (
+        WITH wide AS (
+            SELECT p_brand,
+                   CAST(SUM(p_size) AS DOUBLE) / count(*) AS avg_size,
+                   CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+                       / count(*) AS avg_retail
+            FROM part GROUP BY p_brand
+        )
+        SELECT p_brand, 'avg_size' AS measure, avg_size AS value FROM wide
+        UNION ALL
+        SELECT p_brand, 'avg_retail' AS measure, avg_retail AS value FROM wide
+    )
 """
 
 
@@ -195,8 +216,11 @@ _OP39_43_SQL = """
     "buffers each group's values (ObjectHashAggregate) — correct for "
     "low-cardinality/bounded groups like order status; the unbounded-"
     "group scale path is approx_percentile's mergeable GK sketch, "
-    "equivalence-gated in tests/test_properties.py. Three independent "
-    "single-shuffle legs; zero-shuffle concat.",
+    "equivalence-gated in tests/test_properties.py. Plus (round 9) the "
+    "'unpivot' leg: Spark's native DataFrame.unpivot melting per-brand "
+    "wide aggregates to long form — the Expand-based inverse of the "
+    "pivot leg, oracle-matched via the ANSI UNION ALL formulation. "
+    "Four independent single-shuffle legs; zero-shuffle concat.",
 )
 def op39_43_agg_set_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     pctl_nulls = [
@@ -231,7 +255,41 @@ def op39_43_agg_set_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "median_price",
         "p90_price",
     )
-    return pivoted.unionByName(unioned).unionByName(pctl)
+    unpivoted = op39_brand_unpivot(spark, sf_dir).select(
+        F.lit("unpivot").alias("part"),
+        F.concat_ws("/", "p_brand", "measure").alias("o_orderstatus"),
+        F.lit(None).cast("bigint").alias("c_custkey"),
+        F.lit(None).cast("bigint").alias("n_urgent"),
+        F.lit(None).cast("bigint").alias("n_high"),
+        F.lit(None).cast("bigint").alias("n_total"),
+        F.col("value").alias("median_price"),
+        F.lit(None).cast("double").alias("p90_price"),
+    )
+    return (
+        pivoted.unionByName(unioned).unionByName(pctl).unionByName(unpivoted)
+    )
+
+
+def op39_brand_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The inverse of the pivot leg: per-brand wide aggregates melted
+    back to long form with Spark's NATIVE ``DataFrame.unpivot`` (the
+    Expand-based melt — one scan, no join; the oracle re-derives it as
+    the ANSI UNION ALL formulation). Graded as the 'unpivot' leg of
+    op39_43_agg_set_suite."""
+    p = load(spark, sf_dir, "part")
+    wide = p.groupBy("p_brand").agg(
+        (F.sum("p_size").cast("double") / F.count(F.lit(1))).alias("avg_size"),
+        (
+            F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_retail"),
+    )
+    return wide.unpivot(
+        ids=["p_brand"],
+        values=["avg_size", "avg_retail"],
+        variableColumnName="measure",
+        valueColumnName="value",
+    )
 
 
 def order_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
