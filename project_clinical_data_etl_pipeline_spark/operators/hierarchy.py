@@ -88,26 +88,36 @@ def descendants_of_any(
     ).select(F.col("descendant_id"), F.col("ancestor_id"), F.col("min_depth"))
 
 
+#: Fixed-point scale for pagerank(): ranks are BIGINTs in units of
+#: 10^-PAGERANK_SCALE_DP (1e12 units per unit of probability mass).
+PAGERANK_SCALE_DP = 12
+
+
 def pagerank(
     edges: DataFrame,
     iterations: int = 5,
-    damping: float = 0.85,
-    rank_dp: int = 10,
+    damping_pct: int = 85,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list
     ``(src, dst)`` — the graph-centrality primitive (Brin & Page 1998;
     simplified form without dangling-mass redistribution, the common
     analytics variant). Returns ``(node, rank)`` for every node
-    appearing in the edge list.
+    appearing in the edge list, with ``rank`` the fixed-point integer
+    rank cast to double (exact: < 2^53) divided by 10^12.
 
-    Bit-reproducible cross-engine by the classifier's round-shield
-    recipe (operators/classify.py): per-edge contributions round to
-    ``rank_dp`` decimals and accumulate as DECIMAL(28, rank_dp) — the
-    only order-sensitive float reduction becomes an exact integer sum —
-    and each new rank re-rounds before it feeds the next iteration, so
-    a DuckDB oracle replaying the same chain lands on identical
-    doubles. Divisions and the damping blend are single IEEE ops on
-    identical inputs.
+    Bit-reproducible cross-engine by FIXED-POINT INTEGER arithmetic —
+    stronger than the classifier's decimal round-shield: ranks live as
+    BIGINTs in 1e-12 units, contributions are integer DIV by
+    out-degree, the per-node reduction is an exact BIGINT sum, and the
+    damping blend is ``(damping_pct · s) DIV 100``. There is no
+    floating-point operation anywhere in the iteration, so no rounding
+    mode or half-boundary can ever diverge between engines. (A first
+    attempt used round(rank/outdeg, 10): ranks quantized to 10 dp and
+    divided by even out-degrees land EXACTLY on decimal halves, where
+    Spark's HALF_UP-on-shortest-repr and DuckDB's float-scaling round
+    disagree systematically — integers make the whole class
+    unreachable.) The only FP op is the final display division, one
+    IEEE divide per row on identical inputs.
 
     Plan shape at scale: per iteration, one equi-join of the edge list
     with the N-row rank frame (partial-combined groupBy on dst) + one
@@ -118,6 +128,7 @@ def pagerank(
     lazy localCheckpoint: five chained join/agg rounds would otherwise
     re-derive every prior iteration at each action.
     """
+    one = 10 ** PAGERANK_SCALE_DP
     e = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -127,32 +138,28 @@ def pagerank(
     )
     n = nodes.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    base = (1.0 - damping) / n
-    dec = f"decimal(28,{rank_dp})"
+    base_int = ((100 - damping_pct) * one) // (100 * n)
 
-    ranks = nodes.select("node", F.round(F.lit(1.0 / n), rank_dp).alias("rank"))
+    ranks = nodes.select("node", F.lit(one // n).cast("bigint").alias("r_int"))
     for _ in range(iterations):
         contribs = (
             e.join(ranks, e.src == ranks.node)
             .join(deg, on="src")
             .groupBy("dst")
-            .agg(
-                F.sum(
-                    F.round(F.col("rank") / F.col("outdeg"), rank_dp).cast(dec)
-                ).alias("acc")
-            )
+            .agg(F.sum(F.expr("r_int DIV outdeg")).alias("acc"))
         )
         ranks = (
             nodes.join(contribs, nodes.node == contribs.dst, "left")
             .select(
                 "node",
-                F.round(
-                    F.lit(base)
-                    + F.lit(damping)
-                    * F.coalesce(F.col("acc").cast("double"), F.lit(0.0)),
-                    rank_dp,
-                ).alias("rank"),
+                (
+                    F.lit(base_int)
+                    + F.expr(f"({damping_pct} * coalesce(acc, 0L)) DIV 100")
+                ).cast("bigint").alias("r_int"),
             )
             .localCheckpoint(eager=False)
         )
-    return ranks
+    return ranks.select(
+        "node",
+        (F.col("r_int").cast("double") / F.lit(float(one))).alias("rank"),
+    )

@@ -354,31 +354,31 @@ def hierarchy_transitive_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PR_ITERS, _PR_DAMPING, _PR_DP = 5, 0.85, 10
+_PR_ITERS, _PR_DAMPING_PCT = 5, 85
+_PR_ONE = 10 ** 12  # operators.hierarchy.PAGERANK_SCALE_DP
 
 
 def _pagerank_sql() -> str:
     """DuckDB twin of operators.hierarchy.pagerank on the consecutive-
-    lineitem part graph: the same 5 rounds of round-shielded
-    contribution sums, generated as a CTE chain (the Lloyd-training
-    oracle pattern). Float literals are inlined via repr() so both
-    engines start from bit-identical doubles."""
-    base_num = repr(1.0 - _PR_DAMPING)
+    lineitem part graph: the same 5 rounds of FIXED-POINT INTEGER
+    contribution sums (BIGINT ranks in 1e-12 units, integer DIV
+    everywhere — no FP op exists in the iteration, so no rounding-mode
+    divergence is possible), generated as a CTE chain (the
+    Lloyd-training oracle pattern)."""
+    d = _PR_DAMPING_PCT
+    base = f"(({100 - d} * {_PR_ONE}) // (100 * (SELECT n FROM nn)))"
     legs = []
     for i in range(1, _PR_ITERS + 1):
         legs.append(f"""
     r{i} AS (
         SELECT n2.node,
-               ROUND({base_num} / (SELECT n FROM nn)
-                     + {_PR_DAMPING!r} * COALESCE(CAST(s.acc AS DOUBLE), 0.0),
-                     {_PR_DP}) AS rank
+               CAST({base} + ({d} * COALESCE(s.acc, 0)) // 100
+                    AS BIGINT) AS r_int
         FROM nodes n2 LEFT JOIN (
-            SELECT e.dst,
-                   SUM(CAST(ROUND(p.rank / d.outdeg, {_PR_DP})
-                            AS DECIMAL(28,{_PR_DP}))) AS acc
+            SELECT e.dst, SUM(p.r_int // d2.outdeg) AS acc
             FROM edges e
             JOIN r{i - 1} p ON e.src = p.node
-            JOIN deg d ON e.src = d.src
+            JOIN deg d2 ON e.src = d2.src
             GROUP BY e.dst) s ON n2.node = s.dst
     )""")
     return f"""
@@ -392,10 +392,12 @@ def _pagerank_sql() -> str:
               UNION SELECT dst AS node FROM edges),
     deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY 1),
     nn AS (SELECT count(*) AS n FROM nodes),
-    r0 AS (SELECT node, ROUND(1.0 / (SELECT n FROM nn), {_PR_DP}) AS rank
+    r0 AS (SELECT node, CAST({_PR_ONE} // (SELECT n FROM nn) AS BIGINT)
+                            AS r_int
            FROM nodes),
     {",".join(legs)}
-    SELECT node, rank FROM r{_PR_ITERS}
+    SELECT node, CAST(r_int AS DOUBLE) / {float(_PR_ONE)!r} AS rank
+    FROM r{_PR_ITERS}
 """
 
 
@@ -426,12 +428,12 @@ def _pagerank_sql() -> str:
     "transitive closure (path-doubling to fixpoint, ⌈log2 depth⌉ "
     "shuffles) vs DuckDB's recursive CTE. 'pagerank' leg (round 9): "
     "5-iteration damped PageRank (operators.hierarchy.pagerank) over "
-    "the consecutive-lineitem part graph — per-edge contributions "
-    "round-shielded to 10 dp and summed as DECIMAL(28,10) so the only "
-    "order-sensitive float reduction is exact, making the iterative "
-    "chain bit-reproducible against the oracle's generated 5-CTE "
-    "replay (the classifier/Lloyd grading recipe applied to a graph "
-    "algorithm).",
+    "the consecutive-lineitem part graph — FIXED-POINT INTEGER "
+    "arithmetic (BIGINT ranks in 1e-12 units, integer DIV by "
+    "out-degree, exact BIGINT sums, integer damping blend): no FP op "
+    "exists in the iteration, so the chain is bit-reproducible against "
+    "the oracle's generated 5-CTE replay by construction, with no "
+    "round-boundary class at all.",
 )
 def hierarchy_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     closure = hierarchy_transitive_closure(spark, sf_dir).select(
@@ -453,7 +455,7 @@ def hierarchy_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l.l_partkey").alias("src"), F.col("r.l_partkey").alias("dst")
     )
     ranks = H.pagerank(
-        edges, iterations=_PR_ITERS, damping=_PR_DAMPING, rank_dp=_PR_DP
+        edges, iterations=_PR_ITERS, damping_pct=_PR_DAMPING_PCT
     )
     pr = ranks.select(
         F.lit("pagerank").alias("part"),

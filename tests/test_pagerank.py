@@ -1,41 +1,37 @@
 """operators.hierarchy.pagerank vs a standalone Python replay of the
-same round-shielded iteration. The graded 'pagerank' leg of
+same fixed-point integer iteration. The graded 'pagerank' leg of
 hierarchy_graph_suite covers the DuckDB cross-engine hash; this pins
-the kernel against an independent implementation and its invariants."""
+the kernel against an independent implementation and its invariants.
+All arithmetic is BIGINT (1e-12 rank units, integer DIV), so equality
+is exact by construction — no tolerance anywhere."""
 
 from __future__ import annotations
 
-from decimal import ROUND_HALF_UP, Decimal
-
 from pyspark.sql import functions as F
 
-from project_clinical_data_etl_pipeline_spark.operators.hierarchy import pagerank
+from project_clinical_data_etl_pipeline_spark.operators.hierarchy import (
+    PAGERANK_SCALE_DP,
+    pagerank,
+)
+
+_ONE = 10 ** PAGERANK_SCALE_DP
 
 
-def _round_half_up(x: float, dp: int) -> float:
-    # mirror Spark's round(double, dp): HALF_UP on the shortest-repr
-    # decimal of the double (BigDecimal.valueOf semantics)
-    return float(Decimal(repr(x)).quantize(Decimal(1).scaleb(-dp), ROUND_HALF_UP))
-
-
-def _py_pagerank(edges, iterations=5, damping=0.85, dp=10):
+def _py_pagerank(edges, iterations=5, damping_pct=85):
     edges = sorted(set(edges))
     nodes = sorted({s for s, _ in edges} | {d for _, d in edges})
     n = len(nodes)
     outdeg = {}
     for s, _ in edges:
         outdeg[s] = outdeg.get(s, 0) + 1
-    ranks = {v: _round_half_up(1.0 / n, dp) for v in nodes}
-    base = (1.0 - damping) / n
+    base = ((100 - damping_pct) * _ONE) // (100 * n)
+    r = {v: _ONE // n for v in nodes}
     for _ in range(iterations):
-        acc = {v: Decimal(0) for v in nodes}
+        acc = {v: 0 for v in nodes}
         for s, d in edges:
-            c = _round_half_up(ranks[s] / outdeg[s], dp)
-            acc[d] += Decimal(repr(c)).quantize(Decimal(1).scaleb(-dp))
-        ranks = {
-            v: _round_half_up(base + damping * float(acc[v]), dp) for v in nodes
-        }
-    return ranks
+            acc[d] += r[s] // outdeg[s]
+        r = {v: base + (damping_pct * acc[v]) // 100 for v in nodes}
+    return {v: r[v] / float(_ONE) for v in nodes}
 
 
 def _spark_ranks(spark, edges, **kw):
@@ -49,10 +45,7 @@ def test_matches_python_replay_on_random_graph(spark):
     edges = [((i * 7919) % 23, (i * 104729) % 23) for i in range(200)]
     got = _spark_ranks(spark, edges)
     want = _py_pagerank(edges)
-    assert got.keys() == want.keys()
-    assert all(abs(got[v] - want[v]) == 0.0 for v in want), {
-        v: (got[v], want[v]) for v in want if got[v] != want[v]
-    }
+    assert got == want  # exact: both sides are integer/2^k-free doubles
 
 
 def test_sink_node_and_source_node_behavior(spark):
@@ -62,9 +55,8 @@ def test_sink_node_and_source_node_behavior(spark):
     got = _spark_ranks(spark, edges)
     want = _py_pagerank(edges)
     assert got == want
-    base = 0.15 / 4
-    assert got[1] == got[4]  # sources keep only the base mass
-    assert abs(got[1] - round(base, 10)) < 1e-12
+    base = ((100 - 85) * _ONE) // (100 * 4) / float(_ONE)
+    assert got[1] == got[4] == base  # sources keep only the base mass
     assert min(got[2], got[3]) > got[1]  # fed nodes accumulate mass
 
 
