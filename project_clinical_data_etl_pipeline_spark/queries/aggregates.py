@@ -380,6 +380,39 @@ def op40_latest_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def op40_moving_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily event value per event_type — the
+    sliding-frame window shape (ROWS BETWEEN 6 PRECEDING AND CURRENT
+    ROW). The frame aggregates a DECIMAL(18,2) daily sum, so the
+    sliding reduction is exact in both engines regardless of whether
+    the engine recomputes or incrementally slides the frame (FP
+    subtract-on-evict drift is the classic cross-engine hazard here);
+    the final divide by the frame count is one IEEE op. Graded as the
+    'movavg' leg of op40_window_suite."""
+    from pyspark.sql import Window
+
+    from ..functions.scalars import decimal_sum  # noqa: F401 (doc pointer)
+
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("dsum"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy(F.col("day").asc())
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        F.date_format("day", "yyyy-MM-dd").alias("day_str"),
+        (
+            F.sum("dsum").over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("movavg"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("frame_n"),
+    )
+
+
 def op40_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Type-2 SCD history of each user's event_type over the events
     stream (operators.relational.scd2_history): consecutive same-type
@@ -432,6 +465,26 @@ def op40_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         ) WHERE rn = 1
         UNION ALL
+        SELECT 'movavg' AS part, day_str AS bucket, event_type,
+               CAST(NULL AS BIGINT) AS user_id,
+               CAST(NULL AS BIGINT) AS event_id,
+               frame_n AS n_events,
+               movavg AS total_value
+        FROM (
+            SELECT event_type,
+                   strftime(date_trunc('day', day), '%Y-%m-%d') AS day_str,
+                   CAST(SUM(dsum) OVER w AS DOUBLE) / COUNT(*) OVER w
+                       AS movavg,
+                   CAST(COUNT(*) OVER w AS BIGINT) AS frame_n
+            FROM (
+                SELECT event_type, date_trunc('day', ts) AS day,
+                       SUM(CAST(value AS DECIMAL(18,2))) AS dsum
+                FROM events GROUP BY 1, 2
+            )
+            WINDOW w AS (PARTITION BY event_type ORDER BY day
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        UNION ALL
         SELECT 'scd2' AS part,
                strftime(valid_from, '%Y-%m-%d %H:%M:%S') || '|' ||
                  coalesce(strftime(valid_to, '%Y-%m-%d %H:%M:%S'),
@@ -464,8 +517,11 @@ def op40_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tuple — and (round 9) the type-2 SCD change history of each "
     "user's event_type (operators.relational.scd2_history: lag change "
     "flag → lead interval close → version number; the warehouse "
-    "change-capture shape). Three independent legs, each one "
-    "hash-partition of its key; the union is a zero-shuffle concat.",
+    "change-capture shape) plus the sliding-frame 'movavg' leg (7-day "
+    "ROWS BETWEEN moving average over DECIMAL daily sums — exact "
+    "whether the engine slides or recomputes the frame). Four "
+    "independent legs, each one hash-partition of its key; the union "
+    "is a zero-shuffle concat.",
     tags=("window",),
 )
 def op40_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -487,6 +543,15 @@ def op40_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("bigint").alias("n_events"),
         F.lit(None).cast("double").alias("total_value"),
     )
+    movavg = op40_moving_average(spark, sf_dir).select(
+        F.lit("movavg").alias("part"),
+        F.col("day_str").alias("bucket"),
+        "event_type",
+        F.lit(None).cast("bigint").alias("user_id"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        F.col("frame_n").alias("n_events"),
+        F.col("movavg").alias("total_value"),
+    )
     scd2 = op40_scd2_history(spark, sf_dir).select(
         F.lit("scd2").alias("part"),
         F.col("interval").alias("bucket"),
@@ -496,7 +561,9 @@ def op40_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("is_current").alias("n_events"),
         F.lit(None).cast("double").alias("total_value"),
     )
-    return trend.unionByName(latest).unionByName(scd2)
+    return (
+        trend.unionByName(latest).unionByName(movavg).unionByName(scd2)
+    )
 
 
 def op43_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
