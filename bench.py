@@ -96,6 +96,11 @@ BENCH_QUERIES = [
     # ~2x of the toy-ks probe (same probed-slice volume, bigger
     # broadcast codebook), while build pays the 16x larger training.
     "ivfpq256_probe",
+    # round-9 addition: fixed-point integer PageRank over the
+    # consecutive-lineitem part graph (5 iterations × 2 shuffles, all
+    # BIGINT arithmetic) — the second iterative-algorithm series next
+    # to hierarchy_transitive_closure.
+    "pagerank_parts",
 ]
 
 # (bm25_search is graded as the 'bm25' leg of retrieval_suite; its
@@ -136,6 +141,7 @@ _DIRECT = {
     # r9: graded inside hierarchy_graph_suite (closure ∪ pagerank);
     # this timing series stays the closure alone, same label since r5
     "hierarchy_transitive_closure": "extended",
+    "pagerank_parts": "extended",  # r9: graded inside hierarchy_graph_suite
 }
 
 

@@ -401,6 +401,24 @@ def _pagerank_sql() -> str:
 """
 
 
+def pagerank_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone pagerank leg (bench.py timing series): fixed-point
+    integer PageRank over the consecutive-lineitem part graph. Graded
+    as the 'pagerank' leg of hierarchy_graph_suite."""
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey"
+    )
+    l, r = li.alias("l"), li.alias("r")
+    edges = l.join(
+        r,
+        (F.col("l.l_orderkey") == F.col("r.l_orderkey"))
+        & (F.col("r.l_linenumber") == F.col("l.l_linenumber") + 1),
+    ).select(
+        F.col("l.l_partkey").alias("src"), F.col("r.l_partkey").alias("dst")
+    )
+    return H.pagerank(edges, iterations=_PR_ITERS, damping_pct=_PR_DAMPING_PCT)
+
+
 @spec(
     QUERIES,
     "hierarchy_graph_suite",
@@ -443,20 +461,7 @@ def hierarchy_graph_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_depth").alias("depth"),
         F.lit(None).cast("double").alias("score"),
     )
-    li = load(spark, sf_dir, "lineitem").select(
-        "l_orderkey", "l_linenumber", "l_partkey"
-    )
-    l, r = li.alias("l"), li.alias("r")
-    edges = l.join(
-        r,
-        (F.col("l.l_orderkey") == F.col("r.l_orderkey"))
-        & (F.col("r.l_linenumber") == F.col("l.l_linenumber") + 1),
-    ).select(
-        F.col("l.l_partkey").alias("src"), F.col("r.l_partkey").alias("dst")
-    )
-    ranks = H.pagerank(
-        edges, iterations=_PR_ITERS, damping_pct=_PR_DAMPING_PCT
-    )
+    ranks = pagerank_parts(spark, sf_dir)
     pr = ranks.select(
         F.lit("pagerank").alias("part"),
         F.col("node").alias("node_a"),
