@@ -179,6 +179,30 @@ _OP39_43_SQL = """
            quantile_cont(o_totalprice, 0.9) AS p90_price
     FROM orders GROUP BY o_orderstatus
     UNION ALL
+    SELECT 'gapfill' AS part,
+           day_str AS o_orderstatus,
+           CAST(NULL AS BIGINT) AS c_custkey,
+           CAST(NULL AS BIGINT) AS n_urgent,
+           CAST(NULL AS BIGINT) AS n_high,
+           n AS n_total,
+           CAST(NULL AS DOUBLE) AS median_price,
+           CAST(NULL AS DOUBLE) AS p90_price
+    FROM (
+        WITH b AS (SELECT date_trunc('day', min(ts)) AS mn,
+                          date_trunc('day', max(ts)) AS mx
+                   FROM events),
+        spine AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 DAY))
+                      AS dday FROM b),
+        d AS (SELECT date_trunc('day', ts) AS dday,
+                     CAST(count(*) AS BIGINT) AS n
+              FROM events
+              WHERE event_type = 'purchase' AND value > 250.0
+              GROUP BY 1)
+        SELECT strftime(spine.dday, '%Y-%m-%d') AS day_str,
+               CAST(COALESCE(d.n, 0) AS BIGINT) AS n
+        FROM spine LEFT JOIN d ON spine.dday = d.dday
+    )
+    UNION ALL
     SELECT 'unpivot' AS part,
            p_brand || '/' || measure AS o_orderstatus,
            CAST(NULL AS BIGINT) AS c_custkey,
@@ -217,10 +241,13 @@ _OP39_43_SQL = """
     "low-cardinality/bounded groups like order status; the unbounded-"
     "group scale path is approx_percentile's mergeable GK sketch, "
     "equivalence-gated in tests/test_properties.py. Plus (round 9) the "
-    "'unpivot' leg: Spark's native DataFrame.unpivot melting per-brand "
-    "wide aggregates to long form — the Expand-based inverse of the "
-    "pivot leg, oracle-matched via the ANSI UNION ALL formulation. "
-    "Four independent single-shuffle legs; zero-shuffle concat.",
+    "'unpivot' leg — Spark's native DataFrame.unpivot melting "
+    "per-brand wide aggregates to long form, the Expand-based inverse "
+    "of the pivot leg, oracle-matched via the ANSI UNION ALL "
+    "formulation — and the 'gapfill' leg: time-series "
+    "resample-to-calendar (sequence+explode day spine over the "
+    "unfiltered range, left join, zero fill). Five independent "
+    "single-shuffle legs; zero-shuffle concat.",
 )
 def op39_43_agg_set_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     pctl_nulls = [
@@ -255,6 +282,16 @@ def op39_43_agg_set_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "median_price",
         "p90_price",
     )
+    gapfill = op39_gapfill_daily(spark, sf_dir).select(
+        F.lit("gapfill").alias("part"),
+        F.col("day_str").alias("o_orderstatus"),
+        F.lit(None).cast("bigint").alias("c_custkey"),
+        F.lit(None).cast("bigint").alias("n_urgent"),
+        F.lit(None).cast("bigint").alias("n_high"),
+        F.col("n").alias("n_total"),
+        F.lit(None).cast("double").alias("median_price"),
+        F.lit(None).cast("double").alias("p90_price"),
+    )
     unpivoted = op39_brand_unpivot(spark, sf_dir).select(
         F.lit("unpivot").alias("part"),
         F.concat_ws("/", "p_brand", "measure").alias("o_orderstatus"),
@@ -266,7 +303,37 @@ def op39_43_agg_set_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("p90_price"),
     )
     return (
-        pivoted.unionByName(unioned).unionByName(pctl).unionByName(unpivoted)
+        pivoted.unionByName(unioned).unionByName(pctl)
+        .unionByName(gapfill).unionByName(unpivoted)
+    )
+
+
+def op39_gapfill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling (resample-to-calendar): a generated day
+    spine over the observed range (sequence + explode — the engine-side
+    calendar, no driver loop) left-joined with a sparse filtered daily
+    series, absent days zero-filled. The spine bounds come from the
+    UNFILTERED stream so the calendar is complete even when the
+    filtered series is empty. Graded as the 'gapfill' leg of
+    op39_43_agg_set_suite."""
+    e = load(spark, sf_dir, "events")
+    daily = (
+        e.filter((F.col("event_type") == "purchase") & (F.col("value") > 250.0))
+        .groupBy(F.date_trunc("day", F.col("ts")).alias("dday"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    bounds = e.agg(
+        F.date_trunc("day", F.min("ts")).alias("mn"),
+        F.date_trunc("day", F.max("ts")).alias("mx"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("mn"), F.col("mx"), F.expr("INTERVAL 1 DAY"))
+        ).alias("dday")
+    )
+    return spine.join(daily, on="dday", how="left").select(
+        F.date_format("dday", "yyyy-MM-dd").alias("day_str"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("bigint").alias("n"),
     )
 
 
