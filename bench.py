@@ -278,6 +278,19 @@ def main() -> None:
                 runs[name].append(round(time.perf_counter() - t0, 4))
             except Exception as ex:
                 errors[name] = type(ex).__name__
+            # Session hygiene OUTSIDE the timed window (r9, measured at
+            # sf4 in SCALE.md): without a per-query GC, dead py4j refs
+            # pin checkpoint/broadcast blocks across the run and LATE
+            # queries inherit the pressure — three sf1 entries ran
+            # faster at sf4 purely from adding this. Timing semantics
+            # (min-of-2, warmup) are unchanged.
+            import gc
+
+            gc.collect()
+            try:
+                spark._jvm.System.gc()
+            except Exception:
+                pass
     timings = {name: round(min(ts), 3) for name, ts in runs.items() if ts}
     # Per-query coefficient of variation over the raw passes: the
     # noise-vs-regression discriminator. This box swings 1.5-2.5x on
