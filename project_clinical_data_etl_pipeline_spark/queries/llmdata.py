@@ -481,6 +481,38 @@ def dedup_editdist_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CC_SQL = f"""
+    WITH RECURSIVE p2 AS (
+        SELECT min_id_a AS ida, min_id_b AS idb FROM ({_EDITDIST_SQL})
+    ),
+    ue AS (SELECT ida AS a, idb AS b FROM p2
+           UNION SELECT idb AS a, ida AS b FROM p2),
+    reach AS (
+        SELECT a AS id, b AS r FROM ue
+        UNION
+        SELECT reach.id, ue.b AS r FROM reach JOIN ue ON reach.r = ue.a
+    )
+    SELECT id, LEAST(id, MIN(r)) AS comp FROM reach GROUP BY id
+"""
+
+
+def dedup_cc_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact connected-components cluster resolution
+    (operators.dedup.dedup_components — min-label propagation with
+    pointer jumping, O(log diameter) rounds) over the Levenshtein
+    entity-resolution pair graph: fuzzy pairs are NOT cliques, so
+    canonical-keep needs true components, and this leg grades that
+    resolution end-to-end against DuckDB's recursive-CTE reachability
+    (cheap in the oracle because entity clusters are small — the same
+    operator's 100 TB story is the log-diameter round count, pinned in
+    tests/test_scale_behaviors). Graded as the 'cc' leg of
+    dedup_exact_jaccard_suite."""
+    pairs = D.edit_distance_pairs(
+        load(spark, sf_dir, "part"), "p_partkey", "p_name", max_dist=3
+    ).select(F.col("min_id_a").alias("id_a"), F.col("min_id_b").alias("id_b"))
+    return D.dedup_components(pairs)
+
+
 def dedup_simhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc md5-family SimHash signature (operators.dedup.
     with_simhash_md5_hex) — graded as the 'simhash' leg of
@@ -540,6 +572,12 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
                n_a AS id_a, n_b AS id_b,
                sim AS jaccard
         FROM ({_EDITDIST_SQL})
+        UNION ALL
+        SELECT 'cc' AS part, CAST(NULL AS VARCHAR) AS content_hash,
+               comp AS keep_id, CAST(NULL AS BIGINT) AS n_dups,
+               id AS id_a, CAST(NULL AS BIGINT) AS id_b,
+               CAST(NULL AS DOUBLE) AS jaccard
+        FROM ({_CC_SQL})
     """,
     doc="Dedup suite: the exact normalized-hash leg (only (hash, id) "
     "shuffles — never text; keep = min id), the exact 3-shingle "
@@ -555,7 +593,11 @@ def dedup_minhash_md5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "distinct line; partial-agg winner rule, no hot-line window sort), "
     "plus (round 9) the Levenshtein entity-resolution leg: distinct "
     "values → length-banded equi-join (|Δlen| ≤ d is a lossless bound) "
-    "→ JVM-side edit-distance prune, over the part-name domain. "
+    "→ JVM-side edit-distance prune, over the part-name domain — and "
+    "the 'cc' leg resolving those fuzzy pairs into exact connected "
+    "components (min-label propagation + pointer jumping vs DuckDB's "
+    "recursive-CTE reachability: fuzzy pair graphs are not cliques, so "
+    "canonical-keep needs true components). "
     "Independent legs; zero-shuffle concat.",
     tags=("llm",),
 )
@@ -614,9 +656,18 @@ def dedup_exact_jaccard_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_b").alias("id_b"),
         F.col("sim").alias("jaccard"),
     )
+    cc = dedup_cc_clusters(spark, sf_dir).select(
+        F.lit("cc").alias("part"),
+        F.lit(None).cast("string").alias("content_hash"),
+        F.col("comp").alias("keep_id"),
+        F.lit(None).cast("bigint").alias("n_dups"),
+        F.col("id").alias("id_a"),
+        F.lit(None).cast("bigint").alias("id_b"),
+        F.lit(None).cast("double").alias("jaccard"),
+    )
     return (
         exact.unionByName(jac).unionByName(mh).unionByName(sh)
-        .unionByName(ld).unionByName(ed)
+        .unionByName(ld).unionByName(ed).unionByName(cc)
     )
 
 
