@@ -95,7 +95,11 @@ _TINY_BNLJ = {"embed_topk_suite",
               "dedup_exact_jaccard_suite", "fhir_conditional_create",
               # dense leg = brute_force_topk with a 1-query broadcast
               # side (same declared-tiny shape as embed_topk_suite)
-              "retrieval_suite"}
+              "retrieval_suite",
+              # r9: Q11/Q15/Q22 scalar-subquery legs broadcast a 1-ROW
+              # aggregate (grand total / max / global threshold) into
+              # the filter — the canonical tiny-side shape
+              "tpch_extension_suite"}
 #: literal 1-row construction side (documented in fhir_q) — a cross
 #: join against a constant, not a data-sized cartesian
 _ONE_ROW_CROSS = {"fhir_pipeline_suite", "fhir_conditional_create"}
