@@ -74,12 +74,20 @@ def layout_experiments(
     orders = load(spark, sf_dir, "orders")
     lineitem = load(spark, sf_dir, "lineitem")
     t0 = time.perf_counter()
-    write_bucketed(orders, ob, ["o_orderkey"], 32, sort_cols=["o_orderkey"])
+    # Bucket count SCALES WITH DATA, exactly like shuffle partitions:
+    # a fixed 32 puts 750k rows in every bucket at sf4, and those
+    # unsplittable per-bucket sort+merge tasks ran 2.8x SLOWER than the
+    # shuffle twin; at ~200k rows/bucket (128 buckets at sf4) the same
+    # join beat it 4x (measured, SCALE.md round 9). Power of two keeps
+    # bucket counts compatible across tables for co-located joins.
+    n_rows = lineitem.count()
+    buckets = max(32, 1 << max(0, (n_rows // 200_000)).bit_length())
+    write_bucketed(orders, ob, ["o_orderkey"], buckets, sort_cols=["o_orderkey"])
     write_bucketed(
         lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
         lb,
         ["o_orderkey"],
-        32,
+        buckets,
         sort_cols=["o_orderkey"],
     )
     build = round(time.perf_counter() - t0, 3)
