@@ -25,6 +25,29 @@ def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
     writer.parquet(path)
 
 
+def overwrite_partitions(df: DataFrame, path: str,
+                         partition_by: list[str]) -> None:
+    """Selective partition overwrite (the warehouse backfill/replay
+    primitive): replaces ONLY the partitions present in ``df``, leaving
+    every other partition untouched — ``partitionOverwriteMode=dynamic``
+    scoped to this write (session conf restored after). With Spark's
+    default STATIC mode, ``mode("overwrite")`` would truncate the whole
+    dataset root first — the classic backfill-eats-the-table accident
+    this wrapper exists to prevent. Semantics pinned in
+    tests/test_write_semantics.py."""
+    spark = df.sparkSession
+    key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(key, None)
+    spark.conf.set(key, "dynamic")
+    try:
+        df.write.mode("overwrite").partitionBy(*partition_by).parquet(path)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """OP-07 JSON export (reference json.dump per resource,
     src/coding_task_1.py:382-386)."""
