@@ -40,6 +40,28 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir, warehouse):
     assert "Exchange hashpartitioning" in raw_plan or "BroadcastHashJoin" in raw_plan
 
 
+def test_write_bucketed_emits_one_file_per_bucket(spark, sf_dir, warehouse):
+    """The sf4 regression pin (SCALE.md round 9): bucketBy without the
+    pre-repartition writes one file per (write task × bucket) — 737
+    files at sf4 — and Spark only trusts per-bucket sort order for
+    single-file buckets, so reads re-sort and the co-location lever
+    turns NEGATIVE. write_bucketed must keep each bucket one file."""
+    import glob
+    import os
+
+    loc = (
+        spark.sql("DESCRIBE TABLE EXTENDED lay.lineitem_b")
+        .filter(F.col("col_name") == "Location")
+        .collect()[0]["data_type"]
+    )
+    files = [
+        f
+        for f in glob.glob(os.path.join(loc.replace("file:", ""), "*"))
+        if os.path.basename(f).startswith("part-")
+    ]
+    assert len(files) == 8, sorted(os.path.basename(f) for f in files)
+
+
 def test_salted_join_matches_plain_join(spark, sf_dir):
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     c = load(spark, sf_dir, "customer").select(
