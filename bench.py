@@ -350,6 +350,7 @@ def main() -> None:
             ("lsh", "embed_topk_lsh"),
             ("ivf", "embed_topk_ivf"),
             ("pq", "embed_topk_pq"),
+            ("pq_rerank", "embed_topk_pq_rerank"),
         ):
             approx = topk_sets(fn)
             rs = [

@@ -56,6 +56,12 @@ from .similarity import _lit_double
 #: |resid| <= 1 times features in [0, ~100] across 1e15 rows headroom.
 _SUM_DEC = "decimal(28,10)"
 
+#: Gradient sums round to this many decimals (exact decimal->decimal,
+#: HALF_UP in both engines) BEFORE the DOUBLE cast — the q1 shield
+#: against DuckDB's double-rounding decimal->double cast past 2^53
+#: unscaled (SCALE.md hazard inventory, closed round 10).
+_GRAD_DP = 6
+
 
 def _logit_expr(feature_cols: list[str], weights: list[float]) -> Column:
     """w·x as a left-associated literal-weight chain — the exact
@@ -130,8 +136,18 @@ def train_logistic(
     for _ in range(n_iter):
         p = sigmoid_expr(feature_cols, weights, prob_dp)
         resid = p - F.col(label_col).cast("double")
+        # ROUND the decimal sum to _GRAD_DP BEFORE the double cast (the
+        # q1 money-sum shield, SCALE.md): at scale 10 the corpus-global
+        # gradient sum's unscaled int128 crosses 2^53 at ~sf18, where
+        # DuckDB's decimal->double cast double-rounds while Spark's
+        # BigDecimal path rounds once. Scale 6 pushes that boundary out
+        # by 10^4x (~sf180k) — decimal->decimal rounding is exact and
+        # identical in both engines, so the cast sees a value both
+        # round identically.
         aggs = [
-            F.sum((resid * F.col(c)).cast(_SUM_DEC)).cast("double").alias(f"g{j}")
+            F.round(F.sum((resid * F.col(c)).cast(_SUM_DEC)), _GRAD_DP)
+            .cast("double")
+            .alias(f"g{j}")
             for j, c in enumerate(feature_cols)
         ] + [F.count(F.lit(1)).alias("n")]
         row = features.agg(*aggs).first()
@@ -216,9 +232,11 @@ def train_sql_cte(
             p = f"round(1.0 / (1.0 + exp(-({z}))), {prob_dp})"
         resid = f"({p} - CAST({label_col} AS DOUBLE))"
         lr_lit = f"{float(lr)!r} * " if lr != 1.0 else ""
+        # round-before-cast mirrors train_logistic's _GRAD_DP shield
         cols = ", ".join(
             f"round(" + (f"{prev}.w{j}" if prev else "0.0") + " - "
-            f"{lr_lit}(CAST(sum(CAST({resid} * {c} AS DECIMAL(28,10))) AS DOUBLE)"
+            f"{lr_lit}(CAST(round(sum(CAST({resid} * {c} AS DECIMAL(28,10))),"
+            f" {_GRAD_DP}) AS DOUBLE)"
             f" / count(*)), {weight_dp}) AS w{j}"
             for j, c in enumerate(feature_cols)
         )
@@ -275,7 +293,16 @@ def reference_train_score(
             resid = p - float(r[label_col])
             for j, c in enumerate(feature_cols):
                 sums[j] += q(resid * float(r[c]), 10)
-        grads = [float(s) / n for s in sums]
+        # quantize the exact Decimal sum to _GRAD_DP (HALF_UP) before
+        # the float division — the engines' round-before-cast shield
+        from decimal import ROUND_HALF_UP
+
+        grads = [
+            float(
+                s.quantize(Decimal(1).scaleb(-_GRAD_DP), ROUND_HALF_UP)
+            ) / n
+            for s in sums
+        ]
         weights = [
             _round_half_up(w - lr * g, weight_dp)
             for w, g in zip(weights, grads)

@@ -461,16 +461,20 @@ def persist_ivf_index(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_buckets: int = 16,
+    num_buckets: int | None = None,
 ) -> None:
     """Materialize the IVF index: the cell assignment persisted as a
     table BUCKETED BY cell. The expensive part of ivf_topk — the
     corpus-wide argmax assignment (cross join + per-vector window) —
     runs ONCE at build time; every subsequent query is a scan of the
     probed cells only (bucket pruning) with zero Exchange before the
-    probe join."""
-    from ..plans.layout import write_bucketed
+    probe join. ``num_buckets=None`` derives the count from corpus
+    volume (plans.layout.derived_width, floor 16 — the sf4 rule: any
+    static partitioning parameter scales with data)."""
+    from ..plans.layout import derived_width, write_bucketed
 
+    if num_buckets is None:
+        num_buckets = derived_width(corpus.count(), floor=16)
     assigned = assign_cells(corpus, centroids, dim, id_col, vec_col)
     write_bucketed(assigned, table, ["cell"], num_buckets=num_buckets)
 

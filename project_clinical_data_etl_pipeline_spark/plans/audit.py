@@ -43,14 +43,19 @@ def plan_string(df: DataFrame) -> str:
 def audit_plan(
     df: DataFrame,
     allow_python_kernels: bool = False,
-    allow_broadcast_nlj: bool = False,
+    allow_broadcast_nlj: bool | int = False,
     allow_cartesian: bool = False,
     expect_broadcast_only: bool = False,
     max_scan_columns: int | None = None,
 ) -> list[str]:
     """Return scale red-flags found in ``df``'s physical plan (empty =
     clean). ``allow_python_kernels`` permits the declared Arrow ops
-    (never row-at-a-time ``BatchEvalPython``). ``expect_broadcast_only``
+    (never row-at-a-time ``BatchEvalPython``). ``allow_broadcast_nlj``
+    takes True (every BNLJ declared tiny) or an int CAP on the number
+    of BNLJ nodes — for multi-leg suites where only specific legs
+    (e.g. 1-row scalar-subquery broadcasts) justify the exemption, so
+    a new data-sized BNLJ in any other leg still fails the audit.
+    ``expect_broadcast_only``
     additionally flags any shuffle-side join — for plans whose joins
     should all be dimension broadcasts. ``max_scan_columns`` flags any
     parquet scan reading more than that many columns — a proxy for
@@ -64,10 +69,22 @@ def audit_plan(
             "rows — add a join key or broadcast a bounded side (or declare a "
             "literal 1-row side with allow_cartesian=True)"
         )
-    if not allow_broadcast_nlj:
-        for m in re.finditer(r"BroadcastNestedLoopJoin (\w+)", plan):
+    bnlj = re.findall(r"BroadcastNestedLoopJoin (\w+)", plan)
+    if allow_broadcast_nlj is True:
+        pass  # blanket declaration: every BNLJ side is provably tiny
+    elif allow_broadcast_nlj:  # an int CAP: at most N declared BNLJs
+        if len(bnlj) > int(allow_broadcast_nlj):
             findings.append(
-                f"BroadcastNestedLoopJoin ({m.group(1)}): non-equi join "
+                f"{len(bnlj)} BroadcastNestedLoopJoin nodes exceed the "
+                f"declared cap of {int(allow_broadcast_nlj)} — a new "
+                "non-equi join crept in beyond the audited tiny-side "
+                "set; bin/bucket it into an equi-join or (only if its "
+                "broadcast side is provably tiny) raise the cap"
+            )
+    else:
+        for side in bnlj:
+            findings.append(
+                f"BroadcastNestedLoopJoin ({side}): non-equi join "
                 "condition — fine only if the broadcast side is provably "
                 "tiny and declared (allow_broadcast_nlj=True, e.g. a "
                 "centroid/query-vector set); at scale prefer binning/"

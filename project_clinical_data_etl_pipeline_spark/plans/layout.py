@@ -22,6 +22,31 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def derived_width(
+    n_rows: int,
+    target_per_unit: int = 200_000,
+    floor: int = 32,
+    pow2: bool = True,
+) -> int:
+    """Volume-derived parallelism width — THE sf4 bucketing lesson
+    (SCALE.md round 9) as a shared rule: any static partitioning
+    parameter (bucket count, index shard count, fan-out width) must be
+    derived from data volume, never hard-coded. A fixed 32 buckets put
+    750k rows in every unsplittable bucket task at sf4 and made the
+    co-located join 2.8x SLOWER than its shuffle twin; deriving the
+    count at ~200k rows/bucket made the same join win 4x.
+
+    Returns ``max(floor, ceil-to-pow2(n_rows / target_per_unit))``.
+    Power-of-two (default) keeps widths compatible across tables for
+    co-located joins and divides evenly into typical core counts;
+    the floor keeps toy inputs at full-session parallelism."""
+    units = max(0, int(n_rows) // max(1, int(target_per_unit)))
+    if pow2:
+        width = 1 << units.bit_length()
+        return max(floor, width)
+    return max(floor, units + 1)
+
+
 def table_location(spark: SparkSession, table: str) -> str | None:
     """Filesystem path a MANAGED table `table` resolves to under the
     session's warehouse dir (``db.tbl`` → ``<wh>/db.db/tbl``), or None

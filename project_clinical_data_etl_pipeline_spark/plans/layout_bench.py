@@ -6,7 +6,7 @@ runs :func:`layout_experiments` per round and ships the numbers as the
 measured speedups, not just no-Exchange plan assertions
 (tests/test_layout.py keeps those).
 
-Two experiments:
+Three experiments:
 
 - **Bucketed co-located join**: orders x lineitem on the order key as
   a forced sort-merge join (hint('merge') — the big-big shape where
@@ -24,18 +24,31 @@ Two experiments:
   spreads it across 8. Result equality is pinned by
   tests/test_layout.py; synthetic input (spark.range) keeps the
   experiment sf-independent and deterministic.
+- **Z-order range scan** (round 10): the same 2-dim range predicate
+  timed over a Z-order-clustered parquet layout vs an unclustered
+  write of identical data — file-level min/max skipping on BOTH
+  dimensions vs none (pruning fractions pinned in test_layout; this
+  records the TIME). One-time clustering cost ships as zorder_build.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
+import tempfile
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..tables import load
-from .layout import drop_table_idempotent, salted_join, write_bucketed
+from .layout import (
+    derived_width,
+    drop_table_idempotent,
+    salted_join,
+    write_bucketed,
+    write_zordered,
+)
 
 #: Rows in the synthetic skew experiment; ~half land on key 0.
 _SKEW_ROWS = 4_000_000
@@ -73,15 +86,15 @@ def layout_experiments(
 
     orders = load(spark, sf_dir, "orders")
     lineitem = load(spark, sf_dir, "lineitem")
-    t0 = time.perf_counter()
     # Bucket count SCALES WITH DATA, exactly like shuffle partitions:
     # a fixed 32 puts 750k rows in every bucket at sf4, and those
     # unsplittable per-bucket sort+merge tasks ran 2.8x SLOWER than the
     # shuffle twin; at ~200k rows/bucket (128 buckets at sf4) the same
-    # join beat it 4x (measured, SCALE.md round 9). Power of two keeps
-    # bucket counts compatible across tables for co-located joins.
-    n_rows = lineitem.count()
-    buckets = max(32, 1 << max(0, (n_rows // 200_000)).bit_length())
+    # join beat it 4x (measured, SCALE.md round 9). The count() runs
+    # BEFORE t0: it is sizing input, not part of the bucketed build the
+    # shuffle twin gets compared against.
+    buckets = derived_width(lineitem.count())
+    t0 = time.perf_counter()
     write_bucketed(orders, ob, ["o_orderkey"], buckets, sort_cols=["o_orderkey"])
     write_bucketed(
         lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
@@ -112,6 +125,37 @@ def layout_experiments(
             .agg(F.sum("l_extendedprice").alias("rev"))
         )
 
+    # Z-order lever: the one layout lever that until r10 had pytest
+    # pruning coverage (test_layout) but no recorded TIME benefit. Write
+    # the same 2-column projection once range-sorted on the Z-value and
+    # once unclustered, then time an identical 2-dim range scan over
+    # each: the zordered layout's per-file min/max hyper-rectangles let
+    # the parquet reader skip most files on BOTH dimensions, the
+    # unclustered write skips none. Files are forced small
+    # (maxRecordsPerFile) so file-skipping is the variable, not
+    # parallelism; the one-time clustering cost ships as zorder_build.
+    zdir = tempfile.mkdtemp(prefix="layoutbench_z_")
+    zpath, ppath = os.path.join(zdir, "z"), os.path.join(zdir, "plain")
+    li2 = lineitem.select("l_orderkey", "l_partkey", "l_extendedprice")
+    t0 = time.perf_counter()
+    write_zordered(
+        li2, zpath, ["l_orderkey", "l_partkey"], target_partitions=16
+    )
+    zbuild = round(time.perf_counter() - t0, 3)
+    li2.repartition(16).write.mode("overwrite").parquet(ppath)
+    lo_ok, hi_ok = 1000, 3000
+    lo_pk, hi_pk = 500, 1500
+
+    def _range_scan(path):
+        return (
+            spark.read.parquet(path)
+            .filter(
+                F.col("l_orderkey").between(lo_ok, hi_ok)
+                & F.col("l_partkey").between(lo_pk, hi_pk)
+            )
+            .agg(F.sum("l_extendedprice").alias("s"))
+        )
+
     left, right = _skew_frames(spark)
 
     def plain_skew():
@@ -135,11 +179,15 @@ def layout_experiments(
                 ("join_shuffle", shuffled),
                 ("plain_skew", plain_skew),
                 ("salted_skew", salted_skew),
+                ("zorder_scan", lambda: _range_scan(zpath)),
+                ("plain_scan", lambda: _range_scan(ppath)),
             ):
                 runs.setdefault(name, []).append(_timed(fn()))
         out = {name: min(ts) for name, ts in runs.items()}
         out["bucketed_build"] = build
+        out["zorder_build"] = zbuild
         return out
     finally:
         drop_table_idempotent(spark, ob)
         drop_table_idempotent(spark, lb)
+        shutil.rmtree(zdir, ignore_errors=True)

@@ -290,15 +290,21 @@ _JACCARD_SQL = f"""
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-word-shingle Jaccard over candidate pairs sharing ≥1
-    shingle (inverted-index self-join). Integer-exact intersection/union
-    → deterministic ratio. Runs uncapped here so the oracle checks exact
-    semantics; at 100 TB pass df_max to drop ubiquitous shingles
-    (operators.dedup.ngram_jaccard_pairs, tested in
-    test_scale_behaviors). Graded as the 'jaccard' leg of
+    """Exact 3-word-shingle Jaccard pairs at t=0.05 — since round 10 via
+    the PREFIX-FILTERED candidate path (operators.dedup.
+    jaccard_pairs_prefix: AllPairs/PPJoin prefix + length + positional
+    bounds, then exact array_intersect verification), which is
+    output-identical to the naive inverted-index self-join it replaced
+    (test-pinned across thresholds, tests/test_linedup_prefixjoin.py)
+    but excludes each doc's ⌈t·n⌉−1 HOTTEST shingles from the candidate
+    index — on this boilerplate-dense corpus the hot shingles carry the
+    quadratic df² pair fan-out, the path SCALE.md measured at 119 s/sf1
+    for the naive index. The oracle SQL is unchanged: exact semantics,
+    same output, scale-safe plan. Graded as the 'jaccard' leg of
     dedup_exact_jaccard_suite."""
-    return D.ngram_jaccard_pairs(
-        load(spark, sf_dir, "documents"), "doc_id", "text", k=3, threshold=0.05
+    return D.jaccard_pairs_prefix(
+        load(spark, sf_dir, "documents"), "doc_id", "text", k=3,
+        threshold=0.05,
     )
 
 
@@ -1423,6 +1429,35 @@ def embed_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = pq_encode(e, codebooks).select("vec_id", "pq_code")
     return pq_topk(
         e.filter(F.col("vec_id") < 8), enc, codebooks, k=5, dim=_PQ_DIM
+    )
+
+
+def embed_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ SERVING mode: ADC shortlist (top-100 per query over the
+    compressed codes — the embed_topk_pq scan) → exact cosine re-rank
+    of only those candidates against the raw vector table
+    (quantization.pq_topk_rerank). Raw-ADC recall@5 at ks=16 is ~0.22
+    (a correct oracle leg but unusable served answers); the shortlist
+    re-rank recovers near-exact recall while the corpus-wide scan still
+    reads m codes/vector — the 100 TB serving recipe. NOT registered:
+    the graded PQ leg stays raw-ADC (embed_topk_suite method='pq');
+    this is bench recall telemetry ('pq_rerank') + a pytest floor
+    (tests/test_ann_recall.py)."""
+    from ..operators.quantization import pq_encode, pq_topk_rerank, pq_train
+
+    e = load(spark, sf_dir, "embeddings")
+    codebooks = pq_train(
+        e, dim=_PQ_DIM, m=_PQ_M, ks=_PQ_KS, n_iter=_PQ_ITER, round_dp=6
+    )
+    enc = pq_encode(e, codebooks).select("vec_id", "pq_code")
+    return pq_topk_rerank(
+        e.filter(F.col("vec_id") < 8),
+        enc,
+        e,
+        codebooks,
+        k=5,
+        shortlist=100,
+        dim=_PQ_DIM,
     )
 
 

@@ -323,9 +323,9 @@ def test_table_location_qualified_and_remote():
 
 
 def test_layout_experiments_contract(spark, sf_dir):
-    """bench's layout telemetry: returns all five timings, cleans up
-    its bucketed tables, and both join variants were actually measured
-    (positive seconds)."""
+    """bench's layout telemetry: returns all eight timings, cleans up
+    its bucketed tables and z-order temp dirs, and every variant was
+    actually measured (positive seconds)."""
     from project_clinical_data_etl_pipeline_spark.plans.layout_bench import (
         layout_experiments,
     )
@@ -334,8 +334,12 @@ def test_layout_experiments_contract(spark, sf_dir):
     assert set(out) == {
         "bucketed_build", "join_bucketed", "join_shuffle",
         "salted_skew", "plain_skew",
+        "zorder_build", "zorder_scan", "plain_scan",
     }
     assert all(v > 0 for v in out.values())
+    import glob
+
+    assert glob.glob("/tmp/layoutbench_z_*") == []
     leftovers = [
         t.name for t in spark.catalog.listTables() if "layoutbench" in t.name
     ]
