@@ -719,12 +719,14 @@ def jaccard_pairs_prefix(
     pair to float error); the final filter is the exact integer ratio,
     so the output matches the naive path bit-for-bit.
 
-    Use the naive :func:`ngram_jaccard_pairs` for t ≲ 0.1 (prefix ≈ the
-    whole set there — the sort/df-join overhead buys nothing); this path
-    is the dense-corpus scale answer for realistic thresholds, where the
-    naive index's every-shingle fan-out is quadratic (measured in
-    SCALE.md: the bench corpus's 31-word vocabulary makes every shingle
-    medium-hot).
+    Use the naive :func:`ngram_jaccard_pairs` below the measured
+    crossover t ≈ 0.5 (prefix ≈ the whole set there and the per-doc
+    df-sort + array re-join overhead dominates: at sf1 prefix is 6×
+    SLOWER at t=0.05 and still 3.6× slower at t=0.5 — r10 same-day
+    measurements, SCALE.md); this path is the dense-corpus scale
+    answer for realistic near-dup thresholds (t ≥ ~0.7: 3.1×–10×
+    faster, and the gap grows with df since the naive index's
+    every-shingle fan-out is quadratic).
 
     ``checkpoint`` (default True) puts localCheckpoint lineage cuts on
     the shingle-array frame and the exploded prefix: the plan references

@@ -329,7 +329,7 @@ def pq_topk_rerank(
     raw_corpus: DataFrame,
     codebooks: list[list[list[float]]],
     k: int = 5,
-    shortlist: int = 100,
+    shortlist: int = 200,
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -348,9 +348,11 @@ def pq_topk_rerank(
     float vectors are read for the shortlist rows only (a
     broadcast-semi-pruned scan at 100 TB), never corpus-wide. Recall
     is bounded only by whether a true neighbor survives the ADC
-    shortlist; at shortlist ≫ k that bound is loose (bench telemetry:
-    recall@5 0.225 raw-ADC → ≥0.9 re-ranked on the bench corpus).
-    Returns (query_id, neighbor_id, cosine, rank) with EXACT cosines.
+    shortlist; at shortlist ≫ k that bound is loose. Measured at
+    sf0.1 on the bench corpus (weakly-clustered synthetic — ADC's
+    hardest case): recall@5 0.225 raw-ADC → 0.775/0.875/0.900 at
+    shortlist 100/200/400. Returns (query_id, neighbor_id, cosine,
+    rank) with EXACT cosines.
     """
     from .similarity import dot, norm
 
