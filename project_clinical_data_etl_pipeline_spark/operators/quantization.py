@@ -366,6 +366,25 @@ def pq_topk_rerank(
         vec_col=vec_col,
         code_col=code_col,
     ).select("query_id", "neighbor_id")
+    return _exact_rerank(queries, cand, raw_corpus, k, dim, id_col, vec_col)
+
+
+def _exact_rerank(
+    queries: DataFrame,
+    candidates: DataFrame,
+    raw_corpus: DataFrame,
+    k: int,
+    dim: int | None,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared exact-re-rank tail: (query_id, neighbor_id) candidate
+    pairs pick up their raw vectors and re-rank by exact cosine.
+    Candidate ids BROADCAST into the raw scan (semi-prunes the float
+    read to |candidates| rows — never corpus-wide); exact query
+    vectors broadcast onto the survivors."""
+    from .similarity import dot, norm
+
     raw = raw_corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
@@ -376,10 +395,8 @@ def pq_topk_rerank(
         F.col(vec_col).alias("__qv"),
         norm(F.col(vec_col), dim).alias("__qn"),
     )
-    # candidate ids broadcast into the raw scan (semi-prunes the float
-    # read); exact query vectors broadcast onto the surviving rows.
     scored = (
-        raw.join(F.broadcast(cand), on="neighbor_id")
+        raw.join(F.broadcast(candidates), on="neighbor_id")
         .join(F.broadcast(q), on="query_id")
         .select(
             "query_id",
@@ -405,6 +422,48 @@ def pq_topk_rerank(
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+def ivfpq_topk_rerank(
+    queries: DataFrame,
+    index: DataFrame,
+    raw_corpus: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    dim: int,
+    k: int = 5,
+    n_probe: int = 4,
+    shortlist: int = 200,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The full production serving chain: IVF probe (scan only the
+    ``n_probe`` matching buckets of the persisted (id, cell, pq_code)
+    index) → ADC shortlist of ``shortlist`` per query (reconstruction
+    is codebook lookup on the probed slice only) → EXACT cosine
+    re-rank of the shortlist against the raw vector table
+    (:func:`_exact_rerank` — a broadcast-semi-pruned float read of
+    ≤ shortlist·|queries| rows).
+
+    Cost at 100 TB per query batch: ~n_probe/n_centroids of the corpus
+    read as m-byte codes + shortlist·|queries| full vectors — both
+    terms independent of corpus float volume. Recall is bounded by
+    (a) the true neighbor's cell being probed and (b) surviving the
+    ADC shortlist; with shortlist ≫ k the second bound is loose, so
+    ivfpq_rerank recall ≈ ivf recall at the same n_probe (tested in
+    tests/test_quantization.py)."""
+    cand = ivfpq_topk(
+        queries,
+        index,
+        centroids,
+        codebooks,
+        dim,
+        k=shortlist,
+        n_probe=n_probe,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    return _exact_rerank(queries, cand, raw_corpus, k, dim, id_col, vec_col)
 
 
 def ivfpq_index(

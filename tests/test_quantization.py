@@ -335,3 +335,71 @@ def test_persisted_ivfpq_index_prunes_buckets_and_matches_direct(
         assert "pq_code" in schema and "embedding" not in schema, schema
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+def test_pq_rerank_recovers_exact_scores_and_beats_raw_adc(
+    spark, corpus, codebooks
+):
+    """The re-rank stage's contract: every returned cosine must be the
+    EXACT cosine (bit-equal to brute force for the same pair), and
+    recall@5 must dominate raw ADC's — the whole point of the serving
+    mode."""
+    q = corpus.filter(F.col("vec_id") < 8)
+    enc = Q.pq_encode(corpus, codebooks).select("vec_id", "pq_code")
+    brute = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in brute_force_topk(q, corpus, k=5, dim=DIM).collect()
+    }
+    rer = Q.pq_topk_rerank(
+        q, enc, corpus, codebooks, k=5, shortlist=64, dim=DIM
+    ).collect()
+    raw = {
+        (r["query_id"], r["neighbor_id"])
+        for r in Q.pq_topk(q, enc, codebooks, k=5, dim=DIM).collect()
+    }
+    got = {(r["query_id"], r["neighbor_id"]) for r in rer}
+    recall_rerank = len(got & set(brute)) / len(brute)
+    recall_raw = len(raw & set(brute)) / len(brute)
+    assert recall_rerank >= recall_raw
+    assert recall_rerank >= 0.8
+    # exactness: any re-ranked pair that IS a true top-5 pair carries
+    # the bit-identical exact cosine (same unrolled dot, same norms)
+    for r in rer:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in brute:
+            assert r["cosine"] == brute[key], key
+
+
+def test_ivfpq_rerank_tracks_ivf_recall(spark, corpus, codebooks):
+    """ivfpq_topk_rerank with a generous shortlist must recover
+    (at least) raw IVF+PQ's recall — the ADC quantization loss is
+    undone by the exact re-rank, leaving only the cell-probe bound."""
+    from project_clinical_data_etl_pipeline_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(corpus, dim=DIM, n_centroids=8, n_iter=2,
+                             round_dp=6)
+    index = Q.ivfpq_index(corpus, cents, codebooks, dim=DIM)
+    q = corpus.filter(F.col("vec_id") < 8)
+    brute = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(q, corpus, k=5, dim=DIM).collect()
+    }
+    raw = {
+        (r["query_id"], r["neighbor_id"])
+        for r in Q.ivfpq_topk(
+            q, index, cents, codebooks, dim=DIM, k=5, n_probe=4
+        ).collect()
+    }
+    rer = {
+        (r["query_id"], r["neighbor_id"])
+        for r in Q.ivfpq_topk_rerank(
+            q, index, corpus, cents, codebooks, dim=DIM, k=5, n_probe=4,
+            shortlist=64,
+        ).collect()
+    }
+    recall_rer = len(rer & brute) / len(brute)
+    recall_raw = len(raw & brute) / len(brute)
+    assert recall_rer >= recall_raw
+    assert recall_rer >= 0.4
