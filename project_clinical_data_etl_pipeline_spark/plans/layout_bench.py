@@ -131,9 +131,10 @@ def layout_experiments(
     # once unclustered, then time an identical 2-dim range scan over
     # each: the zordered layout's per-file min/max hyper-rectangles let
     # the parquet reader skip most files on BOTH dimensions, the
-    # unclustered write skips none. Files are forced small
-    # (maxRecordsPerFile) so file-skipping is the variable, not
-    # parallelism; the one-time clustering cost ships as zorder_build.
+    # unclustered write skips none. Both layouts write exactly 16
+    # files (range-partitioned on the Z-value vs round-robin) so
+    # file-skipping is the variable, not parallelism; the one-time
+    # clustering cost ships as zorder_build.
     zdir = tempfile.mkdtemp(prefix="layoutbench_z_")
     zpath, ppath = os.path.join(zdir, "z"), os.path.join(zdir, "plain")
     li2 = lineitem.select("l_orderkey", "l_partkey", "l_extendedprice")
