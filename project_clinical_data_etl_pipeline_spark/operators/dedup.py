@@ -73,7 +73,14 @@ def fan_out(
                 return df
         except Exception:
             pass  # stats unavailable -> fall through to the width check
-    if df.rdd.getNumPartitions() < n:
+    try:
+        # width probe on the executed plan's internal RDD: same count as
+        # df.rdd but skips building the Python-pickle conversion RDD
+        # (df.rdd plans an extra javaToPython stage just to be counted)
+        width = df._jdf.queryExecution().toRdd().getNumPartitions()
+    except Exception:
+        width = df.rdd.getNumPartitions()
+    if width < n:
         return df.repartition(n)
     return df
 
