@@ -323,13 +323,30 @@ def pq_topk(
     )
 
 
+def derived_shortlist(n_corpus: int, floor: int = 200, cap: int = 5000) -> int:
+    """ADC shortlist depth derived from corpus size (~2.5%, n/40).
+
+    A FIXED shortlist decays with corpus growth: measured recall@5 at
+    shortlist=200 is 0.875 on an 8k corpus (sf0.1) but 0.75 on 20k
+    (sf1) — ADC ordering error pushes true neighbors deeper as
+    distractors accumulate, so the depth must scale with the corpus
+    (the derived_width rule applied to serving). At n/40 the measured
+    points are 0.875 (sf0.1) and 0.95 (sf1). ``floor`` keeps small
+    corpora at the validated sf0.1 depth; ``cap`` is a bound-shaped
+    guard on per-query raw-vector reads (an ABSOLUTE work bound,
+    deliberately not volume-derived — SCALE.md static-parameter
+    audit). Past the cap, recall is bought with n_probe/residual
+    codes, not shortlist depth."""
+    return max(floor, min(cap, -(-n_corpus // 40)))
+
+
 def pq_topk_rerank(
     queries: DataFrame,
     encoded_corpus: DataFrame,
     raw_corpus: DataFrame,
     codebooks: list[list[list[float]]],
     k: int = 5,
-    shortlist: int = 200,
+    shortlist: int | None = None,
     dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
@@ -351,11 +368,16 @@ def pq_topk_rerank(
     shortlist; at shortlist ≫ k that bound is loose. Measured at
     sf0.1 on the bench corpus (weakly-clustered synthetic — ADC's
     hardest case): recall@5 0.225 raw-ADC → 0.775/0.875/0.900 at
-    shortlist 100/200/400. Returns (query_id, neighbor_id, cosine,
-    rank) with EXACT cosines.
+    shortlist 100/200/400. ``shortlist=None`` (the default) derives
+    the depth from the corpus size (:func:`derived_shortlist` — a
+    fixed depth decays as the corpus grows; one count() control
+    scalar). Returns (query_id, neighbor_id, cosine, rank) with EXACT
+    cosines.
     """
     from .similarity import dot, norm
 
+    if shortlist is None:
+        shortlist = derived_shortlist(encoded_corpus.count())
     cand = pq_topk(
         queries,
         encoded_corpus,
@@ -433,7 +455,7 @@ def ivfpq_topk_rerank(
     dim: int,
     k: int = 5,
     n_probe: int = 4,
-    shortlist: int = 200,
+    shortlist: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
@@ -451,7 +473,12 @@ def ivfpq_topk_rerank(
     (a) the true neighbor's cell being probed and (b) surviving the
     ADC shortlist; with shortlist ≫ k the second bound is loose, so
     ivfpq_rerank recall ≈ ivf recall at the same n_probe (tested in
-    tests/test_quantization.py)."""
+    tests/test_quantization.py). ``shortlist=None`` derives the depth
+    from the index size (:func:`derived_shortlist`); note the probed
+    slice is ~n_probe/n_centroids of the index, so the derived depth
+    is conservative there."""
+    if shortlist is None:
+        shortlist = derived_shortlist(index.count())
     cand = ivfpq_topk(
         queries,
         index,

@@ -1451,10 +1451,9 @@ def embed_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a correct oracle leg but unusable served answers); the shortlist
     re-rank recovers near-exact recall while the corpus-wide scan still
     reads m codes/vector — the 100 TB serving recipe. Shortlist depth
-    measured at sf0.1 (this weakly-clustered synthetic corpus —
-    near-random cosines, the hardest case for ADC): 100 → 0.775,
-    200 → 0.875, 400 → 0.900; 200 clears the 0.8 pytest floor with
-    margin while still reading raw floats for ≤200·|queries| rows.
+    is VOLUME-DERIVED (quantization.derived_shortlist, ~n/40): a fixed
+    200 measured 0.875 at sf0.1 but decayed to 0.75 at sf1 as
+    distractors accumulated; n/40 holds 0.875 (sf0.1) / 0.95 (sf1).
     NOT registered: the graded PQ leg stays raw-ADC (embed_topk_suite
     method='pq'); this is bench recall telemetry ('pq_rerank') + a
     pytest floor (tests/test_ann_recall.py)."""
@@ -1471,7 +1470,7 @@ def embed_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         e,
         codebooks,
         k=5,
-        shortlist=200,
+        shortlist=None,  # volume-derived (n/40, floor 200, cap 5000)
         dim=_PQ_DIM,
     )
 

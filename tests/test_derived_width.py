@@ -71,3 +71,26 @@ def test_layout_bench_buckets_derive_from_volume():
 
     src = inspect.getsource(lb)
     assert "derived_width(" in src
+
+
+def test_derived_shortlist_scales_with_corpus():
+    """ADC re-rank shortlist must derive from corpus size: a fixed 200
+    measured recall@5 0.875 at 8k vectors but 0.75 at 20k (SCALE.md
+    round 10). n/40 with the validated floor and a bound-shaped cap."""
+    from project_clinical_data_etl_pipeline_spark.operators.quantization import (
+        derived_shortlist,
+        ivfpq_topk_rerank,
+        pq_topk_rerank,
+    )
+
+    assert derived_shortlist(0) == 200
+    assert derived_shortlist(8_000) == 200      # floor = sf0.1 point
+    assert derived_shortlist(20_000) == 500     # the measured 0.95 point
+    assert derived_shortlist(20_001) == 501     # ceiling division
+    assert derived_shortlist(10**9) == 5_000    # absolute work cap
+    for fn in (pq_topk_rerank, ivfpq_topk_rerank):
+        default = inspect.signature(fn).parameters["shortlist"].default
+        assert default is None, (
+            f"{fn.__name__} hard-codes shortlist={default}; serving "
+            "depth must derive from corpus volume (SCALE.md r10)"
+        )
