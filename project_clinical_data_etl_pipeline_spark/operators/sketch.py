@@ -87,10 +87,11 @@ def hll_raw_constant(p: int = 8) -> float:
     return hll_alpha(m) * m * m * float(1 << (_RANK_BITS + 1))
 
 
-def hll_registers(df: DataFrame, col: Column, p: int = 8) -> DataFrame:
-    """HLL register table ``(bucket int, rho int)`` for the non-null
-    values of ``col``. ``p`` must be a multiple of 4 (nibble-aligned
-    hex slicing). Map-side partial max; at most ``2^p`` output rows."""
+def hll_bucket_rho(col: Column, p: int = 8) -> tuple[Column, Column]:
+    """The per-row ``(bucket, rho)`` expression pair — shared by the
+    batch register aggregation and the Structured-Streaming windowed
+    variant (streaming/hll.py), so both compute the identical sketch.
+    ``p`` must be a multiple of 4 (nibble-aligned hex slicing)."""
     if p % 4 or not 4 <= p <= 16:
         raise ValueError(f"p must be a multiple of 4 in [4, 16], got {p}")
     nib = p // 4
@@ -103,11 +104,46 @@ def hll_registers(df: DataFrame, col: Column, p: int = 8) -> DataFrame:
         .cast("int")
         .alias("rho")
     )
+    return bucket, rho
+
+
+def hll_registers(df: DataFrame, col: Column, p: int = 8) -> DataFrame:
+    """HLL register table ``(bucket int, rho int)`` for the non-null
+    values of ``col``. Map-side partial max; at most ``2^p`` output
+    rows."""
+    bucket, rho = hll_bucket_rho(col, p)
     return (
         df.filter(col.isNotNull())
         .select(bucket, rho)
         .groupBy("bucket")
         .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_core_from_registers(regs: DataFrame, p: int = 8, *group_cols: str) -> DataFrame:
+    """Collapse a register table (optionally per group) to the integer
+    sketch core + raw estimate — the shared tail of :func:`hll_core`
+    and the streaming windowed sketch. See :func:`hll_core` for the
+    column contract."""
+    m = 1 << p
+    two_to_rank = int(1) << (_RANK_BITS + 1)
+    core = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_present"),
+        F.coalesce(
+            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_RANK_BITS + 1} - rho)")),
+            F.lit(0).cast("bigint"),
+        ).alias("s_present"),
+    )
+    s_int = (
+        F.col("s_present")
+        + (F.lit(m) - F.col("n_present")) * F.lit(two_to_rank).cast("bigint")
+    ).cast("bigint")
+    return core.select(
+        *group_cols,
+        F.lit(m).alias("m"),
+        (F.lit(m) - F.col("n_present")).cast("bigint").alias("v_zero"),
+        s_int.alias("s_int"),
+        (F.lit(hll_raw_constant(p)) / s_int.cast("double")).alias("est_raw"),
     )
 
 
@@ -134,25 +170,7 @@ def hll_core(df: DataFrame, col: Column, p: int = 8) -> DataFrame:
     small-range correction use :func:`hll_estimate` (driver-side,
     transcendental — see module docstring for why it is not graded).
     """
-    m = 1 << p
-    two_to_rank = int(1) << (_RANK_BITS + 1)
-    core = hll_registers(df, col, p).agg(
-        F.count(F.lit(1)).alias("n_present"),
-        F.coalesce(
-            F.sum(F.expr(f"shiftleft(CAST(1 AS BIGINT), {_RANK_BITS + 1} - rho)")),
-            F.lit(0).cast("bigint"),
-        ).alias("s_present"),
-    )
-    s_int = (
-        F.col("s_present")
-        + (F.lit(m) - F.col("n_present")) * F.lit(two_to_rank).cast("bigint")
-    ).cast("bigint")
-    return core.select(
-        F.lit(m).alias("m"),
-        (F.lit(m) - F.col("n_present")).cast("bigint").alias("v_zero"),
-        s_int.alias("s_int"),
-        (F.lit(hll_raw_constant(p)) / s_int.cast("double")).alias("est_raw"),
-    )
+    return hll_core_from_registers(hll_registers(df, col, p), p)
 
 
 def hll_estimate(register_table: DataFrame, p: int = 8) -> float:

@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..operators.sketch import hll_raw_constant
 from ..streaming.incremental import WINDOW_S, run_hourly_counts_stream
 from ..streaming.sessions import sessionize_batch
 from ..tables import load
@@ -46,6 +47,37 @@ _HOURLY_SUITE_SQL = f"""
            event_type, n_events, total_value
     FROM base, lim
     WHERE epoch_us(h + INTERVAL {WINDOW_S} SECOND) < lim_us
+    UNION ALL
+    SELECT 'hll' AS part, window_start,
+           CAST(NULL AS VARCHAR) AS event_type,
+           s_int AS n_events, est_raw AS total_value
+    FROM (
+        SELECT window_start,
+               CAST(s_present + (256 - n_present) * (CAST(1 AS BIGINT) << 49)
+                    AS BIGINT) AS s_int,
+               {hll_raw_constant(8)!r}
+                   / CAST(s_present + (256 - n_present)
+                          * (CAST(1 AS BIGINT) << 49) AS DOUBLE) AS est_raw
+        FROM (
+            SELECT window_start, count(*) AS n_present,
+                   COALESCE(SUM(CAST(1 AS BIGINT) << (49 - rho)), 0) AS s_present
+            FROM (
+                SELECT window_start, bucket, MAX(rho) AS rho
+                FROM (
+                    SELECT strftime(date_trunc('hour', ts),
+                                    '%Y-%m-%d %H:%M:%S') AS window_start,
+                           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
+                               AS bucket,
+                           CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT = 0
+                                THEN 49
+                                ELSE 49 - length(format('{{:b}}',
+                                    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT))
+                           END AS rho
+                    FROM events WHERE user_id IS NOT NULL
+                ) GROUP BY window_start, bucket
+            ) GROUP BY window_start
+        )
+    )
 """
 
 
@@ -64,7 +96,12 @@ _HOURLY_SUITE_SQL = f"""
     "suite trick) restricts both engines to windows the watermark "
     "contract guarantees emitted, independent of ms truncation. State "
     "on the append leg is O(windows inside the horizon × group "
-    "cardinality), never history-sized.",
+    "cardinality), never history-sized. 'hll' leg (round 10): per-hour "
+    "distinct-user HLL sketch computed IN the stream — the register "
+    "table is a plain windowed max (streaming/hll.py), so state per "
+    "window is ≤256 ints at ANY user cardinality where exact windowed "
+    "distinct would hold O(distinct) state; the oracle re-derives the "
+    "identical registers batch-side (integer sketch core, hash-match).",
     tags=("streaming",),
 )
 def op41_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -112,7 +149,25 @@ def op41_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
-    return complete.unionByName(append_leg)
+    return complete.unionByName(append_leg).unionByName(_hll_leg(spark, sf_dir))
+
+
+def _hll_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour distinct-user HLL sketch computed IN the stream
+    (streaming/hll.py: windowed groupBy(bucket).max(rho) — state per
+    window is ≤256 ints at ANY cardinality, the reason sketches exist
+    in streams; exact windowed distinct would hold O(distinct) state).
+    The oracle re-derives the identical registers from the batch table,
+    so the leg grades streamed-registers ≡ batch-registers per window."""
+    from ..streaming.hll import run_windowed_hll_stream
+
+    return run_windowed_hll_stream(spark, sf_dir).select(
+        F.lit("hll").alias("part"),
+        "window_start",
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("s_int").alias("n_events"),
+        F.col("est_raw").alias("total_value"),
+    )
 
 
 @spec(

@@ -131,3 +131,39 @@ def test_sampled_quantiles_bounded_sample(spark):
     assert len(out) == 1
     n = out[0]["sample_n"]
     assert 4_000 <= n <= 6_000
+
+
+def test_streaming_windowed_hll_equals_batch(spark, sf_dir):
+    """The streamed per-window register sketch must equal the batch
+    sketch of the same windows — max is commutative/associative/
+    idempotent, so micro-batch order and replays cannot change a
+    register. State per window is bounded by m, not cardinality."""
+    from pyspark.sql import functions as F
+
+    from project_clinical_data_etl_pipeline_spark.streaming.hll import (
+        run_windowed_hll_stream,
+    )
+
+    streamed = {
+        r["window_start"]: (r["v_zero"], r["s_int"], r["est_raw"])
+        for r in run_windowed_hll_stream(spark, sf_dir).collect()
+    }
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    bucket, rho = SK.hll_bucket_rho(F.col("user_id"))
+    regs = (
+        e.select(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            bucket,
+            rho,
+        )
+        .groupBy("window_start", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+    batch = {
+        r["window_start"]: (r["v_zero"], r["s_int"], r["est_raw"])
+        for r in SK.hll_core_from_registers(regs, 8, "window_start").collect()
+    }
+    assert streamed == batch
+    assert len(streamed) > 0
