@@ -34,6 +34,26 @@ from ..operators.sketch import hll_bucket_rho, hll_core_from_registers
 from .incremental import WINDOW_DURATION, _event_stream, _run_to_completion
 
 
+def _windowed_registers(
+    events: DataFrame, key_col: str, p: int, watermark: str | None
+) -> DataFrame:
+    e = events.withWatermark("ts", watermark) if watermark else events
+    bucket, rho = hll_bucket_rho(F.col(key_col), p)
+    return (
+        e.filter(F.col(key_col).isNotNull())
+        .select(F.window("ts", WINDOW_DURATION).alias("w"), bucket, rho)
+        .groupBy(F.col("w"), F.col("bucket"))
+        .agg(F.max("rho").alias("rho"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "bucket",
+            "rho",
+        )
+    )
+
+
 def run_windowed_hll_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -43,23 +63,42 @@ def run_windowed_hll_stream(
     """Run the tumbling-window register stream to completion (complete
     mode — deterministic, equals the batch per-window sketch) and
     collapse the drained register snapshot to one row per window:
-    ``(window_start, m, v_zero, s_int, est_raw)``."""
-    events = _event_stream(spark, sf_dir)
-    bucket, rho = hll_bucket_rho(F.col(key_col), p)
-    regs = (
-        events.filter(F.col(key_col).isNotNull())
-        .select(F.window("ts", WINDOW_DURATION).alias("w"), bucket, rho)
-        .groupBy(
-            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
-                "window_start"
-            ),
-            "bucket",
-        )
-        .agg(F.max("rho").alias("rho"))
-    )
+    ``(window_start, m, v_zero, s_int, est_raw)``. Complete mode
+    retains every window's registers for the stream's lifetime — the
+    graded-equality shape; long-lived production streams use
+    :func:`run_windowed_hll_append`, whose watermark EVICTS finalized
+    windows so total state is O(windows inside the horizon) · m."""
     snapshot = _run_to_completion(
         spark,
-        regs.writeStream.outputMode("complete").format("memory"),
+        _windowed_registers(_event_stream(spark, sf_dir), key_col, p, None)
+        .writeStream.outputMode("complete")
+        .format("memory"),
         f"hll_windows_{uuid.uuid4().hex[:8]}",
+    )
+    return hll_core_from_registers(snapshot, p, "window_start")
+
+
+def run_windowed_hll_append(
+    spark: SparkSession,
+    sf_dir: str,
+    key_col: str = "user_id",
+    p: int = 8,
+    delay: str = "1 hour",
+) -> DataFrame:
+    """The PRODUCTION shape: append mode with a late-data watermark —
+    a window's registers emit once, when the watermark passes its end,
+    and the engine then drops that window's state. Total streaming
+    state is (windows inside the horizon) × m register ints,
+    independent of both cardinality AND stream age; late rows inside
+    the horizon still raise registers before finalization (max is
+    idempotent), older ones are dropped by the watermark contract.
+    Finalized windows equal the batch sketch of the same windows
+    (pinned in tests/test_sketch.py)."""
+    snapshot = _run_to_completion(
+        spark,
+        _windowed_registers(_event_stream(spark, sf_dir), key_col, p, delay)
+        .writeStream.outputMode("append")
+        .format("memory"),
+        f"hll_append_{uuid.uuid4().hex[:8]}",
     )
     return hll_core_from_registers(snapshot, p, "window_start")

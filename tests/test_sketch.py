@@ -167,3 +167,29 @@ def test_streaming_windowed_hll_equals_batch(spark, sf_dir):
     }
     assert streamed == batch
     assert len(streamed) > 0
+
+
+def test_streaming_hll_append_finalized_equals_batch(spark, sf_dir):
+    """Append mode (the production shape: watermark EVICTS a window's
+    registers after it finalizes) must emit, for every finalized
+    window, exactly the batch sketch of that window — and must have
+    finalized a non-trivial set on this data."""
+    from project_clinical_data_etl_pipeline_spark.streaming.hll import (
+        run_windowed_hll_append,
+        run_windowed_hll_stream,
+    )
+
+    complete = {
+        r["window_start"]: (r["v_zero"], r["s_int"], r["est_raw"])
+        for r in run_windowed_hll_stream(spark, sf_dir).collect()
+    }
+    appended = {
+        r["window_start"]: (r["v_zero"], r["s_int"], r["est_raw"])
+        for r in run_windowed_hll_append(spark, sf_dir).collect()
+    }
+    assert appended, "watermark finalized no windows on this data"
+    # every finalized window's sketch equals the complete/batch sketch
+    for w, core in appended.items():
+        assert complete[w] == core, w
+    # finalization is a strict prefix: the last window stays open
+    assert len(appended) < len(complete)
