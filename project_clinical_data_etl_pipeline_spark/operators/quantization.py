@@ -374,8 +374,6 @@ def pq_topk_rerank(
     scalar). Returns (query_id, neighbor_id, cosine, rank) with EXACT
     cosines.
     """
-    from .similarity import dot, norm
-
     if shortlist is None:
         shortlist = derived_shortlist(encoded_corpus.count())
     cand = pq_topk(

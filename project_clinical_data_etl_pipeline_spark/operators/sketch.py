@@ -91,9 +91,12 @@ def hll_bucket_rho(col: Column, p: int = 8) -> tuple[Column, Column]:
     """The per-row ``(bucket, rho)`` expression pair — shared by the
     batch register aggregation and the Structured-Streaming windowed
     variant (streaming/hll.py), so both compute the identical sketch.
-    ``p`` must be a multiple of 4 (nibble-aligned hex slicing)."""
-    if p % 4 or not 4 <= p <= 16:
-        raise ValueError(f"p must be a multiple of 4 in [4, 16], got {p}")
+    ``p`` must be a multiple of 4 (nibble-aligned hex slicing) and at
+    most 12: the integer estimator sum is bounded by
+    ``m * 2^(RANK_BITS+1)`` = ``2^(p+49)``, so p=12 tops out at 2^61
+    (safe BIGINT) while p=16 would reach 2^65 and silently wrap."""
+    if p % 4 or not 4 <= p <= 12:
+        raise ValueError(f"p must be a multiple of 4 in [4, 12], got {p}")
     nib = p // 4
     h = F.md5(col.cast("string"))
     bucket = F.conv(F.substring(h, 1, nib), 16, 10).cast("int").alias("bucket")
@@ -120,11 +123,64 @@ def hll_registers(df: DataFrame, col: Column, p: int = 8) -> DataFrame:
     )
 
 
+def hll_oracle_sql(
+    value_sql: str,
+    from_sql: str,
+    group_keys: tuple[tuple[str, str], ...] = (),
+    p: int = 8,
+) -> str:
+    """The DuckDB twin of the full sketch chain — md5 slicing, integer
+    rho, max-per-bucket registers, exact BIGINT sum, IEEE-division
+    estimate — generated from the SAME constants as the Spark side, so
+    there is exactly one definition for the oracle to drift from.
+    ``group_keys`` are (alias, expression) pairs computed in the
+    innermost select (e.g. a window bucket); the output has the group
+    aliases plus (s_int, v_zero, est_raw)."""
+    if p % 4 or not 4 <= p <= 12:
+        raise ValueError(f"p must be a multiple of 4 in [4, 12], got {p}")
+    m = 1 << p
+    nib = p // 4
+    rank_hex = _RANK_BITS // 4
+    rmax = _RANK_BITS + 1
+    two_to_rmax = f"(CAST(1 AS BIGINT) << {rmax})"
+    key_defs = "".join(f"{expr} AS {alias}, " for alias, expr in group_keys)
+    keys = "".join(f"{alias}, " for alias, _ in group_keys)
+    group1 = ("GROUP BY " + keys + "bucket") if group_keys else "GROUP BY bucket"
+    group2 = ("GROUP BY " + keys.rstrip(", ")) if group_keys else ""
+    w = f"('0x' || substr(md5(CAST({value_sql} AS VARCHAR)), {nib + 1}, {rank_hex}))::BIGINT"
+    return f"""
+        SELECT {keys}
+               CAST(s_present + ({m} - n_present) * {two_to_rmax} AS BIGINT) AS s_int,
+               CAST({m} - n_present AS BIGINT) AS v_zero,
+               {hll_raw_constant(p)!r}
+                   / CAST(s_present + ({m} - n_present) * {two_to_rmax} AS DOUBLE)
+                   AS est_raw
+        FROM (
+            SELECT {keys}count(*) AS n_present,
+                   COALESCE(SUM(CAST(1 AS BIGINT) << ({rmax} - rho)), 0) AS s_present
+            FROM (
+                SELECT {keys}bucket, MAX(rho) AS rho
+                FROM (
+                    SELECT {key_defs}
+                           ('0x' || substr(md5(CAST({value_sql} AS VARCHAR)), 1, {nib}))::BIGINT
+                               AS bucket,
+                           CASE WHEN {w} = 0 THEN {rmax}
+                                ELSE {rmax} - length(format('{{:b}}', {w}))
+                           END AS rho
+                    FROM {from_sql} WHERE {value_sql} IS NOT NULL
+                ) {group1}
+            ) {group2}
+        )
+    """
+
+
 def hll_core_from_registers(regs: DataFrame, p: int = 8, *group_cols: str) -> DataFrame:
     """Collapse a register table (optionally per group) to the integer
     sketch core + raw estimate — the shared tail of :func:`hll_core`
     and the streaming windowed sketch. See :func:`hll_core` for the
-    column contract."""
+    column contract and :func:`hll_bucket_rho` for the p bound."""
+    if p % 4 or not 4 <= p <= 12:
+        raise ValueError(f"p must be a multiple of 4 in [4, 12], got {p}")
     m = 1 << p
     two_to_rank = int(1) << (_RANK_BITS + 1)
     core = regs.groupBy(*group_cols).agg(

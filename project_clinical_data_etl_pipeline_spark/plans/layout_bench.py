@@ -136,68 +136,68 @@ def layout_experiments(
     # file-skipping is the variable, not parallelism; the one-time
     # clustering cost ships as zorder_build.
     zdir = tempfile.mkdtemp(prefix="layoutbench_z_")
-    zpath, ppath = os.path.join(zdir, "z"), os.path.join(zdir, "plain")
-    li2 = lineitem.select("l_orderkey", "l_partkey", "l_extendedprice")
-    t0 = time.perf_counter()
-    write_zordered(
-        li2, zpath, ["l_orderkey", "l_partkey"], target_partitions=16
-    )
-    zbuild = round(time.perf_counter() - t0, 3)
-    # The "unclustered" baseline must actually be unclustered: the
-    # synthetic generator emits orderkeys sequentially, so plain
-    # round-robin files keep orderkey-sorted ROW GROUPS and parquet
-    # min/max pruning silently clusters the baseline on one dim
-    # (measured: the lever read ~1.0x at sf1/sf4 until this).
-    # Sorting within partitions by an uncorrelated column models real
-    # ingestion-ordered data queried on unrelated keys.
-    li2.repartition(16).sortWithinPartitions("l_extendedprice").write.mode(
-        "overwrite"
-    ).parquet(ppath)
-    # Scan bounds derive from the KEY DOMAIN (fixed fractions: 0.33%
-    # of the orderkey span x 5% of the partkey span, anchored 10% in),
-    # not absolute constants — a fixed range's selectivity shrinks
-    # with scale, which at sf4 made BOTH scans trivial and hid the
-    # lever (zorder 1.8x at sf0.1 collapsed to a meaningless 1.1x).
-    # Same disease as the fixed bucket count; same cure. The sizing
-    # agg runs before the timed windows.
-    dom = lineitem.agg(
-        F.min("l_orderkey").alias("ok_lo"),
-        F.max("l_orderkey").alias("ok_hi"),
-        F.min("l_partkey").alias("pk_lo"),
-        F.max("l_partkey").alias("pk_hi"),
-    ).collect()[0]
-    ok_span, pk_span = dom.ok_hi - dom.ok_lo, dom.pk_hi - dom.pk_lo
-    lo_ok = dom.ok_lo + ok_span // 10
-    hi_ok = lo_ok + max(1, ok_span // 300)
-    lo_pk = dom.pk_lo + pk_span // 10
-    hi_pk = lo_pk + max(1, pk_span // 20)
-
-    def _range_scan(path):
-        return (
-            spark.read.parquet(path)
-            .filter(
-                F.col("l_orderkey").between(lo_ok, hi_ok)
-                & F.col("l_partkey").between(lo_pk, hi_pk)
-            )
-            .agg(F.sum("l_extendedprice").alias("s"))
-        )
-
-    left, right = _skew_frames(spark)
-
-    def plain_skew():
-        return (
-            left.hint("merge")
-            .join(right, on="k")
-            .agg(F.sum(F.col("payload") * F.col("dim_val")).alias("s"))
-        )
-
-    def salted_skew():
-        return (
-            salted_join(left.hint("merge"), right, "k", salt=8)
-            .agg(F.sum(F.col("payload") * F.col("dim_val")).alias("s"))
-        )
-
     try:
+        zpath, ppath = os.path.join(zdir, "z"), os.path.join(zdir, "plain")
+        li2 = lineitem.select("l_orderkey", "l_partkey", "l_extendedprice")
+        t0 = time.perf_counter()
+        write_zordered(
+            li2, zpath, ["l_orderkey", "l_partkey"], target_partitions=16
+        )
+        zbuild = round(time.perf_counter() - t0, 3)
+        # The "unclustered" baseline must actually be unclustered: the
+        # synthetic generator emits orderkeys sequentially, so plain
+        # round-robin files keep orderkey-sorted ROW GROUPS and parquet
+        # min/max pruning silently clusters the baseline on one dim
+        # (measured: the lever read ~1.0x at sf1/sf4 until this).
+        # Sorting within partitions by an uncorrelated column models real
+        # ingestion-ordered data queried on unrelated keys.
+        li2.repartition(16).sortWithinPartitions("l_extendedprice").write.mode(
+            "overwrite"
+        ).parquet(ppath)
+        # Scan bounds derive from the KEY DOMAIN (fixed fractions: 0.33%
+        # of the orderkey span x 5% of the partkey span, anchored 10% in),
+        # not absolute constants — a fixed range's selectivity shrinks
+        # with scale, which at sf4 made BOTH scans trivial and hid the
+        # lever (zorder 1.8x at sf0.1 collapsed to a meaningless 1.1x).
+        # Same disease as the fixed bucket count; same cure. The sizing
+        # agg runs before the timed windows.
+        dom = lineitem.agg(
+            F.min("l_orderkey").alias("ok_lo"),
+            F.max("l_orderkey").alias("ok_hi"),
+            F.min("l_partkey").alias("pk_lo"),
+            F.max("l_partkey").alias("pk_hi"),
+        ).collect()[0]
+        ok_span, pk_span = dom.ok_hi - dom.ok_lo, dom.pk_hi - dom.pk_lo
+        lo_ok = dom.ok_lo + ok_span // 10
+        hi_ok = lo_ok + max(1, ok_span // 300)
+        lo_pk = dom.pk_lo + pk_span // 10
+        hi_pk = lo_pk + max(1, pk_span // 20)
+
+        def _range_scan(path):
+            return (
+                spark.read.parquet(path)
+                .filter(
+                    F.col("l_orderkey").between(lo_ok, hi_ok)
+                    & F.col("l_partkey").between(lo_pk, hi_pk)
+                )
+                .agg(F.sum("l_extendedprice").alias("s"))
+            )
+
+        left, right = _skew_frames(spark)
+
+        def plain_skew():
+            return (
+                left.hint("merge")
+                .join(right, on="k")
+                .agg(F.sum(F.col("payload") * F.col("dim_val")).alias("s"))
+            )
+
+        def salted_skew():
+            return (
+                salted_join(left.hint("merge"), right, "k", salt=8)
+                .agg(F.sum(F.col("payload") * F.col("dim_val")).alias("s"))
+            )
+
         runs: dict[str, list[float]] = {}
         for _ in range(passes):
             for name, fn in (

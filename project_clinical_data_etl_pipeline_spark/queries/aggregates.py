@@ -226,36 +226,17 @@ _OP39_43_SQL = """
     )
 """
 
-#: the shared raw-HLL numerator — ONE Python float, embedded verbatim
-#: in both engines so the only FP steps are IEEE-specified (sketch.py)
-_HLL_C = SK.hll_raw_constant(8)
-
-
 def _hll_col_sql(tbl: str, col: str) -> str:
-    """DuckDB twin of operators.sketch.hll_core over one column —
-    identical md5 nibble slicing, integer rho via base-2 string length
-    (format('{:b}') ↔ Spark conv(_, 10, 2)), exact BIGINT register sum;
-    the estimate is the one int→double conversion + one division."""
+    """DuckDB twin of operators.sketch.hll_core over one column: the
+    sketch chain comes from the ONE shared generator
+    (sketch.hll_oracle_sql — same constants as the Spark side, so the
+    twins cannot drift independently); this wrapper adds the column
+    label and the exact-distinct truth column."""
     return f"""
-        SELECT '{tbl}.{col}' AS col_name,
-               CAST(s_present + (256 - n_present) * (CAST(1 AS BIGINT) << 49) AS BIGINT) AS s_int,
-               CAST(256 - n_present AS BIGINT) AS v_zero,
-               {_HLL_C!r} / CAST(s_present + (256 - n_present) * (CAST(1 AS BIGINT) << 49) AS DOUBLE) AS est_raw,
-               (SELECT CAST(count(DISTINCT {col}) AS BIGINT) FROM {tbl}) AS exact_distinct
-        FROM (
-            SELECT count(*) AS n_present,
-                   COALESCE(SUM(CAST(1 AS BIGINT) << (49 - rho)), 0) AS s_present
-            FROM (
-                SELECT bucket, MAX(rho) AS rho
-                FROM (
-                    SELECT ('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 2))::BIGINT AS bucket,
-                           CASE WHEN ('0x' || substr(md5(CAST({col} AS VARCHAR)), 3, 12))::BIGINT = 0 THEN 49
-                                ELSE 49 - length(format('{{:b}}',
-                                    ('0x' || substr(md5(CAST({col} AS VARCHAR)), 3, 12))::BIGINT)) END AS rho
-                    FROM {tbl} WHERE {col} IS NOT NULL
-                ) GROUP BY bucket
-            )
-        )
+        SELECT '{tbl}.{col}' AS col_name, s_int, v_zero, est_raw,
+               (SELECT CAST(count(DISTINCT {col}) AS BIGINT) FROM {tbl})
+                   AS exact_distinct
+        FROM ({SK.hll_oracle_sql(col, tbl)})
     """
 
 

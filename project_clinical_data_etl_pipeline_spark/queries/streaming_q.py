@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.sketch import hll_raw_constant
+from ..operators.sketch import hll_oracle_sql
 from ..streaming.incremental import WINDOW_S, run_hourly_counts_stream
 from ..streaming.sessions import sessionize_batch
 from ..tables import load
@@ -51,33 +51,11 @@ _HOURLY_SUITE_SQL = f"""
     SELECT 'hll' AS part, window_start,
            CAST(NULL AS VARCHAR) AS event_type,
            s_int AS n_events, est_raw AS total_value
-    FROM (
-        SELECT window_start,
-               CAST(s_present + (256 - n_present) * (CAST(1 AS BIGINT) << 49)
-                    AS BIGINT) AS s_int,
-               {hll_raw_constant(8)!r}
-                   / CAST(s_present + (256 - n_present)
-                          * (CAST(1 AS BIGINT) << 49) AS DOUBLE) AS est_raw
-        FROM (
-            SELECT window_start, count(*) AS n_present,
-                   COALESCE(SUM(CAST(1 AS BIGINT) << (49 - rho)), 0) AS s_present
-            FROM (
-                SELECT window_start, bucket, MAX(rho) AS rho
-                FROM (
-                    SELECT strftime(date_trunc('hour', ts),
-                                    '%Y-%m-%d %H:%M:%S') AS window_start,
-                           ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 2))::BIGINT
-                               AS bucket,
-                           CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT = 0
-                                THEN 49
-                                ELSE 49 - length(format('{{:b}}',
-                                    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 3, 12))::BIGINT))
-                           END AS rho
-                    FROM events WHERE user_id IS NOT NULL
-                ) GROUP BY window_start, bucket
-            ) GROUP BY window_start
-        )
-    )
+    FROM ({hll_oracle_sql(
+        "user_id",
+        "events",
+        (("window_start", "strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')"),),
+    )})
 """
 
 

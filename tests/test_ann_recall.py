@@ -29,8 +29,9 @@ _FLOORS = [
     ("embed_topk_lsh", 0.6),
     ("embed_topk_ivf", 0.8),
     ("embed_topk_pq", 0.15),
-    # ADC shortlist-100 → exact re-rank (the SERVED PQ mode) must
-    # recover near-exact recall — the whole point of the re-rank stage.
+    # ADC shortlist → exact re-rank (the SERVED PQ mode; depth is
+    # volume-derived, floor 200) must recover near-exact recall — the
+    # whole point of the re-rank stage.
     ("embed_topk_pq_rerank", 0.8),
 ]
 

@@ -338,8 +338,10 @@ def test_layout_experiments_contract(spark, sf_dir):
     }
     assert all(v > 0 for v in out.values())
     import glob
+    import os
+    import tempfile
 
-    assert glob.glob("/tmp/layoutbench_z_*") == []
+    assert glob.glob(os.path.join(tempfile.gettempdir(), "layoutbench_z_*")) == []
     leftovers = [
         t.name for t in spark.catalog.listTables() if "layoutbench" in t.name
     ]

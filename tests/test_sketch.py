@@ -90,6 +90,14 @@ def test_hll_rejects_unaligned_p(spark):
     df = spark.range(3)
     with pytest.raises(ValueError):
         SK.hll_registers(df, F.col("id"), p=7)
+    # p=16 would push the integer estimator sum to 2^65 — past BIGINT —
+    # so it must be rejected everywhere, including the SQL generator
+    with pytest.raises(ValueError):
+        SK.hll_registers(df, F.col("id"), p=16)
+    with pytest.raises(ValueError):
+        SK.hll_oracle_sql("id", "t", p=16)
+    with pytest.raises(ValueError):
+        SK.hll_core_from_registers(df, 16)
 
 
 def test_derived_sample_ppm():
@@ -105,14 +113,17 @@ def test_sampled_quantiles_full_sample_is_exact(spark, sf_dir):
     table and the discrete quantiles must equal the rank-selected
     values of the fully sorted data."""
     li = load(spark, sf_dir, "lineitem")
+    vals = sorted(r[0] for r in li.select("l_extendedprice").collect())
+    n = len(vals)
     got = {
         r["quantile"]: (r["sample_n"], r["value"])
         for r in SK.sampled_quantiles(
-            li, "l_extendedprice", ["l_orderkey", "l_linenumber"]
+            li,
+            "l_extendedprice",
+            ["l_orderkey", "l_linenumber"],
+            target_n=n,  # force the full-sample case at ANY test SF
         ).collect()
     }
-    vals = sorted(r[0] for r in li.select("l_extendedprice").collect())
-    n = len(vals)
     for pct in (25, 50, 75, 95, 99):
         sample_n, v = got[f"p{pct}"]
         assert sample_n == n
