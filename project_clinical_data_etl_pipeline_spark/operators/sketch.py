@@ -1,5 +1,6 @@
 """Distributed data-profiling sketches: deterministic HyperLogLog
-distinct-count and hash-sampled quantile estimation.
+distinct-count, count-min point-frequency estimation, and hash-sampled
+quantile estimation.
 
 A 100 TB corpus is profiled with sketches, not exact passes: COUNT
 (DISTINCT key) shuffles every distinct value, and an exact quantile
@@ -243,6 +244,151 @@ def hll_estimate(register_table: DataFrame, p: int = 8) -> float:
     if raw <= 2.5 * m and v_zero > 0:
         return m * math.log(m / v_zero)
     return raw
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan 2005, the public CMS paper):
+# point-frequency estimation with d x w bounded state. Same determinism
+# recipe as the HLL above — md5 bucket assignment, INTEGER-ONLY core
+# (counters are exact BIGINT counts, estimates are MIN over counters), so
+# there is no FP step anywhere and the sketch grades hash-match. Counters
+# are ADDITIVE (sum-mergeable) where HLL registers are max-mergeable —
+# per-partition / per-day / per-source sketches combine without rescans.
+# ---------------------------------------------------------------------------
+
+#: default CMS geometry: depth d=4 hash rows (error probability
+#: ~e^-d ≈ 1.8%), width w=256 counters per row (overestimate bound
+#: ~2N/w per the paper, with N the stream length).
+_CMS_DEPTH = 4
+_CMS_WIDTH = 256
+
+
+def cms_bucket(col: Column, row: int, w: int = _CMS_WIDTH) -> Column:
+    """Row-``row``'s bucket for a value: first 4 hex chars (16 bits) of
+    ``md5(value || '|<row>')`` mod ``w``. Salting the value with the row
+    index makes the d hash functions pairwise independent the same
+    cheap way the qsample salt works; 16 hash bits bound ``w`` at
+    65536."""
+    if not 1 <= w <= 65536:
+        raise ValueError(f"w must be in [1, 65536], got {w}")
+    h = F.md5(F.concat(col.cast("string"), F.lit(f"|{row}")))
+    return (
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % w)
+        .cast("int")
+    )
+
+
+def cms_counters(
+    df: DataFrame, col: Column, d: int = _CMS_DEPTH, w: int = _CMS_WIDTH
+) -> DataFrame:
+    """The d×w counter table ``(r int, bucket int, cnt bigint)`` for the
+    non-null values of ``col`` — one scan, one explode(d) fan-out, then
+    a map-side partial hash agg that collapses every partition to at
+    most ``d*w`` rows before the exchange: the shuffle is bounded by the
+    sketch geometry, never by the data."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"), cms_bucket(col, r, w).alias("bucket")
+            )
+            for r in range(d)
+        ]
+    )
+    return (
+        df.filter(col.isNotNull())
+        .select(F.explode(rows).alias("x"))
+        .select("x.r", "x.bucket")
+        .groupBy("r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_merge(*counter_tables: DataFrame) -> DataFrame:
+    """Merge counter tables (same d, w) by per-cell SUM — CMS counters
+    are additive, so per-source sketches combine exactly (tested
+    against the whole-input sketch)."""
+    it = iter(counter_tables)
+    out = next(it)
+    for t in it:
+        out = out.unionByName(t)
+    return out.groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def cms_point_estimates(
+    counters: DataFrame,
+    probes: DataFrame,
+    key_col: str = "key",
+    d: int = _CMS_DEPTH,
+    w: int = _CMS_WIDTH,
+) -> DataFrame:
+    """Point-frequency estimates ``(key, est bigint)`` for each probe
+    key: est = MIN over the d rows of that key's counter (the CMS
+    read). The counter table (≤ d*w rows) broadcasts; a probe whose
+    cell was never touched reads 0. Estimates NEVER underestimate
+    (guarantee of the sketch; pinned in tests)."""
+    from pyspark.sql.functions import broadcast
+
+    key = F.col(key_col)
+    cells = probes.select(
+        key,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        cms_bucket(key, r, w).alias("bucket"),
+                    )
+                    for r in range(d)
+                ]
+            )
+        ).alias("x"),
+    ).select(key_col, "x.r", "x.bucket")
+    return (
+        cells.join(broadcast(counters), on=["r", "bucket"], how="left")
+        .groupBy(key_col)
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).cast("bigint").alias("est"))
+    )
+
+
+def cms_counters_sql(
+    value_sql: str, from_sql: str, d: int = _CMS_DEPTH, w: int = _CMS_WIDTH
+) -> str:
+    """DuckDB twin of :func:`cms_counters` — generated from the same
+    geometry constants so the twins cannot drift independently."""
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT {r} AS r,
+               CAST(('0x' || substr(md5(CAST({value_sql} AS VARCHAR) || '|{r}'), 1, 4))::BIGINT
+                    % {w} AS INT) AS bucket
+            FROM {from_sql} WHERE {value_sql} IS NOT NULL"""
+        for r in range(d)
+    )
+    return f"""
+        SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM ({rows}) GROUP BY r, bucket
+    """
+
+
+def cms_estimates_sql(
+    counters_sql: str,
+    probes_sql: str,
+    d: int = _CMS_DEPTH,
+    w: int = _CMS_WIDTH,
+) -> str:
+    """DuckDB twin of :func:`cms_point_estimates`: ``probes_sql`` must
+    yield a single column ``key`` (VARCHAR); output is (key, est)."""
+    cells = "\nUNION ALL\n".join(
+        f"""SELECT key, {r} AS r,
+               CAST(('0x' || substr(md5(key || '|{r}'), 1, 4))::BIGINT % {w} AS INT)
+                   AS bucket
+            FROM ({probes_sql})"""
+        for r in range(d)
+    )
+    return f"""
+        SELECT c.key, CAST(MIN(COALESCE(t.cnt, 0)) AS BIGINT) AS est
+        FROM ({cells}) c
+        LEFT JOIN ({counters_sql}) t ON c.r = t.r AND c.bucket = t.bucket
+        GROUP BY c.key
+    """
 
 
 def derived_sample_ppm(n_rows: int, target_n: int) -> int:

@@ -280,6 +280,40 @@ _OP39_43_SQL += f"""
     )
 """
 
+_OP39_43_SQL += f"""
+    UNION ALL
+    SELECT 'cms' AS part, key AS o_orderstatus,
+           est AS c_custkey, exact AS n_urgent,
+           CAST(NULL AS BIGINT) AS n_high,
+           CAST(NULL AS BIGINT) AS n_total,
+           CAST(NULL AS DOUBLE) AS median_price,
+           CAST(NULL AS DOUBLE) AS p90_price
+    FROM (
+        WITH ctrs AS ({SK.cms_counters_sql("l_partkey", "lineitem")}),
+        probes AS (
+            SELECT CAST(pk AS VARCHAR) AS key, pk
+            FROM (SELECT DISTINCT l_partkey AS pk FROM lineitem
+                  WHERE l_partkey IS NOT NULL)
+            ORDER BY md5(CAST(pk AS VARCHAR) || '|probe'), pk LIMIT 10
+        ),
+        est AS ({SK.cms_estimates_sql("SELECT * FROM ctrs",
+                                      "SELECT key FROM probes")}),
+        ex AS (
+            SELECT CAST(l.l_partkey AS VARCHAR) AS key,
+                   CAST(count(*) AS BIGINT) AS exact
+            FROM lineitem l JOIN probes p ON l.l_partkey = p.pk
+            GROUP BY 1
+        )
+        SELECT 'pk:' || e.key AS key, e.est, ex.exact
+        FROM est e JOIN ex USING (key)
+        UNION ALL
+        SELECT 'total',
+               (SELECT CAST(SUM(cnt) AS BIGINT) FROM ctrs WHERE r = 0),
+               (SELECT CAST(count(*) AS BIGINT) FROM lineitem
+                WHERE l_partkey IS NOT NULL)
+    )
+"""
+
 
 @spec(
     QUERIES,
@@ -307,11 +341,17 @@ _OP39_43_SQL += f"""
     "string length, exact BIGINT register sum; the estimate's only FP "
     "steps are one int64->double conversion and one division, both "
     "IEEE-specified, so a sketch grades hash-match instead of "
-    "rows-only; operators/sketch.py) — and the 'qsample' leg: "
+    "rows-only; operators/sketch.py), the 'qsample' leg: "
     "hash-sampled discrete quantiles under a volume-derived sample "
     "rate (sample size ~50k at ANY corpus size; rank selection "
-    "returns actual data values, no interpolation). Seven independent "
-    "bounded-shuffle legs; zero-shuffle concat.",
+    "returns actual data values, no interpolation) — and the 'cms' "
+    "leg: count-min point-frequency estimation (4x256 BIGINT counter "
+    "table, explode(d) + map-side partial agg so the shuffle is "
+    "bounded by sketch geometry; MIN-read estimates for 10 "
+    "deterministic probe keys graded against their exact counts, "
+    "plus a cross-engine counter-sum invariant row; integer-only end "
+    "to end, and counters SUM-merge where HLL registers max-merge). "
+    "Eight independent bounded-shuffle legs; zero-shuffle concat.",
 )
 def op39_43_agg_set_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     pctl_nulls = [
@@ -386,10 +426,20 @@ def op39_43_agg_set_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("median_price"),
         F.lit(None).cast("double").alias("p90_price"),
     )
+    cms = op39_cms_profile(spark, sf_dir).select(
+        F.lit("cms").alias("part"),
+        F.col("key").alias("o_orderstatus"),
+        F.col("est").alias("c_custkey"),
+        F.col("exact").alias("n_urgent"),
+        F.lit(None).cast("bigint").alias("n_high"),
+        F.lit(None).cast("bigint").alias("n_total"),
+        F.lit(None).cast("double").alias("median_price"),
+        F.lit(None).cast("double").alias("p90_price"),
+    )
     return (
         pivoted.unionByName(unioned).unionByName(pctl)
         .unionByName(gapfill).unionByName(unpivoted)
-        .unionByName(hll).unionByName(qsample)
+        .unionByName(hll).unionByName(qsample).unionByName(cms)
     )
 
 
@@ -487,6 +537,62 @@ def op39_hll_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def op39_cms_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min point-frequency profile of lineitem.l_partkey: a 4×256
+    counter table (one scan, explode(4) fan-out, map-side partial agg —
+    the shuffle carries ≤ d*w rows per partition at ANY volume), read
+    back for 10 deterministically-chosen probe keys (min-md5 over the
+    distinct key domain — no frequency information used to pick them)
+    with the exact per-key count as the graded truth column, plus a
+    'total' row asserting the counter invariant (each hash row's
+    counters sum to the exact non-null row count) cross-engine. The
+    whole chain is integer-only — counters are exact BIGINT counts and
+    the estimate is a MIN — so it grades hash-match like the HLL. At
+    100 TB the exact column is the per-key pass the sketch replaces;
+    probes here stand in for caller-supplied keys. Graded as the 'cms'
+    leg of op39_43_agg_set_suite."""
+    li = load(spark, sf_dir, "lineitem")
+    val = F.col("l_partkey")
+    counters = SK.cms_counters(li, val)
+    probes = (
+        li.filter(val.isNotNull())
+        .select(val.alias("pk"))
+        .distinct()
+        .orderBy(
+            F.md5(F.concat(F.col("pk").cast("string"), F.lit("|probe"))),
+            F.col("pk"),
+        )
+        .limit(10)
+        .select("pk", F.col("pk").cast("string").alias("key"))
+    )
+    ests = SK.cms_point_estimates(counters, probes.select("key"), "key")
+    exact = (
+        li.join(F.broadcast(probes), val == F.col("pk"), "inner")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact"))
+    )
+    per_key = ests.join(F.broadcast(exact), on="key").select(
+        F.concat(F.lit("pk:"), F.col("key")).alias("key"), "est", "exact"
+    )
+    # 'total' invariant row: row-0 counter sum vs the exact non-null
+    # count — two independent derivations pinned equal by the grade.
+    # union-max attach (the hll-leg trick): no 1-row constant join.
+    total = counters.filter(F.col("r") == 0).agg(
+        F.sum("cnt").cast("bigint").alias("est"),
+        F.lit(None).cast("bigint").alias("exact"),
+    )
+    n_exact = li.filter(val.isNotNull()).agg(
+        F.lit(None).cast("bigint").alias("est"),
+        F.count(F.lit(1)).cast("bigint").alias("exact"),
+    )
+    total_row = (
+        total.unionByName(n_exact)
+        .agg(F.max("est").alias("est"), F.max("exact").alias("exact"))
+        .select(F.lit("total").alias("key"), "est", "exact")
+    )
+    return per_key.unionByName(total_row)
 
 
 def op39_sampled_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1,10 +1,12 @@
-"""operators.sketch: deterministic HLL + hash-sampled quantiles.
+"""operators.sketch: deterministic HLL + count-min + hash-sampled
+quantiles.
 
-The graded cross-engine parity lives in the 'hll'/'qsample' legs of
-op39_43_agg_set_suite; these tests pin the operator properties the
-oracle cannot see — mergeability, estimator accuracy bounds, the
-linear-counting branch, partitioning-invariance, and the sample-size
-guarantee of the volume-derived rate.
+The graded cross-engine parity lives in the 'hll'/'qsample'/'cms' legs
+of op39_43_agg_set_suite; these tests pin the operator properties the
+oracle cannot see — mergeability (max for HLL registers, SUM for CMS
+counters), estimator accuracy bounds, the never-underestimate CMS
+guarantee, the linear-counting branch, partitioning-invariance, and
+the sample-size guarantee of the volume-derived rate.
 """
 
 from __future__ import annotations
@@ -98,6 +100,105 @@ def test_hll_rejects_unaligned_p(spark):
         SK.hll_oracle_sql("id", "t", p=16)
     with pytest.raises(ValueError):
         SK.hll_core_from_registers(df, 16)
+
+
+def _counters_dict(cdf):
+    return {(r["r"], r["bucket"]): r["cnt"] for r in cdf.collect()}
+
+
+def test_cms_never_underestimates_and_bounds(spark, sf_dir):
+    """The CMS guarantee: est >= exact for EVERY key, and the expected
+    overestimate bound est <= exact + 2N/w holds on real data (paper
+    bound at delta = e^-d; checked with slack 4N/w so hash luck cannot
+    flake the suite)."""
+    li = load(spark, sf_dir, "lineitem")
+    counters = SK.cms_counters(li, F.col("l_partkey"))
+    n = li.filter("l_partkey IS NOT NULL").count()
+    probes = (
+        li.select(F.col("l_partkey").cast("string").alias("key"))
+        .distinct()
+        .limit(50)
+    )
+    est = {
+        r["key"]: r["est"]
+        for r in SK.cms_point_estimates(counters, probes, "key").collect()
+    }
+    exact = {
+        str(r["l_partkey"]): r["n"]
+        for r in li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert est, "no probes"
+    for k, e in est.items():
+        assert e >= exact[k], f"CMS underestimated {k}: {e} < {exact[k]}"
+        assert e <= exact[k] + 4 * n / 256
+
+
+def test_cms_counters_bounded_and_row_sums_equal_n(spark, sf_dir):
+    """State bound: at most d*w counter rows; each hash row partitions
+    the input, so every row's counters sum to the exact non-null
+    count — the invariant the graded 'total' row pins cross-engine."""
+    li = load(spark, sf_dir, "lineitem")
+    counters = SK.cms_counters(li, F.col("l_partkey")).collect()
+    assert len(counters) <= 4 * 256
+    n = li.filter("l_partkey IS NOT NULL").count()
+    for r in range(4):
+        assert sum(c["cnt"] for c in counters if c["r"] == r) == n
+
+
+def test_cms_merge_equals_whole(spark, sf_dir):
+    """Counters are additive: per-half sketches SUM-merge to the
+    whole-input sketch (the distributive property that lets per-source
+    / per-day sketches combine without rescans)."""
+    o = load(spark, sf_dir, "orders")
+    whole = SK.cms_counters(o, F.col("o_custkey"))
+    lo = SK.cms_counters(o.filter("o_orderkey % 2 = 0"), F.col("o_custkey"))
+    hi = SK.cms_counters(o.filter("o_orderkey % 2 = 1"), F.col("o_custkey"))
+    assert _counters_dict(SK.cms_merge(lo, hi)) == _counters_dict(whole)
+
+
+def test_cms_python_oracle_bit_exact(spark):
+    """The full Spark chain (bucket assignment, counters, min-read
+    estimate) reproduced bit-for-bit by a hashlib reimplementation —
+    the same style of independent oracle the xxhash64 sketches carry."""
+    import hashlib
+    from collections import Counter
+
+    vals = [str(v) for v in [7, 7, 7, 13, 13, 999, 999, 999, 999, 42]]
+    df = spark.createDataFrame([(v,) for v in vals], "k string")
+    counters = _counters_dict(SK.cms_counters(df, F.col("k")))
+
+    def bucket(v: str, r: int) -> int:
+        return int(hashlib.md5(f"{v}|{r}".encode()).hexdigest()[:4], 16) % 256
+
+    expected: Counter = Counter()
+    for v in vals:
+        for r in range(4):
+            expected[(r, bucket(v, r))] += 1
+    assert counters == dict(expected)
+
+    probes = spark.createDataFrame([("7",), ("42",), ("1000",)], "key string")
+    est = {
+        r["key"]: r["est"]
+        for r in SK.cms_point_estimates(
+            SK.cms_counters(df, F.col("k")), probes, "key"
+        ).collect()
+    }
+    py_est = {
+        k: min(expected.get((r, bucket(k, r)), 0) for r in range(4))
+        for k in ["7", "42", "1000"]
+    }
+    assert est == py_est
+    assert est["7"] >= 3 and est["42"] >= 1  # never under
+
+
+def test_cms_rejects_oversized_width(spark):
+    """16 hash bits bound w at 65536 — wider widths would alias."""
+    with pytest.raises(ValueError):
+        SK.cms_bucket(F.lit("x"), 0, w=65537)
+    with pytest.raises(ValueError):
+        SK.cms_bucket(F.lit("x"), 0, w=0)
 
 
 def test_derived_sample_ppm():
