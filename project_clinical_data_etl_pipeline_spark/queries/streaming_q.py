@@ -56,6 +56,11 @@ _HOURLY_SUITE_SQL = f"""
         "events",
         (("window_start", "strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')"),),
     )})
+    UNION ALL
+    SELECT 'dedupwm' AS part,
+           strftime(h, '%Y-%m-%d %H:%M:%S') AS window_start,
+           event_type, n_events, total_value
+    FROM base
 """
 
 
@@ -79,7 +84,14 @@ _HOURLY_SUITE_SQL = f"""
     "table is a plain windowed max (streaming/hll.py), so state per "
     "window is ≤256 ints at ANY user cardinality where exact windowed "
     "distinct would hold O(distinct) state; the oracle re-derives the "
-    "identical registers batch-side (integer sketch core, hash-match).",
+    "identical registers batch-side (integer sketch core, hash-match). "
+    "'dedupwm' leg (round 10): NATIVE streaming dedup — "
+    "dropDuplicatesWithinWatermark under injected at-least-once "
+    "re-deliveries (two real micro-batches; every batch-1 event inside "
+    "the watermark horizon re-sent in batch 2) must emit exactly the "
+    "distinct original events, so the hourly rollup equals the batch "
+    "group-by; dedup state is bounded by the watermark horizon where "
+    "plain dropDuplicates state grows with stream history.",
     tags=("streaming",),
 )
 def op41_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -127,7 +139,44 @@ def op41_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "total_value",
     )
-    return complete.unionByName(append_leg).unionByName(_hll_leg(spark, sf_dir))
+    return (
+        complete.unionByName(append_leg)
+        .unionByName(_hll_leg(spark, sf_dir))
+        .unionByName(_dedupwm_leg(spark, sf_dir))
+    )
+
+
+def _dedupwm_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming dedup (``dropDuplicatesWithinWatermark``) under
+    injected at-least-once re-deliveries, aggregated per hour — the
+    emitted set must be EXACTLY the distinct original events, so the
+    hourly rollup equals the batch group-by even though the stream saw
+    duplicates (streaming/incremental.run_dedup_within_watermark_stream:
+    two real micro-batches, every batch-1 event inside the watermark
+    horizon re-sent in batch 2; state bounded by the horizon, not the
+    stream history). Graded as the 'dedupwm' leg of
+    op41_streaming_hourly_counts."""
+    from ..streaming.incremental import run_dedup_within_watermark_stream
+
+    out = run_dedup_within_watermark_stream(spark, sf_dir)
+    return (
+        out.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("h"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.lit("dedupwm").alias("part"),
+            F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
 
 
 def _hll_leg(spark: SparkSession, sf_dir: str) -> DataFrame:

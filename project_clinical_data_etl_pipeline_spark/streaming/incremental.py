@@ -210,6 +210,117 @@ def start_incremental_dedup_stream(
     )
 
 
+def run_dedup_within_watermark_stream(
+    spark: SparkSession, sf_dir: str, delay_s: int = 86_400
+) -> DataFrame:
+    """Native streaming dedup: ``dropDuplicatesWithinWatermark`` driven
+    as a REAL two-micro-batch stream with injected duplicate
+    re-deliveries — the at-least-once-source shape (Kafka redelivery,
+    file re-drops) where exactly-once semantics must come from the
+    engine, not the source.
+
+    Batch 1 streams the first half of the event time range; batch 2
+    streams the second half PLUS re-sent copies of every batch-1 event
+    inside the watermark horizon of batch 1's maximum event time. The
+    operator's contract — duplicates arriving within the watermark
+    delay of the first delivery are dropped, with state bounded by the
+    horizon instead of the stream's history (the reason this exists
+    over plain ``dropDuplicates``, whose key state grows forever) —
+    makes the emitted set exactly the distinct original events, so the
+    result is batch-deterministic and SQL-oracle-able.
+
+    Timestamps round-trip the file drops as unix MICROS (bigint json
+    field, rebuilt with ``timestamp_micros`` in-stream) — no string
+    parsing to diverge on. Returns the emitted rows
+    ``(event_id, user_id, event_type, ts, value)``.
+    """
+    import glob
+    import os
+    import shutil
+
+    from ..scratch import scratch_dir
+    from ..tables import load
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        "value",
+    )
+    bounds = e.agg(
+        F.min("ts_us").alias("mn"), F.max("ts_us").alias("mx")
+    ).collect()[0]
+    empty = spark.createDataFrame(
+        [], "event_id bigint, user_id bigint, event_type string, "
+        "ts timestamp, value double"
+    )
+    if bounds["mn"] is None:
+        return empty
+    mid_us = (int(bounds["mn"]) + int(bounds["mx"])) // 2
+    b1 = e.filter(F.col("ts_us") <= mid_us)
+    b2_new = e.filter(F.col("ts_us") > mid_us)
+    # re-deliver every batch-1 row still inside batch 1's watermark
+    # horizon (1 s of slack below the exact boundary so ms-truncated
+    # watermarks cannot flip membership): these are the duplicates the
+    # operator GUARANTEES to drop — rows older than the horizon leave
+    # state and are late-filtered instead, which is also a drop, but
+    # the guarantee regime is the honest one to grade.
+    b1_max = int(
+        b1.agg(F.max("ts_us").alias("m")).collect()[0]["m"] or mid_us
+    )
+    resent = b1.filter(
+        F.col("ts_us") > b1_max - delay_s * 1_000_000 + 1_000_000
+    )
+    b2 = b2_new.unionByName(resent)
+
+    root = scratch_dir("spark_graft_dedupwm_")
+    src = os.path.join(root, "incoming")
+    os.makedirs(src, exist_ok=True)
+
+    def drop(batch_df: DataFrame, label: str) -> None:
+        stage = os.path.join(root, f"stage_{label}")
+        batch_df.coalesce(1).write.mode("overwrite").json(stage)
+        part = glob.glob(os.path.join(stage, "part-*"))[0]
+        shutil.move(part, os.path.join(src, f"{label}.json"))
+
+    schema = (
+        "event_id bigint, user_id bigint, event_type string, "
+        "ts_us bigint, value double"
+    )
+    deduped = (
+        spark.readStream.schema(schema)
+        .json(src)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.timestamp_micros(F.col("ts_us")).alias("ts"),
+            "value",
+        )
+        .withWatermark("ts", f"{delay_s} seconds")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = f"dedupwm_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        try:
+            drop(b1, "b1")
+            q.processAllAvailable()
+            drop(b2, "b2")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.table(name).localCheckpoint(eager=True)
+    finally:
+        spark.catalog.dropTempView(name)
+
+
 def hourly_counts_batch_equivalent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The batch plan the complete-mode stream must equal — used as the
     oracle-side definition and in tests."""

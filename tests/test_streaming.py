@@ -590,3 +590,76 @@ def test_watermarked_append_across_multiple_triggers_with_late_data(
         ("2024-05-01 11:00:00", "view", 1, 3.0),     # 11:30 row dropped
         ("2024-05-01 13:00:00", "purchase", 1, 4.0),
     }
+
+
+def test_dedup_within_watermark_drops_injected_duplicates(spark, sf_dir):
+    """The graded 'dedupwm' runner: duplicates ARE injected (non-vacuous)
+    and the emitted rowset is exactly the distinct original events —
+    full rows, not just ids."""
+    e = load(spark, sf_dir, "events")
+    u = F.unix_micros(F.col("ts").cast("timestamp"))
+    b = e.agg(F.min(u).alias("mn"), F.max(u).alias("mx")).collect()[0]
+    mid = (int(b["mn"]) + int(b["mx"])) // 2
+    b1max = (
+        e.filter(u <= mid).agg(F.max(u).alias("m")).collect()[0]["m"]
+    )
+    n_resent = e.filter(
+        (u <= mid) & (u > b1max - 86_400 * 1_000_000 + 1_000_000)
+    ).count()
+    assert n_resent > 0, "horizon captured no re-sendable rows — vacuous"
+
+    out = I.run_dedup_within_watermark_stream(spark, sf_dir)
+    cols = ["event_id", "user_id", "event_type", "value"]
+    got = sorted(tuple(r[c] for c in cols) for r in out.collect())
+    want = sorted(tuple(r[c] for c in cols) for r in e.collect())
+    assert got == want
+
+
+def test_dedup_within_watermark_synthetic_triggers(spark, tmp_path):
+    """Controlled two-trigger stream pinning the operator contract:
+    a duplicate re-delivered WITHIN the watermark horizon is dropped
+    (the guarantee); a duplicate re-delivered with event time already
+    below the watermark does not re-emit either (late-input filter);
+    genuinely new keys pass through."""
+    import json as _json
+    import uuid as _uuid
+
+    src = tmp_path / "dedupwm_src"
+    src.mkdir()
+
+    def drop_file(name, rows):
+        with open(src / name, "w") as f:
+            for eid, ts in rows:
+                f.write(_json.dumps(
+                    {"event_id": eid, "ts": f"2024-05-01T{ts}:00.000Z"}
+                ) + "\n")
+
+    drop_file("b1.json", [(1, "09:00"), (2, "12:00")])
+    deduped = (
+        spark.readStream.schema("event_id bigint, ts timestamp")
+        .json(str(src))
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    name = f"dedupwm_syn_{_uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # watermark -> 11:00
+        drop_file("b2.json", [
+            (2, "12:00"),  # within horizon: state hit -> dup-dropped
+            (1, "09:00"),  # event time < watermark: late-filtered
+            (3, "12:30"),  # new key -> emitted
+        ])
+        q.processAllAvailable()
+        got = sorted(
+            (r["event_id"], str(r["ts"])) for r in spark.table(name).collect()
+        )
+    finally:
+        q.stop()
+        spark.catalog.dropTempView(name)
+    assert [eid for eid, _ in got] == [1, 2, 3]
