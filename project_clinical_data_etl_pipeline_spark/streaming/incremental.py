@@ -81,6 +81,50 @@ def _run_to_completion(spark: SparkSession, sink, name: str) -> DataFrame:
         spark.catalog.dropTempView(name)
 
 
+def run_to_parquet(
+    spark: SparkSession, stream_df: DataFrame, label: str, drive=None
+) -> DataFrame:
+    """Run an append-mode stream to completion, landing emitted rows in
+    a scratch parquet target via ``foreachBatch`` — the O(data)-output
+    twin of :func:`_run_to_completion`. A memory sink materializes the
+    whole emitted stream in DRIVER heap, which is only legitimate for
+    horizon-bounded results (windowed aggregates, sketch registers);
+    per-event outputs (as-of enrichments, join pairs, SCD2 versions)
+    must land executor-side (measured: the dedup-within-watermark leg
+    OOMed a default driver on its second sf1 invocation through a
+    memory sink, and runs warm through this sink).
+
+    ``drive``: optional callable receiving the started StreamingQuery
+    to control trigger boundaries (file drops between drains); the
+    default drains everything available once."""
+    import os
+
+    from ..scratch import scratch_dir
+
+    target = os.path.join(scratch_dir(f"spark_graft_{label}_"), "emitted")
+
+    def land(batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("append").parquet(target)
+
+    q = (
+        stream_df.writeStream.outputMode("append")
+        .foreachBatch(land)
+        .queryName(f"{label}_{uuid.uuid4().hex[:8]}")
+        .start()
+    )
+    try:
+        if drive is None:
+            q.processAllAvailable()
+        else:
+            drive(q)
+    finally:
+        q.stop()
+    try:
+        return spark.read.parquet(target)
+    except Exception:  # zero emitted rows: no parquet dir was created
+        return spark.createDataFrame([], stream_df.schema)
+
+
 def run_hourly_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Run the tumbling-window count stream to completion (complete
     output mode → every window emitted; deterministic, equals the batch
@@ -233,6 +277,14 @@ def run_dedup_within_watermark_stream(
     field, rebuilt with ``timestamp_micros`` in-stream) — no string
     parsing to diverge on. Returns the emitted rows
     ``(event_id, user_id, event_type, ts, value)``.
+
+    Scale shape: the sink is a ``foreachBatch`` parquet APPEND — emitted
+    rows land executor-side and never reside on the driver (a memory
+    sink here holds the whole deduped stream in driver heap: measured
+    OOM on repeat invocation at sf1). The file drops write with the
+    scan's own parallelism (all parts of a drop move together and the
+    file source drains every available file per ``processAllAvailable``
+    trigger, so multi-file drops are still exactly two micro-batches).
     """
     import glob
     import os
@@ -280,9 +332,11 @@ def run_dedup_within_watermark_stream(
 
     def drop(batch_df: DataFrame, label: str) -> None:
         stage = os.path.join(root, f"stage_{label}")
-        batch_df.coalesce(1).write.mode("overwrite").json(stage)
-        part = glob.glob(os.path.join(stage, "part-*"))[0]
-        shutil.move(part, os.path.join(src, f"{label}.json"))
+        batch_df.write.mode("overwrite").json(stage)
+        for i, part in enumerate(
+            sorted(glob.glob(os.path.join(stage, "part-*")))
+        ):
+            shutil.move(part, os.path.join(src, f"{label}_{i}.json"))
 
     schema = (
         "event_id bigint, user_id bigint, event_type string, "
@@ -301,24 +355,13 @@ def run_dedup_within_watermark_stream(
         .withWatermark("ts", f"{delay_s} seconds")
         .dropDuplicatesWithinWatermark(["event_id"])
     )
-    name = f"dedupwm_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        try:
-            drop(b1, "b1")
-            q.processAllAvailable()
-            drop(b2, "b2")
-            q.processAllAvailable()
-        finally:
-            q.stop()
-        return spark.table(name).localCheckpoint(eager=True)
-    finally:
-        spark.catalog.dropTempView(name)
+    def drive(q) -> None:
+        drop(b1, "b1")
+        q.processAllAvailable()
+        drop(b2, "b2")
+        q.processAllAvailable()
+
+    return run_to_parquet(spark, deduped, "dedupwm", drive=drive)
 
 
 def hourly_counts_batch_equivalent(spark: SparkSession, sf_dir: str) -> DataFrame:
