@@ -351,21 +351,45 @@ def cms_point_estimates(
 
 
 def cms_counters_sql(
-    value_sql: str, from_sql: str, d: int = _CMS_DEPTH, w: int = _CMS_WIDTH
+    value_sql: str,
+    from_sql: str,
+    d: int = _CMS_DEPTH,
+    w: int = _CMS_WIDTH,
+    group_keys: tuple[tuple[str, str], ...] = (),
 ) -> str:
     """DuckDB twin of :func:`cms_counters` — generated from the same
-    geometry constants so the twins cannot drift independently."""
+    geometry constants so the twins cannot drift independently.
+    ``group_keys`` are (alias, expression) pairs computed per input row
+    (e.g. a time window), yielding one counter table per group — the
+    batch re-derivation of the streaming windowed counters."""
+    key_defs = "".join(f"{expr} AS {alias}, " for alias, expr in group_keys)
+    keys = "".join(f"{alias}, " for alias, _ in group_keys)
     rows = "\nUNION ALL\n".join(
-        f"""SELECT {r} AS r,
+        f"""SELECT {key_defs}{r} AS r,
                CAST(('0x' || substr(md5(CAST({value_sql} AS VARCHAR) || '|{r}'), 1, 4))::BIGINT
                     % {w} AS INT) AS bucket
             FROM {from_sql} WHERE {value_sql} IS NOT NULL"""
         for r in range(d)
     )
     return f"""
-        SELECT r, bucket, CAST(count(*) AS BIGINT) AS cnt
-        FROM ({rows}) GROUP BY r, bucket
+        SELECT {keys}r, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM ({rows}) GROUP BY {keys}r, bucket
     """
+
+
+def cms_probe_cells_sql(
+    probes_sql: str, d: int = _CMS_DEPTH, w: int = _CMS_WIDTH
+) -> str:
+    """The (key, r, bucket) probe-cell expansion — the read-side twin of
+    the per-row expansion inside :func:`cms_point_estimates`.
+    ``probes_sql`` must yield a single VARCHAR column ``key``."""
+    return "\nUNION ALL\n".join(
+        f"""SELECT key, {r} AS r,
+               CAST(('0x' || substr(md5(key || '|{r}'), 1, 4))::BIGINT % {w} AS INT)
+                   AS bucket
+            FROM ({probes_sql})"""
+        for r in range(d)
+    )
 
 
 def cms_estimates_sql(
@@ -376,16 +400,9 @@ def cms_estimates_sql(
 ) -> str:
     """DuckDB twin of :func:`cms_point_estimates`: ``probes_sql`` must
     yield a single column ``key`` (VARCHAR); output is (key, est)."""
-    cells = "\nUNION ALL\n".join(
-        f"""SELECT key, {r} AS r,
-               CAST(('0x' || substr(md5(key || '|{r}'), 1, 4))::BIGINT % {w} AS INT)
-                   AS bucket
-            FROM ({probes_sql})"""
-        for r in range(d)
-    )
     return f"""
         SELECT c.key, CAST(MIN(COALESCE(t.cnt, 0)) AS BIGINT) AS est
-        FROM ({cells}) c
+        FROM ({cms_probe_cells_sql(probes_sql, d, w)}) c
         LEFT JOIN ({counters_sql}) t ON c.r = t.r AND c.bucket = t.bucket
         GROUP BY c.key
     """

@@ -10,7 +10,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.sketch import hll_oracle_sql
+from ..operators.sketch import (
+    _CMS_DEPTH,
+    cms_counters_sql,
+    cms_probe_cells_sql,
+    hll_oracle_sql,
+)
 from ..streaming.incremental import WINDOW_S, run_hourly_counts_stream
 from ..streaming.sessions import sessionize_batch
 from ..tables import load
@@ -61,6 +66,43 @@ _HOURLY_SUITE_SQL = f"""
            strftime(h, '%Y-%m-%d %H:%M:%S') AS window_start,
            event_type, n_events, total_value
     FROM base
+    UNION ALL
+    SELECT 'cmsw' AS part, window_start, key AS event_type,
+           est AS n_events, CAST(COALESCE(exact, 0) AS DOUBLE) AS total_value
+    FROM (
+        WITH wctrs AS ({cms_counters_sql(
+            "user_id",
+            "events",
+            group_keys=(
+                ("window_start",
+                 "strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')"),
+            ),
+        )}),
+        probes AS (
+            SELECT CAST(pk AS VARCHAR) AS key, pk
+            FROM (SELECT DISTINCT user_id AS pk FROM events
+                  WHERE user_id IS NOT NULL)
+            ORDER BY md5(CAST(pk AS VARCHAR) || '|probe'), pk LIMIT 3
+        ),
+        cells AS ({cms_probe_cells_sql("SELECT key FROM probes")}),
+        est AS (
+            SELECT c.window_start, p.key,
+                   CASE WHEN count(*) < {_CMS_DEPTH} THEN CAST(0 AS BIGINT)
+                        ELSE MIN(c.cnt) END AS est
+            FROM wctrs c JOIN cells p ON c.r = p.r AND c.bucket = p.bucket
+            GROUP BY 1, 2
+        ),
+        ex AS (
+            SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S')
+                       AS window_start,
+                   CAST(e.user_id AS VARCHAR) AS key,
+                   CAST(count(*) AS BIGINT) AS exact
+            FROM events e JOIN probes p ON e.user_id = p.pk GROUP BY 1, 2
+        )
+        SELECT est.window_start, est.key, est.est, ex.exact
+        FROM est LEFT JOIN ex
+            ON est.window_start = ex.window_start AND est.key = ex.key
+    )
 """
 
 
@@ -91,7 +133,12 @@ _HOURLY_SUITE_SQL = f"""
     "the watermark horizon re-sent in batch 2) must emit exactly the "
     "distinct original events, so the hourly rollup equals the batch "
     "group-by; dedup state is bounded by the watermark horizon where "
-    "plain dropDuplicates state grows with stream history.",
+    "plain dropDuplicates state grows with stream history. 'cmsw' leg "
+    "(round 10): per-hour count-min estimates for 3 watched user keys "
+    "computed IN the stream (streaming/cms.py — windowed counter "
+    "table, state ≤ d·w ints per window at any cardinality; unlike the "
+    "idempotent-max HLL registers, counters SUM, so at-least-once "
+    "sources inflate them — the contract is stated at the operator).",
     tags=("streaming",),
 )
 def op41_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -143,6 +190,52 @@ def op41_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         complete.unionByName(append_leg)
         .unionByName(_hll_leg(spark, sf_dir))
         .unionByName(_dedupwm_leg(spark, sf_dir))
+        .unionByName(_cmsw_leg(spark, sf_dir))
+    )
+
+
+def _cmsw_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour CMS point-frequency estimates for 3 deterministically
+    chosen watched user keys, computed IN the stream (streaming/cms.py:
+    windowed groupBy(window, r, bucket).count() — state per window is
+    ≤ d·w counter ints at ANY key cardinality; exact per-window per-key
+    counting holds O(distinct) state). The estimate read and the exact
+    truth column run batch-side on the drained horizon-bounded counter
+    snapshot. Graded as the 'cmsw' leg of op41_streaming_hourly_counts
+    (streamed counters ≡ batch counters per window, hash-match)."""
+    from ..streaming.cms import run_windowed_cms_stream, windowed_point_estimates
+
+    e = load(spark, sf_dir, "events")
+    probes = (
+        e.filter(F.col("user_id").isNotNull())
+        .select(F.col("user_id").alias("pk"))
+        .distinct()
+        .orderBy(
+            F.md5(F.concat(F.col("pk").cast("string"), F.lit("|probe"))),
+            F.col("pk"),
+        )
+        .limit(3)
+        .select("pk", F.col("pk").cast("string").alias("key"))
+    )
+    counters = run_windowed_cms_stream(spark, sf_dir)
+    est = windowed_point_estimates(counters, probes.select("key"))
+    exact = (
+        e.join(F.broadcast(probes), F.col("user_id") == F.col("pk"))
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "key",
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("exact"))
+    )
+    return est.join(
+        F.broadcast(exact), on=["window_start", "key"], how="left"
+    ).select(
+        F.lit("cmsw").alias("part"),
+        "window_start",
+        F.col("key").alias("event_type"),
+        F.col("est").alias("n_events"),
+        F.coalesce(F.col("exact"), F.lit(0)).cast("double").alias("total_value"),
     )
 
 

@@ -305,3 +305,90 @@ def test_streaming_hll_append_finalized_equals_batch(spark, sf_dir):
         assert complete[w] == core, w
     # finalization is a strict prefix: the last window stays open
     assert len(appended) < len(complete)
+
+
+def _wctr_dict(df):
+    return {
+        (r["window_start"], r["r"], r["bucket"]): r["cnt"]
+        for r in df.collect()
+    }
+
+
+def test_streaming_windowed_cms_equals_batch(spark, sf_dir):
+    """Streamed per-window CMS counters (complete mode) must equal the
+    batch windowed counter table of the same events — the streamed
+    sketch IS the batch sketch of the processed prefix."""
+    from project_clinical_data_etl_pipeline_spark.streaming.cms import (
+        _windowed_counters,
+        run_windowed_cms_stream,
+    )
+
+    streamed = _wctr_dict(run_windowed_cms_stream(spark, sf_dir))
+    batch = _wctr_dict(
+        _windowed_counters(
+            load(spark, sf_dir, "events"), "user_id", 4, 256, None
+        )
+    )
+    assert streamed == batch
+    assert streamed, "no counters"
+    # state bound: every window carries at most d*w counter cells
+    per_window: dict = {}
+    for (w, _, _), _c in streamed.items():
+        per_window[w] = per_window.get(w, 0) + 1
+    assert max(per_window.values()) <= 4 * 256
+
+
+def test_streaming_cms_append_finalized_equals_batch(spark, sf_dir):
+    """Append mode (watermark evicts a finalized window's counters)
+    must emit, for every finalized window, exactly the complete-mode
+    counters of that window, and must finalize a strict prefix."""
+    from project_clinical_data_etl_pipeline_spark.streaming.cms import (
+        run_windowed_cms_append,
+        run_windowed_cms_stream,
+    )
+
+    complete = _wctr_dict(run_windowed_cms_stream(spark, sf_dir))
+    appended = _wctr_dict(run_windowed_cms_append(spark, sf_dir))
+    assert appended, "watermark finalized no windows on this data"
+    for cell, cnt in appended.items():
+        assert complete[cell] == cnt, cell
+    open_windows = {w for (w, _, _) in complete} - {
+        w for (w, _, _) in appended
+    }
+    assert open_windows, "append mode emitted the still-open tail window"
+
+
+def test_windowed_cms_estimates_never_underestimate(spark, sf_dir):
+    """Per-window estimates >= per-window exact counts for every
+    (window, probe) pair the exact side produces."""
+    from project_clinical_data_etl_pipeline_spark.streaming.cms import (
+        _windowed_counters,
+        windowed_point_estimates,
+    )
+
+    e = load(spark, sf_dir, "events")
+    counters = _windowed_counters(e, "user_id", 4, 256, None)
+    probes = (
+        e.select(F.col("user_id").cast("string").alias("key"))
+        .distinct()
+        .limit(20)
+    )
+    est = {
+        (r["window_start"], r["key"]): r["est"]
+        for r in windowed_point_estimates(counters, probes).collect()
+    }
+    probe_keys = {r["key"] for r in probes.collect()}
+    exact = {
+        (r["w"], str(r["user_id"])): r["n"]
+        for r in e.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("w"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+        if str(r["user_id"]) in probe_keys
+    }
+    assert exact, "no exact rows for probes"
+    for cell, n in exact.items():
+        assert est.get(cell, 0) >= n, cell
