@@ -566,6 +566,10 @@ def op39_cms_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(10)
         .select("pk", F.col("pk").cast("string").alias("key"))
+        # 10 rows, two consumers (estimate read + exact truth join):
+        # lazy localCheckpoint so the distinct-key-domain pass and its
+        # top-k merge run once, not once per consumer
+        .localCheckpoint(eager=False)
     )
     ests = SK.cms_point_estimates(counters, probes.select("key"), "key")
     exact = (

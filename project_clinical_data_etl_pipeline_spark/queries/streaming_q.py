@@ -216,6 +216,9 @@ def _cmsw_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(3)
         .select("pk", F.col("pk").cast("string").alias("key"))
+        # two consumers (probe cells + exact truth join): materialize
+        # the 3-row probe set once (the op39_cms_profile pattern)
+        .localCheckpoint(eager=False)
     )
     counters = run_windowed_cms_stream(spark, sf_dir)
     est = windowed_point_estimates(counters, probes.select("key"))
