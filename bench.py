@@ -101,6 +101,12 @@ BENCH_QUERIES = [
     # BIGINT arithmetic) — the second iterative-algorithm series next
     # to hierarchy_transitive_closure.
     "pagerank_parts",
+    # round-10 addition: count-min point-frequency profile (4x256
+    # counter build + 10-probe read + invariant row) — the third
+    # profiling-sketch series next to the hll/qsample ladder numbers
+    # in SCALE.md; shuffle bounded by sketch geometry, so the series
+    # should stay near-flat as sf grows.
+    "op39_cms_profile",
 ]
 
 # (bm25_search is graded as the 'bm25' leg of retrieval_suite; its
@@ -142,6 +148,7 @@ _DIRECT = {
     # this timing series stays the closure alone, same label since r5
     "hierarchy_transitive_closure": "extended",
     "pagerank_parts": "extended",  # r9: graded inside hierarchy_graph_suite
+    "op39_cms_profile": "aggregates",  # r10: graded inside op39_43_agg_set_suite
 }
 
 
