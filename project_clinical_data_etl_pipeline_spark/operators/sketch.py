@@ -257,8 +257,10 @@ def hll_estimate(register_table: DataFrame, p: int = 8) -> float:
 # ---------------------------------------------------------------------------
 
 #: default CMS geometry: depth d=4 hash rows (error probability
-#: ~e^-d ≈ 1.8%), width w=256 counters per row (overestimate bound
-#: ~2N/w per the paper, with N the stream length).
+#: ~e^-d ≈ 1.8%), width w=256 counters per row. The Cormode &
+#: Muthukrishnan bound is eps*N with w = ceil(e/eps), i.e. an
+#: overestimate of ~e*N/w ≈ 2.72*N/w (N the stream length); tests
+#: assert with 4N/w slack so the probabilistic bound cannot flake.
 _CMS_DEPTH = 4
 _CMS_WIDTH = 256
 

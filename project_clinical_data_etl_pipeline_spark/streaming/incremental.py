@@ -119,10 +119,13 @@ def run_to_parquet(
             drive(q)
     finally:
         q.stop()
-    try:
-        return spark.read.parquet(target)
-    except Exception:  # zero emitted rows: no parquet dir was created
+    if not os.path.exists(target):
+        # Zero emitted rows: foreachBatch never ran, so no parquet dir
+        # was created. Any OTHER read failure (corrupt file, IO error)
+        # must propagate — swallowing it would silently turn a real
+        # fault into an empty graded result.
         return spark.createDataFrame([], stream_df.schema)
+    return spark.read.parquet(target)
 
 
 def run_hourly_counts_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -318,9 +321,10 @@ def run_dedup_within_watermark_stream(
     # operator GUARANTEES to drop — rows older than the horizon leave
     # state and are late-filtered instead, which is also a drop, but
     # the guarantee regime is the honest one to grade.
-    b1_max = int(
-        b1.agg(F.max("ts_us").alias("m")).collect()[0]["m"] or mid_us
-    )
+    _m = b1.agg(F.max("ts_us").alias("m")).collect()[0]["m"]
+    # Explicit None check — a legitimate max of exactly 0 (epoch) is a
+    # real bound, not an empty batch, and must not fall back to mid_us.
+    b1_max = mid_us if _m is None else int(_m)
     resent = b1.filter(
         F.col("ts_us") > b1_max - delay_s * 1_000_000 + 1_000_000
     )

@@ -107,10 +107,10 @@ def _counters_dict(cdf):
 
 
 def test_cms_never_underestimates_and_bounds(spark, sf_dir):
-    """The CMS guarantee: est >= exact for EVERY key, and the expected
-    overestimate bound est <= exact + 2N/w holds on real data (paper
-    bound at delta = e^-d; checked with slack 4N/w so hash luck cannot
-    flake the suite)."""
+    """The CMS guarantee: est >= exact for EVERY key, and the paper's
+    overestimate bound est <= exact + eN/w (~2.72N/w, Cormode &
+    Muthukrishnan with w=ceil(e/eps), delta = e^-d) holds on real data;
+    checked with slack 4N/w so hash luck cannot flake the suite."""
     li = load(spark, sf_dir, "lineitem")
     counters = SK.cms_counters(li, F.col("l_partkey"))
     n = li.filter("l_partkey IS NOT NULL").count()

@@ -609,9 +609,19 @@ def test_dedup_within_watermark_drops_injected_duplicates(spark, sf_dir):
     assert n_resent > 0, "horizon captured no re-sendable rows — vacuous"
 
     out = I.run_dedup_within_watermark_stream(spark, sf_dir)
-    cols = ["event_id", "user_id", "event_type", "value"]
-    got = sorted(tuple(r[c] for c in cols) for r in out.collect())
-    want = sorted(tuple(r[c] for c in cols) for r in e.collect())
+    # ts round-trips through the unix-micros JSON encoding — the one
+    # column most at risk of drift, so it IS in the compared tuple
+    # (normalized to micros on both sides).
+    norm = lambda df: df.select(  # noqa: E731
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    cols = ["event_id", "user_id", "event_type", "value", "ts_us"]
+    got = sorted(tuple(r[c] for c in cols) for r in norm(out).collect())
+    want = sorted(tuple(r[c] for c in cols) for r in norm(e).collect())
     assert got == want
 
 
