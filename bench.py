@@ -171,8 +171,88 @@ def _runner(name):
     return REGISTRY[name].run
 
 
+def _canary(spark, sf_dir):
+    """FROZEN machine-speed normalizer — round 11, NEVER EDIT.
+
+    This box swings 1.5-2.5x run-to-run and ~30% across days (SCALE.md
+    weather sections; the r9 'regression' was re-litigated with a
+    manual r8-worktree control). The fix the verdict asked for: a
+    frozen-plan trio, run FIRST and COLD each round, whose wall time
+    ships in the payload as "canary". Cross-round comparisons read
+    comparable10/canary ("c10n") — the machine term divides out.
+
+    Frozen by construction: raw spark.read.parquet (no package helpers
+    that later rounds might optimize), three fixed shapes — scan+agg,
+    join+agg, sort-topk. Editing this function invalidates every prior
+    round's c10n; don't."""
+    t0 = time.perf_counter()
+    li = spark.read.parquet(os.path.join(sf_dir, "lineitem.parquet"))
+    od = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+    cu = spark.read.parquet(os.path.join(sf_dir, "customer.parquet"))
+    from pyspark.sql import functions as F
+
+    li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("l_quantity"), F.sum("l_extendedprice"),
+        F.avg("l_discount"), F.count("*"),
+    ).count()
+    od.join(cu, od.o_custkey == cu.c_custkey).groupBy(
+        "c_mktsegment"
+    ).agg(F.sum("o_totalprice"), F.count("*")).count()
+    li.orderBy(F.col("l_extendedprice").desc()).limit(100).count()
+    return round(time.perf_counter() - t0, 3)
+
+
+def _ann_maint_split(spark, sf_dir):
+    """Index-lifecycle cost telemetry (round 11): build on 90% of the
+    bench corpus, append the remaining 10% (frozen parameters — the
+    faiss-`add` path), compact the touched cells back to one file, and
+    probe the appended index. The build/append ratio is the number the
+    incremental-maintenance claim rests on: append must cost a small
+    fraction of build at a 10x smaller delta (and stays O(delta) at
+    any corpus size, while build grows with the corpus)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from project_clinical_data_etl_pipeline_spark.operators import (
+        ann_index as AI,
+    )
+    from project_clinical_data_etl_pipeline_spark.tables import load
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = e.count()
+    split = int(n * 0.9)
+    path = tempfile.mkdtemp(prefix="bench_ann_maint_")
+    try:
+        out = {}
+        t0 = time.perf_counter()
+        AI.build_ivfpq_index(
+            spark, e.filter(F.col("vec_id") < split), path, dim=64
+        )
+        out["build"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        stats = AI.append_ivfpq_index(
+            spark, path, e.filter(F.col("vec_id") >= split)
+        )
+        out["append"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        AI.compact_index(spark, path, max_files_per_cell=1)
+        out["compact"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        AI.probe_index(
+            spark, path, e.filter(F.col("vec_id") < 8), k=5
+        ).count()
+        out["probe"] = round(time.perf_counter() - t0, 2)
+        if stats.get("drift_ratio") is not None:
+            out["drift"] = round(stats["drift_ratio"], 3)
+        return out
+    finally:
+        shutil.rmtree(path, ignore_errors=True)
+
+
 def build_payload(timings, cv, ivfpq, sf, errors=None, ivfpq256=None,
-                  layout=None):
+                  layout=None, canary=None, ann_maint=None):
     """The ONE place the stdout payload shape is defined — bench.main()
     and tests/test_bench_contract.py both call this, so the size-budget
     tests can never silently validate a drifted shape.
@@ -200,6 +280,15 @@ def build_payload(timings, cv, ivfpq, sf, errors=None, ivfpq256=None,
         "ivfpq": ivfpq,
         "sf": sf,
     }
+    if canary is not None:
+        # frozen-plan cold trio (_canary): the machine-speed normalizer.
+        # c10n = comparable10 / canary is the WEATHER-FREE cross-round
+        # series — read it before reading raw seconds deltas.
+        payload["canary"] = canary
+        if payload["comparable10"] is not None and canary > 0:
+            payload["c10n"] = round(payload["comparable10"] / canary, 3)
+    if ann_maint:
+        payload["ann_maint"] = ann_maint
     if ivfpq256:
         payload["ivfpq256"] = ivfpq256
     if layout:
@@ -250,6 +339,15 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or "0.1")
     spark = get_spark(app_name="bench")
+
+    # Machine-weather canary: FIRST and COLD, before any warmup, so
+    # every round pays the identical frozen cost (JVM startup included)
+    # and comparable10/canary divides the box's speed out of
+    # cross-round comparisons. Telemetry — never fails the run.
+    try:
+        canary = _canary(spark, sf_dir)
+    except Exception:
+        canary = None
 
     # Warmup at the SMALLEST scale factor: JIT-compiles the join/agg/HOF
     # interpreter paths and primes codegen + parquet footer caches so the
@@ -380,9 +478,17 @@ def main() -> None:
     except Exception as ex:  # telemetry — never fail the bench
         layout = {"error": type(ex).__name__}
 
+    # Index-lifecycle split (round 11): build vs append vs compact vs
+    # probe on the persisted IVF+PQ index — the incremental-maintenance
+    # cost claim, measured each round.
+    try:
+        ann_maint = _ann_maint_split(spark, sf_dir)
+    except Exception as ex:  # telemetry — never fail the bench
+        ann_maint = {"error": type(ex).__name__}
+
     payload = build_payload(
         timings, cv, ivfpq, sf, errors=errors, ivfpq256=ivfpq256,
-        layout=layout,
+        layout=layout, canary=canary, ann_maint=ann_maint,
     )
     # The driver captures only the last ~2000 chars of stdout; a line
     # that outgrows that window arrives front-truncated and unparseable
@@ -391,7 +497,8 @@ def main() -> None:
     # timings go to stderr, outside the stdout window.
     line, overflow = render_line(payload)
     print(json.dumps({"runs": runs, "cv": cv_full, "errors": errors,
-                      "recall": recall, "layout": layout}),
+                      "recall": recall, "layout": layout,
+                      "canary": canary, "ann_maint": ann_maint}),
           file=sys.stderr)
     if overflow:
         print(json.dumps(overflow), file=sys.stderr)

@@ -1,0 +1,424 @@
+"""Persisted IVF+PQ index LIFECYCLE — build / append / compact /
+retrain-criterion / probe over a self-contained on-disk index.
+
+The round-10 serving path (``quantization.persist_ivfpq_index``) builds
+a bucketed index once per process and keeps the trained centroids +
+codebooks in process memory — rebuild-only maintenance. A 100 TB corpus
+that grows continuously (the repo's own ``incremental_dedup_corpus``
+stream) cannot pay a full retrain + re-encode per append, so this
+module gives the index a real lifecycle:
+
+- **Layout**: parquet ``(neighbor_id, cell, pq_code)`` partitioned by
+  ``cell`` — the moral twin of the bucketed table (probes prune to the
+  ``n_probe`` matching cell directories), but partition directories,
+  unlike bucket files, support SELECTIVE rewrite
+  (``sources.writers.overwrite_partitions``) and cheap appends. One
+  file per cell at build time (each cell's rows hash to exactly one
+  write task).
+- **Self-contained**: trained centroids, codebooks, and build-time
+  drift baselines persist in a ``_meta.json`` sidecar next to the
+  data, so ANY process can append to or probe the index — no
+  per-process training cache required.
+- **Append is O(delta)**: new vectors are assigned to the EXISTING
+  centroids and encoded with the EXISTING codebooks (one map pass over
+  the delta — the faiss ``add`` semantics), then landed as one new
+  file per touched cell. Nothing existing is read or rewritten.
+- **Compaction is O(touched cells)**: appends accumulate small files
+  per cell; ``compact_index`` rewrites ONLY the cells whose file count
+  crossed the bound, via dynamic partition overwrite — the local analog
+  of Delta/Iceberg OPTIMIZE.
+- **Retrain is a MEASURED decision**: each append records the mean
+  assignment distance of its vectors (1 − cosine to the winning
+  centroid). ``retrain_criterion`` compares the appended running mean
+  against the build-time baseline (distance inflation ⇒ the frozen
+  centroids no longer fit the data) and the cell-occupancy skew
+  against uniform (hot-cell fraction ⇒ probe cost concentrates), and
+  says WHEN to pay the rebuild.
+
+Invariant (test-pinned, tests/test_ann_index.py): because append
+freezes the trained parameters, build(A) + append(B) produces the
+IDENTICAL row set — and therefore identical probe results — as a
+one-shot encode of A∪B with the same parameters. Drift is handled by
+the criterion, not by silently re-deriving parameters.
+
+Scale notes: meta (centroids + codebooks ≍ n_centroids·dim +
+m·ks·subdim doubles — KBs) is driver-side by construction, same class
+as the kmeans centroid pull. File counts are read from the filesystem
+listing here; on object storage that is the table-format transaction
+log's job (Delta/Iceberg), and this module is the parquet stand-in.
+Single writer assumed (appends are not transactional against each
+other) — the documented Delta-less boundary.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_META_NAME = "_meta.json"
+_DATA_DIR = "index"
+
+
+def _meta_path(path: str) -> str:
+    return os.path.join(path, _META_NAME)
+
+
+def _data_path(path: str) -> str:
+    return os.path.join(path, _DATA_DIR)
+
+
+def load_index_meta(path: str) -> dict:
+    """Read the index's sidecar metadata (trained parameters + drift
+    counters). Raises FileNotFoundError for a path that holds no built
+    index — callers must not silently treat an empty dir as an index."""
+    with open(_meta_path(path)) as fh:
+        return json.load(fh)
+
+
+def _write_meta(path: str, meta: dict) -> None:
+    os.makedirs(path, exist_ok=True)
+    tmp = _meta_path(path) + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, _meta_path(path))  # atomic on POSIX
+
+
+def _mean_assign_dist(
+    vectors: DataFrame, centroids: list[list[float]], dim: int, vec_col: str
+) -> float | None:
+    """Mean (1 − cosine(vec, centroid[assigned cell])) over ``vectors``
+    — the drift statistic. One map pass + one scalar aggregate; the
+    collect is a single row (control flow, not data)."""
+    from .quantization import _centroid_lookup_expr
+    from .similarity import cell_assign, cosine, norm
+
+    assigned = (
+        vectors.select(
+            F.col(vec_col).alias("__v"),
+            norm(F.col(vec_col), dim).alias("__n"),
+        )
+        .withColumn("cell", cell_assign("__v", "__n", centroids, dim))
+        # the unrolled dot/norm kernels need plain column references:
+        # land the looked-up centroid as a named column first
+        .withColumn("__c", F.expr(_centroid_lookup_expr(centroids)))
+    )
+    row = assigned.select(
+        F.avg(1.0 - cosine("__v", "__c", dim)).alias("d")
+    ).collect()[0]
+    return None if row["d"] is None else float(row["d"])
+
+
+def _encode(
+    corpus: DataFrame, meta: dict, id_col: str, vec_col: str
+) -> DataFrame:
+    """(neighbor_id, cell INT, pq_code) under the index's FROZEN
+    parameters — the shared build/append map pass. ``cell`` is cast to
+    int so the values written match what parquet partition discovery
+    infers back on read (type-stable round trip)."""
+    from .quantization import ivfpq_index
+
+    return ivfpq_index(
+        corpus,
+        meta["centroids"],
+        meta["codebooks"],
+        meta["dim"],
+        id_col=id_col,
+        vec_col=vec_col,
+    ).withColumn("cell", F.col("cell").cast("int"))
+
+
+def _land(delta: DataFrame, path: str, mode: str) -> None:
+    """Write (one file per cell): every cell's rows hash to exactly one
+    of the ``n_cells`` write tasks, so each ``cell=`` directory receives
+    exactly one file per landing — the bucketed layout's one-file
+    invariant, kept through appends at one file per touched cell."""
+    n_cells = delta.select("cell").distinct().count()
+    (
+        delta.repartition(max(1, n_cells), F.col("cell"))
+        .write.mode(mode)
+        .partitionBy("cell")
+        .parquet(_data_path(path))
+    )
+
+
+def build_ivfpq_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    n_centroids: int = 16,
+    m: int = 8,
+    ks: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> dict:
+    """Train (coarse k-means + per-subspace PQ codebooks), encode, and
+    persist the cell-partitioned index + ``_meta.json`` sidecar.
+    Returns the metadata dict. Training cost is the dominant build term
+    (SCALE.md: build ≈ 14 s at sf0.1 vs 4.7 s probe) — which is exactly
+    why :func:`append_ivfpq_index` must not repeat it."""
+    from .quantization import pq_train
+    from .similarity import kmeans_centroids
+
+    corpus = corpus.localCheckpoint(eager=False)  # scanned 4x below
+    cents = kmeans_centroids(
+        corpus,
+        dim=dim,
+        id_col=id_col,
+        vec_col=vec_col,
+        n_centroids=n_centroids,
+        n_iter=n_iter,
+        round_dp=6,
+    )
+    books = pq_train(
+        corpus,
+        dim=dim,
+        m=m,
+        ks=ks,
+        n_iter=n_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_dp=6,
+    )
+    meta = {
+        "dim": dim,
+        "m": m,
+        "ks": ks,
+        "n_centroids": n_centroids,
+        "centroids": cents,
+        "codebooks": books,
+        "id_col": id_col,
+        "vec_col": vec_col,
+        "build_n": corpus.count(),
+        "build_mean_dist": _mean_assign_dist(corpus, cents, dim, vec_col),
+        "appended_n": 0,
+        "appended_dist_sum": 0.0,
+        "n_appends": 0,
+    }
+    _land(_encode(corpus, meta, id_col, vec_col), path, "overwrite")
+    _write_meta(path, meta)
+    return meta
+
+
+def append_ivfpq_index(
+    spark: SparkSession, path: str, new_vectors: DataFrame
+) -> dict:
+    """faiss-``add`` semantics: assign ``new_vectors`` to the EXISTING
+    centroids, encode with the EXISTING codebooks, land one new file
+    per touched cell — O(|delta|) compute and write, zero existing
+    bytes read or rewritten. Updates the sidecar's drift counters.
+    Returns ``{"appended", "touched_cells", "mean_dist",
+    "drift_ratio"}`` (drift_ratio = this delta's mean assignment
+    distance over the build baseline — >1 means the frozen centroids
+    fit the new data worse than they fit the training corpus)."""
+    meta = load_index_meta(path)
+    new_vectors = new_vectors.localCheckpoint(eager=False)  # scanned 2x
+    delta = _encode(new_vectors, meta, meta["id_col"], meta["vec_col"])
+    n = new_vectors.count()
+    if n == 0:
+        return {
+            "appended": 0,
+            "touched_cells": 0,
+            "mean_dist": None,
+            "drift_ratio": None,
+        }
+    touched = delta.select("cell").distinct().count()
+    _land(delta, path, "append")
+    d = _mean_assign_dist(
+        new_vectors, meta["centroids"], meta["dim"], meta["vec_col"]
+    )
+    meta["appended_n"] += n
+    meta["appended_dist_sum"] += (d or 0.0) * n
+    meta["n_appends"] += 1
+    _write_meta(path, meta)
+    base = meta["build_mean_dist"]
+    return {
+        "appended": n,
+        "touched_cells": touched,
+        "mean_dist": d,
+        "drift_ratio": (None if not base or d is None else d / base),
+    }
+
+
+def read_index(spark: SparkSession, path: str) -> DataFrame:
+    """(neighbor_id, cell BIGINT, pq_code) — the probe input. ``cell``
+    is a parquet PARTITION column, so a probe's
+    ``cell IN (probed cells)`` filter prunes to the matching
+    directories before any file is opened (the partition-pruning twin
+    of the bucketed table's bucket pruning)."""
+    return spark.read.parquet(_data_path(path)).select(
+        "neighbor_id", F.col("cell").cast("bigint").alias("cell"), "pq_code"
+    )
+
+
+def cell_file_counts(path: str) -> dict[int, int]:
+    """Data files per cell directory, from the filesystem listing —
+    the compaction trigger's input. On object storage this listing is
+    the table format's transaction log (Delta/Iceberg); this is the
+    local parquet stand-in."""
+    out: dict[int, int] = {}
+    for d in glob.glob(os.path.join(_data_path(path), "cell=*")):
+        cell = int(d.rsplit("=", 1)[1])
+        out[cell] = len(
+            [
+                f
+                for f in os.listdir(d)
+                if f.startswith("part-") and not f.endswith(".crc")
+            ]
+        )
+    return out
+
+
+def compact_index(
+    spark: SparkSession, path: str, max_files_per_cell: int = 4
+) -> list[int]:
+    """Rewrite ONLY the cells whose file count exceeds the bound, back
+    to one file each, via dynamic partition overwrite — every other
+    cell's files are untouched (semantics pinned in
+    tests/test_write_semantics.py for the shared
+    ``overwrite_partitions`` primitive). O(hot cells' bytes), not
+    O(index). Returns the compacted cell ids."""
+    from ..sources.writers import overwrite_partitions
+
+    hot = sorted(
+        c for c, n in cell_file_counts(path).items() if n > max_files_per_cell
+    )
+    if not hot:
+        return []
+    data = spark.read.parquet(_data_path(path)).filter(
+        F.col("cell").isin(hot)
+    )
+    # one task per compacted cell -> back to one file per cell
+    overwrite_partitions(
+        data.repartition(len(hot), F.col("cell")),
+        _data_path(path),
+        ["cell"],
+    )
+    return hot
+
+
+def retrain_criterion(
+    spark: SparkSession,
+    path: str,
+    drift_factor: float = 1.3,
+    hot_cell_factor: float = 4.0,
+) -> dict:
+    """The measured when-to-rebuild decision. Two triggers:
+
+    - **Assignment-distance inflation**: appended running mean distance
+      > ``drift_factor`` × build baseline ⇒ the frozen centroids no
+      longer describe the incoming distribution (distribution shift),
+      and PQ reconstruction error — hence recall — degrades with it.
+      The baseline is the TRAINING-fit distance, so even held-out
+      same-distribution data sits above 1.0 by the coarse quantizer's
+      generalization gap — measured 1.16-1.18 on the synthetic corpus
+      (weakly clustered: negating every held-out vector still measures
+      1.16, i.e. direction barely moves max-cos over these centroids).
+      The default 1.3 sits above that gap and below the measured
+      worst-case: a delta orthogonal to every trained centroid (exact
+      cos 0 ⇒ mean dist 1.0) measures ≈ 1.5. Both sides are
+      deterministic and pinned in tests/test_ann_index.py; recalibrate
+      the factor per corpus from the same two measurements.
+    - **Hot-cell skew**: max cell occupancy > ``hot_cell_factor`` × the
+      uniform share ⇒ probes hitting that cell scan ~hot_cell_factor×
+      the intended candidate volume — the IVF twin of the bucketed-join
+      skew lesson.
+
+    Occupancy comes from a count-per-cell aggregate over the index
+    (partial-agg, ≤ n_centroids rows to the driver); drift comes from
+    the sidecar counters — no raw-vector rescan."""
+    meta = load_index_meta(path)
+    occ = {
+        r["cell"]: r["n"]
+        for r in read_index(spark, path)
+        .groupBy("cell")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total = sum(occ.values())
+    uniform = total / max(1, meta["n_centroids"])
+    hot_ratio = (max(occ.values()) / uniform) if occ else 0.0
+    drift_ratio = None
+    if meta["appended_n"] > 0 and meta["build_mean_dist"]:
+        drift_ratio = (
+            meta["appended_dist_sum"] / meta["appended_n"]
+        ) / meta["build_mean_dist"]
+    reasons = []
+    if drift_ratio is not None and drift_ratio > drift_factor:
+        reasons.append("assignment_distance_inflation")
+    if hot_ratio > hot_cell_factor:
+        reasons.append("hot_cell_skew")
+    return {
+        "retrain": bool(reasons),
+        "reasons": reasons,
+        "drift_ratio": drift_ratio,
+        "hot_cell_ratio": hot_ratio,
+        "n_rows": total,
+        "appended_fraction": meta["appended_n"] / max(1, total),
+    }
+
+
+def probe_index(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+) -> DataFrame:
+    """ADC top-k over the persisted index — parameters come from the
+    sidecar, so any process can serve it cold. Same probe plan as
+    ``quantization.ivfpq_topk`` (cell-pruned scan, codebook-lookup
+    reconstruction on the probed slice only)."""
+    from .quantization import ivfpq_topk
+
+    meta = load_index_meta(path)
+    return ivfpq_topk(
+        queries,
+        read_index(spark, path),
+        meta["centroids"],
+        meta["codebooks"],
+        meta["dim"],
+        k=k,
+        n_probe=n_probe,
+        id_col=meta["id_col"],
+        vec_col=meta["vec_col"],
+    )
+
+
+def probe_index_rerank(
+    spark: SparkSession,
+    path: str,
+    queries: DataFrame,
+    raw_corpus: DataFrame,
+    k: int = 5,
+    n_probe: int = 4,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """The served mode: ADC shortlist over the persisted index → exact
+    cosine re-rank against the raw vectors (volume-derived shortlist
+    depth — ``quantization.derived_shortlist`` — unless pinned). This
+    is the path the ≥0.8 recall floor is guaranteed through after
+    appends (tests/test_ann_index.py)."""
+    from .quantization import derived_shortlist, _exact_rerank
+
+    meta = load_index_meta(path)
+    idx = read_index(spark, path)
+    if shortlist is None:
+        shortlist = derived_shortlist(idx.count())
+    cand = probe_index(
+        spark, path, queries, k=shortlist, n_probe=n_probe
+    ).select("query_id", "neighbor_id")
+    return _exact_rerank(
+        queries,
+        cand,
+        raw_corpus,
+        k,
+        meta["dim"],
+        meta["id_col"],
+        meta["vec_col"],
+    )

@@ -1,0 +1,227 @@
+"""Persisted IVF+PQ index lifecycle (operators/ann_index.py): the
+round-11 incremental-maintenance contract.
+
+The load-bearing invariant: **append ≡ rebuild-encode**. Because
+``append_ivfpq_index`` freezes the trained parameters, build(A) +
+append(B) must produce the IDENTICAL row set — and identical probe
+results — as a one-shot encode of A∪B under the same parameters.
+Everything else (drift, skew) is the retrain criterion's job, and both
+of its triggers are pinned from measured positives AND negatives so
+the thresholds cannot silently drift into always/never firing.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from project_clinical_data_etl_pipeline_spark.operators import ann_index as AI
+from project_clinical_data_etl_pipeline_spark.operators.quantization import (
+    ivfpq_index,
+)
+from project_clinical_data_etl_pipeline_spark.tables import load
+
+_DIM = 64
+_SPLIT = 400  # build on vec_id < 400, append the remaining 100
+
+
+def _rows(df):
+    return sorted(
+        (r["neighbor_id"], int(r["cell"]), tuple(r["pq_code"]))
+        for r in df.collect()
+    )
+
+
+def _probe_rows(df):
+    return sorted(
+        (r["query_id"], r["neighbor_id"], r["rank"]) for r in df.collect()
+    )
+
+
+@pytest.fixture(scope="module")
+def corpus(spark, sf_dir):
+    return load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+
+@pytest.fixture(scope="module")
+def built(spark, corpus, tmp_path_factory):
+    """Index built on the first _SPLIT vectors, then grown to full
+    corpus coverage via TWO appends (append path exercised more than
+    once before any equality/recall claim)."""
+    path = str(tmp_path_factory.mktemp("ivfpq_idx"))
+    meta = AI.build_ivfpq_index(
+        spark, corpus.filter(F.col("vec_id") < _SPLIT), path, dim=_DIM
+    )
+    s1 = AI.append_ivfpq_index(
+        spark,
+        path,
+        corpus.filter(
+            (F.col("vec_id") >= _SPLIT) & (F.col("vec_id") < _SPLIT + 50)
+        ),
+    )
+    s2 = AI.append_ivfpq_index(
+        spark, path, corpus.filter(F.col("vec_id") >= _SPLIT + 50)
+    )
+    return path, meta, (s1, s2)
+
+
+def test_append_equals_one_shot_encode(spark, corpus, built):
+    """build(A) + append(B1) + append(B2) row set == one-shot encode of
+    A∪B under the SAME frozen parameters."""
+    path, meta, (s1, s2) = built
+    assert s1["appended"] == 50 and s2["appended"] == 50
+    one_shot = ivfpq_index(
+        corpus, meta["centroids"], meta["codebooks"], _DIM
+    ).withColumn("cell", F.col("cell").cast("bigint"))
+    assert _rows(AI.read_index(spark, path)) == _rows(one_shot)
+
+
+def test_probe_after_append_equals_one_shot_probe(spark, corpus, built):
+    """Probe results through the appended index are identical to
+    probing the one-shot encode — the serving-level restatement of the
+    row-set invariant (and it runs cold from the sidecar: no training
+    state from the build survives in this call chain)."""
+    from project_clinical_data_etl_pipeline_spark.operators.quantization import (
+        ivfpq_topk,
+    )
+
+    path, meta, _ = built
+    queries = corpus.filter(F.col("vec_id") < 8)
+    got = AI.probe_index(spark, path, queries, k=5)
+    one_shot = ivfpq_index(corpus, meta["centroids"], meta["codebooks"], _DIM)
+    want = ivfpq_topk(
+        queries, one_shot, meta["centroids"], meta["codebooks"], _DIM, k=5
+    )
+    assert _probe_rows(got) == _probe_rows(want)
+
+
+def test_recall_floor_after_appends(spark, sf_dir, corpus, built):
+    """The served mode (ADC shortlist → exact re-rank) holds the ≥0.8
+    recall@5 floor on an index grown by appends — the verdict's
+    acceptance bar for incremental maintenance."""
+    from project_clinical_data_etl_pipeline_spark.queries import llmdata
+
+    path, _, _ = built
+    exact: dict[int, set[int]] = {}
+    for r in llmdata.embed_topk_bruteforce(spark, sf_dir).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    queries = corpus.filter(F.col("vec_id") < 8)
+    approx: dict[int, set[int]] = {}
+    for r in AI.probe_index_rerank(
+        spark, path, queries, corpus, k=5
+    ).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(approx.get(q, set()) & truth) / len(truth)
+        for q, truth in exact.items()
+    ]
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.8, f"recall@5 {mean_recall:.3f} after appends"
+
+
+def test_one_file_per_cell_then_compact(spark, corpus, built):
+    """Layout invariant: build lands ONE file per cell; each append
+    adds at most one file per touched cell; compaction returns hot
+    cells to one file each and changes no data."""
+    path, _, _ = built
+    counts = AI.cell_file_counts(path)
+    assert counts, "no cell directories found"
+    assert max(counts.values()) <= 3  # build + 2 appends
+    before = _rows(AI.read_index(spark, path))
+    compacted = AI.compact_index(spark, path, max_files_per_cell=1)
+    assert compacted, "appends created multi-file cells; none compacted"
+    after_counts = AI.cell_file_counts(path)
+    assert all(after_counts[c] == 1 for c in compacted)
+    assert _rows(AI.read_index(spark, path)) == before
+
+
+def test_drift_negative_same_distribution(spark, built):
+    """Same-distribution appends must NOT trip the retrain criterion.
+    The baseline is the training-fit distance, so held-out data sits
+    ABOVE 1.0 by the coarse quantizer's generalization gap — measured
+    1.16-1.18 on this corpus — and the 1.3 default must clear it."""
+    path, _, (s1, s2) = built
+    for s in (s1, s2):
+        assert s["drift_ratio"] is not None
+        assert 1.0 < s["drift_ratio"] < 1.3, s
+    crit = AI.retrain_criterion(spark, path)
+    assert crit["retrain"] is False, crit
+    assert crit["appended_fraction"] == pytest.approx(100 / 500)
+
+
+def test_drift_positive_orthogonal_delta(spark, corpus, tmp_path):
+    """A delta orthogonal to EVERY trained centroid (exact cos 0 ⇒
+    mean assignment distance 1.0, the quantizer's out-of-distribution
+    worst case short of anti-alignment) MUST trip the
+    distance-inflation trigger — measured ratio ≈ 1.5 vs the 1.3
+    threshold. Deterministic: Gram-Schmidt on the persisted centroids,
+    no randomness."""
+    import numpy as np
+
+    path = str(tmp_path / "idx_ortho")
+    meta = AI.build_ivfpq_index(
+        spark, corpus.filter(F.col("vec_id") < _SPLIT), path, dim=_DIM
+    )
+    cents = np.array(meta["centroids"], dtype=np.float64)
+    # project the basis vectors out of the centroid span; take the 50
+    # largest-residual directions as the orthogonal delta
+    q, _ = np.linalg.qr(cents.T)  # 64 x 16 orthonormal span basis
+    deltas = []
+    for i in range(_DIM):
+        e = np.zeros(_DIM)
+        e[i] = 1.0
+        r = e - q @ (q.T @ e)
+        n = np.linalg.norm(r)
+        if n > 1e-9:
+            deltas.append((float(n), (r / n).tolist()))
+    deltas = [v for _, v in sorted(deltas, reverse=True)[:50]]
+    ortho = spark.createDataFrame(
+        [(20_000 + i, v) for i, v in enumerate(deltas)],
+        "vec_id bigint, embedding array<double>",
+    )
+    stats = AI.append_ivfpq_index(spark, path, ortho)
+    assert stats["drift_ratio"] is not None and stats["drift_ratio"] > 1.3
+    crit = AI.retrain_criterion(spark, path)
+    assert crit["retrain"] is True
+    assert "assignment_distance_inflation" in crit["reasons"]
+
+
+def test_hot_cell_skew_trigger(spark, corpus, tmp_path):
+    """A delta that piles onto one Voronoi cell (copies of a single
+    vector) trips the hot-cell trigger even with zero drift — probe
+    cost concentration is detected independently of distribution
+    shift."""
+    path = str(tmp_path / "idx_hot")
+    AI.build_ivfpq_index(
+        spark, corpus.filter(F.col("vec_id") < _SPLIT), path, dim=_DIM
+    )
+    one = corpus.filter(F.col("vec_id") == 0).select("embedding")
+    pile = (
+        spark.range(20_000, 20_000 + 600)
+        .withColumnRenamed("id", "vec_id")
+        .crossJoin(F.broadcast(one))
+    )
+    AI.append_ivfpq_index(spark, path, pile)
+    crit = AI.retrain_criterion(spark, path)
+    assert crit["hot_cell_ratio"] > 4.0
+    assert "hot_cell_skew" in crit["reasons"]
+
+
+def test_empty_append_is_noop(spark, corpus, built):
+    path, _, _ = built
+    before = _rows(AI.read_index(spark, path))
+    stats = AI.append_ivfpq_index(
+        spark, path, corpus.filter(F.col("vec_id") < 0)
+    )
+    assert stats == {
+        "appended": 0,
+        "touched_cells": 0,
+        "mean_dist": None,
+        "drift_ratio": None,
+    }
+    assert _rows(AI.read_index(spark, path)) == before
+
+
+def test_meta_missing_raises(tmp_path):
+    with pytest.raises(FileNotFoundError):
+        AI.load_index_meta(str(tmp_path / "nope"))

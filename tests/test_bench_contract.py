@@ -36,7 +36,12 @@ def test_stdout_line_fits_driver_window_realistic():
     # inside the 2000-char tail window for trailing newline/noise.
     timings = {n: 9.999 for n in BENCH_QUERIES}
     cv = {n: 0.99 for i, n in enumerate(BENCH_QUERIES) if i % 2 == 0}
-    payload = build_payload(timings, cv, {"build": 99.99, "probe": 99.99}, 0.1)
+    payload = build_payload(
+        timings, cv, {"build": 99.99, "probe": 99.99}, 0.1,
+        canary=99.999,
+        ann_maint={"build": 99.99, "append": 99.99, "compact": 99.99,
+                   "probe": 99.99, "drift": 9.999},
+    )
     line, overflow = render_line(payload)
     assert overflow is None, "realistic payload should not need degrading"
     assert len(line) <= 1500, (
