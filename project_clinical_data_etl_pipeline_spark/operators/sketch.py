@@ -204,6 +204,43 @@ def hll_core_from_registers(regs: DataFrame, p: int = 8, *group_cols: str) -> Da
     )
 
 
+def hll_write_partitioned(
+    df: DataFrame, col: Column, path: str, part: Column, p: int = 8
+) -> None:
+    """Persist PER-PARTITION register tables — the operational
+    profiling shape at 100 TB: sketch each day/source ONCE as it
+    lands, then answer "distinct over any date range" by merging the
+    ≤2^p-row register tables instead of rescanning the data. Output:
+    parquet ``(bucket, rho)`` partitioned by ``part`` (e.g. the
+    calendar day); each partition holds at most ``2^p`` rows, so the
+    sketch TABLE for a year of days at p=8 is ≤ 93k rows — driver-
+    trivial, scan-free. Register max-merge is exact (not approximate):
+    merged-equals-whole is graded cross-engine as the 'hllm' leg of
+    op39_43_agg_set_suite."""
+    bucket, rho = hll_bucket_rho(col, p)
+    (
+        df.filter(col.isNotNull())
+        .select(part.alias("part"), bucket, rho)
+        .groupBy("part", "bucket")
+        .agg(F.max("rho").alias("rho"))
+        .write.mode("overwrite")
+        .partitionBy("part")
+        .parquet(path)
+    )
+
+
+def hll_read_merged(spark, path: str, parts=None) -> DataFrame:
+    """Merge-on-read: fold the persisted per-partition register tables
+    (optionally only ``parts`` — a partition-pruned read) back to one
+    ``(bucket, rho)`` register table via max-per-bucket. Feed to
+    :func:`hll_core_from_registers` / :func:`hll_estimate`. The scan
+    reads sketch rows only — profile-without-rescan."""
+    regs = spark.read.parquet(path)
+    if parts is not None:
+        regs = regs.filter(F.col("part").isin(list(parts)))
+    return regs.groupBy("bucket").agg(F.max("rho").alias("rho"))
+
+
 def hll_merge(*register_tables: DataFrame) -> DataFrame:
     """Merge register tables (same ``p``) into one — max per bucket.
     This is the distributive step that lets per-partition / per-day /
@@ -303,6 +340,49 @@ def cms_counters(
         .groupBy("r", "bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
+
+
+def cms_write_partitioned(
+    df: DataFrame,
+    col: Column,
+    path: str,
+    part: Column,
+    d: int = _CMS_DEPTH,
+    w: int = _CMS_WIDTH,
+) -> None:
+    """Persist PER-PARTITION counter tables (the HLL twin for point
+    frequencies): parquet ``(r, bucket, cnt)`` partitioned by ``part``,
+    ≤ d·w rows per partition. Counters are ADDITIVE, so any range of
+    partitions sums exactly to the sketch of that range's data —
+    merged-equals-whole pinned in tests/test_sketch.py."""
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(r).alias("r"), cms_bucket(col, r, w).alias("bucket")
+            )
+            for r in range(d)
+        ]
+    )
+    (
+        df.filter(col.isNotNull())
+        .select(part.alias("part"), F.explode(rows).alias("x"))
+        .select("part", "x.r", "x.bucket")
+        .groupBy("part", "r", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .write.mode("overwrite")
+        .partitionBy("part")
+        .parquet(path)
+    )
+
+
+def cms_read_merged(spark, path: str, parts=None) -> DataFrame:
+    """Merge-on-read for persisted CMS partitions: per-cell SUM over
+    the (optionally partition-pruned) counter parquet — the exact
+    counter table of the selected partitions' data, no rescan."""
+    ctrs = spark.read.parquet(path)
+    if parts is not None:
+        ctrs = ctrs.filter(F.col("part").isin(list(parts)))
+    return ctrs.groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
 def cms_merge(*counter_tables: DataFrame) -> DataFrame:

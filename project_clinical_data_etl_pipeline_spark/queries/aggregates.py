@@ -251,6 +251,14 @@ _OP39_43_SQL += f"""
     FROM ({_hll_col_sql("orders", "o_orderkey")}
           UNION ALL {_hll_col_sql("lineitem", "l_orderkey")})
     UNION ALL
+    SELECT 'hllm' AS part, col_name AS o_orderstatus,
+           s_int AS c_custkey, v_zero AS n_urgent,
+           CAST(NULL AS BIGINT) AS n_high,
+           exact_distinct AS n_total,
+           est_raw AS median_price,
+           CAST(NULL AS DOUBLE) AS p90_price
+    FROM ({_hll_col_sql("events", "event_id")})
+    UNION ALL
     SELECT 'qsample' AS part, quantile AS o_orderstatus,
            CAST(NULL AS BIGINT) AS c_custkey,
            CAST(NULL AS BIGINT) AS n_urgent,
@@ -351,7 +359,13 @@ _OP39_43_SQL += f"""
     "deterministic probe keys graded against their exact counts, "
     "plus a cross-engine counter-sum invariant row; integer-only end "
     "to end, and counters SUM-merge where HLL registers max-merge). "
-    "Eight independent bounded-shuffle legs; zero-shuffle concat.",
+    "Round 11 adds the 'hllm' leg: the sketch PERSIST-AND-MERGE law — "
+    "per-day register tables written as partitioned parquet "
+    "(sketch.hll_write_partitioned), merged back ON READ (max per "
+    "bucket over sketch rows only, no event rescan) and graded "
+    "hash-identical to the oracle's whole-table sketch, because "
+    "register max-merge is exact. Nine independent bounded-shuffle "
+    "legs; zero-shuffle concat.",
 )
 def op39_43_agg_set_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     pctl_nulls = [
@@ -426,6 +440,16 @@ def op39_43_agg_set_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("value").alias("median_price"),
         F.lit(None).cast("double").alias("p90_price"),
     )
+    hllm = op39_hll_merged_profile(spark, sf_dir).select(
+        F.lit("hllm").alias("part"),
+        F.col("col_name").alias("o_orderstatus"),
+        F.col("s_int").alias("c_custkey"),
+        F.col("v_zero").alias("n_urgent"),
+        F.lit(None).cast("bigint").alias("n_high"),
+        F.col("exact_distinct").alias("n_total"),
+        F.col("est_raw").alias("median_price"),
+        F.lit(None).cast("double").alias("p90_price"),
+    )
     cms = op39_cms_profile(spark, sf_dir).select(
         F.lit("cms").alias("part"),
         F.col("key").alias("o_orderstatus"),
@@ -439,7 +463,8 @@ def op39_43_agg_set_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pivoted.unionByName(unioned).unionByName(pctl)
         .unionByName(gapfill).unionByName(unpivoted)
-        .unionByName(hll).unionByName(qsample).unionByName(cms)
+        .unionByName(hll).unionByName(hllm)
+        .unionByName(qsample).unionByName(cms)
     )
 
 
@@ -537,6 +562,55 @@ def op39_hll_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def op39_hll_merged_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch PERSIST-AND-MERGE law, graded cross-engine: per-DAY
+    HLL register tables of events.event_id written as partitioned
+    parquet (sketch.hll_write_partitioned — the profile-once-per-day
+    operational shape), merged back ON READ (max per bucket, a ≤
+    days·2^p-row scan — no event rescan), collapsed to the integer
+    sketch core. Register max-merge is EXACT, so the merged sketch is
+    bit-identical to sketching the whole table in one pass — which is
+    what the DuckDB oracle computes; a hash-match grades the merge law
+    itself. Output shape matches op39_hll_profile's rows (one labeled
+    row: s_int, v_zero, est_raw + exact_distinct truth). Graded as the
+    'hllm' leg of op39_43_agg_set_suite."""
+    import os
+
+    from ..scratch import scratch_dir
+
+    e = load(spark, sf_dir, "events")
+    path = os.path.join(scratch_dir("spark_graft_hllm_"), "sketch")
+    SK.hll_write_partitioned(
+        e, F.col("event_id"), path, F.date_format("ts", "yyyy-MM-dd"), p=8
+    )
+    core = SK.hll_core_from_registers(
+        SK.hll_read_merged(spark, path), p=8
+    ).select(
+        "s_int",
+        "v_zero",
+        "est_raw",
+        F.lit(None).cast("bigint").alias("exact_distinct"),
+    )
+    exact = e.agg(
+        F.lit(None).cast("bigint").alias("s_int"),
+        F.lit(None).cast("bigint").alias("v_zero"),
+        F.lit(None).cast("double").alias("est_raw"),
+        F.countDistinct("event_id").cast("bigint").alias("exact_distinct"),
+    )
+    return core.unionByName(exact).agg(
+        F.max("s_int").alias("s_int"),
+        F.max("v_zero").alias("v_zero"),
+        F.max("est_raw").alias("est_raw"),
+        F.max("exact_distinct").alias("exact_distinct"),
+    ).select(
+        F.lit("events.event_id").alias("col_name"),
+        "s_int",
+        "v_zero",
+        "est_raw",
+        "exact_distinct",
+    )
 
 
 def op39_cms_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -35,6 +35,50 @@ def test_hll_registers_merge_equals_whole(spark, sf_dir):
     assert _regs_dict(SK.hll_merge(lo, hi)) == _regs_dict(whole)
 
 
+def test_hll_persist_merge_on_read_equals_whole(spark, sf_dir, tmp_path):
+    """The round-11 persist-and-merge law: per-day register parquet,
+    merged on read, equals the one-pass whole-table sketch EXACTLY —
+    and a partition-pruned range read equals sketching exactly that
+    range's rows (profile-without-rescan). The cross-engine version is
+    the 'hllm' graded leg; this pins the range path the oracle doesn't
+    exercise."""
+    e = load(spark, sf_dir, "events")
+    path = str(tmp_path / "hll_by_day")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    SK.hll_write_partitioned(e, F.col("event_id"), path, day)
+    whole = SK.hll_registers(e, F.col("event_id"))
+    assert _regs_dict(SK.hll_read_merged(spark, path)) == _regs_dict(whole)
+    days = sorted(
+        r["d"] for r in e.select(day.alias("d")).distinct().collect()
+    )[:2]
+    assert len(days) == 2, "need >=2 event days for the range case"
+    pruned = SK.hll_read_merged(spark, path, parts=days)
+    direct = SK.hll_registers(
+        e.filter(day.isin(days)), F.col("event_id")
+    )
+    assert _regs_dict(pruned) == _regs_dict(direct)
+
+
+def test_cms_persist_merge_on_read_equals_whole(spark, sf_dir, tmp_path):
+    """CMS twin: per-day counter parquet SUM-merges on read to exactly
+    the whole-table counter table; a two-day range read equals the
+    direct sketch of those days' rows."""
+    e = load(spark, sf_dir, "events")
+    path = str(tmp_path / "cms_by_day")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    SK.cms_write_partitioned(e, F.col("user_id"), path, day)
+    whole = _counters_dict(SK.cms_counters(e, F.col("user_id")))
+    assert _counters_dict(SK.cms_read_merged(spark, path)) == whole
+    days = sorted(
+        r["d"] for r in e.select(day.alias("d")).distinct().collect()
+    )[:2]
+    pruned = _counters_dict(SK.cms_read_merged(spark, path, parts=days))
+    direct = _counters_dict(
+        SK.cms_counters(e.filter(day.isin(days)), F.col("user_id"))
+    )
+    assert pruned == direct
+
+
 def test_hll_registers_invariant_under_repartition(spark, sf_dir):
     o = load(spark, sf_dir, "orders")
     a = SK.hll_registers(o, F.col("o_orderkey"))

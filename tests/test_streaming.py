@@ -52,6 +52,69 @@ def test_foreach_batch_upsert_lands_finalized_windows(spark, sf_dir, tmp_path):
     assert len(keys) == len(set(keys))
 
 
+def test_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """The O(touched partitions) contract, pinned at FILE level: a
+    batch containing one window of one day rewrites exactly that day's
+    ``p_date=`` directory; every other partition's files stay
+    byte-identical (same names, same mtimes). Merge semantics in the
+    touched partition: replaced key updated, new key appended,
+    untouched key kept."""
+    import os
+
+    target = str(tmp_path / "scoped_target")
+
+    def snap(day):
+        d = os.path.join(target, f"p_date={day}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.startswith("part-")
+        }
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "window_start string, event_type string, "
+            "n_events bigint, total_value double",
+        )
+
+    I.upsert_partitioned(
+        mk(
+            [
+                ("2024-05-01 10:00:00", "click", 3, 11.0),
+                ("2024-05-01 11:00:00", "view", 1, 3.0),
+                ("2024-05-02 09:00:00", "click", 2, 5.0),
+            ]
+        ),
+        target,
+    )
+    day1_before, day2_before = snap("2024-05-01"), snap("2024-05-02")
+
+    # second batch: ONE window, day 2 only — update one key, add one
+    I.upsert_partitioned(
+        mk(
+            [
+                ("2024-05-02 09:00:00", "click", 4, 9.0),
+                ("2024-05-02 09:00:00", "purchase", 1, 2.0),
+            ]
+        ),
+        target,
+    )
+    assert snap("2024-05-01") == day1_before, "untouched partition rewritten"
+    assert snap("2024-05-02") != day2_before, "touched partition not rewritten"
+
+    got = {
+        (r["window_start"], r["event_type"], r["n_events"], r["total_value"])
+        for r in spark.read.parquet(target).drop("p_date").collect()
+    }
+    assert got == {
+        ("2024-05-01 10:00:00", "click", 3, 11.0),   # untouched day kept
+        ("2024-05-01 11:00:00", "view", 1, 3.0),
+        ("2024-05-02 09:00:00", "click", 4, 9.0),    # key replaced
+        ("2024-05-02 09:00:00", "purchase", 1, 2.0),  # key appended
+    }
+
+
 def test_batch_sessionize_properties(spark, sf_dir):
     e = load(spark, sf_dir, "events").select("user_id", "ts", "value")
     sessions = S.sessionize_batch(e, gap_s=600)
