@@ -76,6 +76,100 @@ def transitive_closure(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
     return closure
 
 
+def closure_insert_edges(
+    closure: DataFrame, new_edges: DataFrame, max_iterations: int = 20
+) -> DataFrame:
+    """Incremental closure maintenance under edge INSERTION — the
+    reference's nightly-terminology-sync shape (insights.md:169: new
+    IS-A edges arrive; re-deriving the whole closure per sync pays
+    ⌈log₂ depth⌉ full-closure self-joins for a handful of edges).
+
+    Semantics: returns the exact closure (incl. min_depth) of
+    ``old_edges ∪ new_edges``, given the materialized closure of the
+    old graph — test-pinned equal to a full
+    :func:`transitive_closure` rebuild, including the case where a new
+    edge SHORTENS an existing pair's min_depth.
+
+    Shape: every path of the new graph decomposes as old-segments
+    joined by new edges. Seed = the new pairs built around ONE new
+    edge: ``old* · e_new · old*`` — two joins of the (tiny) new-edge
+    set against the EXISTING closure, output bounded by the affected
+    pairs, never a closure×closure self-join. Paths through k ≥ 2 new
+    edges compose the one-new-edge segments against each other:
+    delta ⋈ delta per iteration (delta-sized joins, fixpoint in
+    ⌈log₂ k⌉ + 1 rounds — path-doubling over SEGMENTS). The old
+    closure is touched only by the two seed joins and the final
+    min-depth merge; per-sync cost is O(affected pairs), not
+    O(closure).
+    """
+    d0 = new_edges.select(
+        F.col("child_id").alias("descendant_id"),
+        F.col("parent_id").alias("ancestor_id"),
+        F.lit(1).alias("min_depth"),
+    )
+    # old* · e_new  (extend each new edge downward through old paths)
+    left = (
+        closure.alias("c")
+        .join(d0.alias("e"), F.col("c.ancestor_id") == F.col("e.descendant_id"))
+        .select(
+            F.col("c.descendant_id"),
+            F.col("e.ancestor_id"),
+            (F.col("c.min_depth") + F.col("e.min_depth")).alias("min_depth"),
+        )
+    )
+    seg = d0.unionByName(left)
+    # (old* · e_new) · old*  (extend upward through old paths)
+    right = (
+        seg.alias("s")
+        .join(closure.alias("c"), F.col("s.ancestor_id") == F.col("c.descendant_id"))
+        .select(
+            F.col("s.descendant_id"),
+            F.col("c.ancestor_id"),
+            (F.col("s.min_depth") + F.col("c.min_depth")).alias("min_depth"),
+        )
+    )
+    delta = (
+        seg.unionByName(right)
+        .groupBy("descendant_id", "ancestor_id")
+        .agg(F.min("min_depth").alias("min_depth"))
+        .localCheckpoint()
+    )
+    prev = delta.count()
+    for _ in range(max_iterations):
+        hops = (
+            delta.alias("a")
+            .join(
+                delta.alias("b"),
+                on=F.col("a.ancestor_id") == F.col("b.descendant_id"),
+            )
+            .select(
+                F.col("a.descendant_id"),
+                F.col("b.ancestor_id"),
+                (F.col("a.min_depth") + F.col("b.min_depth")).alias("min_depth"),
+            )
+        )
+        delta = (
+            delta.unionByName(hops)
+            .groupBy("descendant_id", "ancestor_id")
+            .agg(F.min("min_depth").alias("min_depth"))
+            .localCheckpoint()
+        )
+        count = delta.count()
+        if count == prev:
+            # depth can still improve one last round after the pair
+            # SET stabilizes; the min-merge below is idempotent, and
+            # pair-count stability implies segment-composition
+            # stability for depths too (the extra hop would create the
+            # composed pair as well). Pinned against full rebuild.
+            break
+        prev = count
+    return (
+        closure.unionByName(delta)
+        .groupBy("descendant_id", "ancestor_id")
+        .agg(F.min("min_depth").alias("min_depth"))
+    )
+
+
 def descendants_of_any(
     closure: DataFrame, roots: DataFrame, root_col: str = "code"
 ) -> DataFrame:

@@ -370,6 +370,38 @@ def corpus_top_ngrams(
     )
 
 
+def corpus_top_ngrams_approx(
+    df,
+    text_col: str,
+    n: int = 2,
+    k: int = 20,
+    c: int = 4096,
+    rank: str = "exact",
+):
+    """Approximate twin of :func:`corpus_top_ngrams` with shuffles
+    bounded by sketch geometry instead of the distinct n-gram domain —
+    the shape that survives 100 TB, where the exact path's groupBy
+    shuffles every distinct n-gram the corpus contains.
+
+    Delegates to ``sketch.cms_top_k`` (Misra-Gries candidates + CMS
+    upper bound + broadcast-pruned exact recount of the ≤4k-key
+    candidate set): shuffles carry ≤ partitions·c + d·w + |candidates|
+    rows at ANY corpus size, at the cost of three scans of the
+    exploded grams instead of one — the deliberate trade against the
+    exact path's domain-sized exchange. Returns (ngram, cnt) like the
+    exact operator. Recall vs the exact top-k is pinned in
+    tests/test_sketch.py; the exact-vs-approx cost ladder lives in
+    SCALE.md round 11."""
+    from .sketch import cms_top_k
+
+    words = words_array(F.col(text_col))
+    grams = ngrams_array(words, n)
+    exploded = df.select(F.explode(grams).alias("ngram"))
+    out = cms_top_k(exploded, F.col("ngram"), k=k, c=c, rank=rank)
+    cnt = F.col("cnt") if rank == "exact" else F.col("est")
+    return out.select(F.col("key").alias("ngram"), cnt.alias("cnt"))
+
+
 # ---------------------------------------------------------------------------
 # WordPiece subword tokenization (greedy longest-match)
 # ---------------------------------------------------------------------------
