@@ -206,7 +206,10 @@ def build_ivfpq_index(
 
 
 def append_ivfpq_index(
-    spark: SparkSession, path: str, new_vectors: DataFrame
+    spark: SparkSession,
+    path: str,
+    new_vectors: DataFrame,
+    batch_id: int | None = None,
 ) -> dict:
     """faiss-``add`` semantics: assign ``new_vectors`` to the EXISTING
     centroids, encode with the EXISTING codebooks, land one new file
@@ -215,8 +218,26 @@ def append_ivfpq_index(
     Returns ``{"appended", "touched_cells", "mean_dist",
     "drift_ratio"}`` (drift_ratio = this delta's mean assignment
     distance over the build baseline — >1 means the frozen centroids
-    fit the new data worse than they fit the training corpus)."""
+    fit the new data worse than they fit the training corpus).
+
+    ``batch_id`` (streaming ingestion): Structured Streaming's
+    ``foreachBatch`` re-delivers a batch UNDER THE SAME ID after a
+    restart from checkpoint; a batch id already recorded in the
+    sidecar is skipped, making the append idempotent per batch — the
+    standard idempotent-sink recipe (Delta's txnAppId/txnVersion).
+    The data-then-meta write order means a crash BETWEEN the two can
+    still double-append on replay — the documented no-transaction-log
+    parquet boundary (same class as upsert_partitioned's stage gap);
+    a table format with a commit log closes it."""
     meta = load_index_meta(path)
+    if batch_id is not None and batch_id in meta.get("stream_batch_ids", []):
+        return {
+            "appended": 0,
+            "touched_cells": 0,
+            "mean_dist": None,
+            "drift_ratio": None,
+            "replayed": True,
+        }
     new_vectors = new_vectors.localCheckpoint(eager=False)  # scanned 2x
     delta = _encode(new_vectors, meta, meta["id_col"], meta["vec_col"])
     n = new_vectors.count()
@@ -235,6 +256,11 @@ def append_ivfpq_index(
     meta["appended_n"] += n
     meta["appended_dist_sum"] += (d or 0.0) * n
     meta["n_appends"] += 1
+    if batch_id is not None:
+        # bounded replay-guard window: the stream's lateness horizon in
+        # batches (a restart replays only the last committed batch)
+        ids = meta.get("stream_batch_ids", []) + [batch_id]
+        meta["stream_batch_ids"] = sorted(set(ids))[-100:]
     _write_meta(path, meta)
     base = meta["build_mean_dist"]
     return {

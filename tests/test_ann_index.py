@@ -225,3 +225,67 @@ def test_empty_append_is_noop(spark, corpus, built):
 def test_meta_missing_raises(tmp_path):
     with pytest.raises(FileNotFoundError):
         AI.load_index_meta(str(tmp_path / "nope"))
+
+
+def test_streamed_ingestion_equals_one_shot(spark, corpus, tmp_path):
+    """The end-to-end composition: vectors arriving as TWO real
+    micro-batches of a Structured Streaming query append to the
+    persisted index; the result is row-set-identical to one-shot
+    encoding the full corpus under the build's frozen parameters, and
+    the drift counters accumulate across the streamed history."""
+    import os
+
+    from project_clinical_data_etl_pipeline_spark.streaming.incremental import (
+        start_index_append_stream,
+    )
+
+    path = str(tmp_path / "idx_stream")
+    meta = AI.build_ivfpq_index(
+        spark, corpus.filter(F.col("vec_id") < _SPLIT), path, dim=_DIM
+    )
+    src = str(tmp_path / "vec_drops")
+    os.makedirs(src)
+
+    def drop(df, label):
+        stage = str(tmp_path / f"stage_{label}")
+        df.coalesce(1).write.mode("overwrite").parquet(stage)
+        part = [f for f in os.listdir(stage) if f.startswith("part-")][0]
+        os.rename(
+            os.path.join(stage, part), os.path.join(src, f"{label}.parquet")
+        )
+
+    delta = corpus.filter(F.col("vec_id") >= _SPLIT).select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("embedding")
+    )
+    q = start_index_append_stream(spark, src, path)
+    try:
+        drop(delta.filter(F.col("vec_id") < _SPLIT + 50), "b1")
+        q.processAllAvailable()
+        drop(delta.filter(F.col("vec_id") >= _SPLIT + 50), "b2")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    one_shot = ivfpq_index(
+        corpus, meta["centroids"], meta["codebooks"], _DIM
+    ).withColumn("cell", F.col("cell").cast("bigint"))
+    assert _rows(AI.read_index(spark, path)) == _rows(one_shot)
+    final = AI.load_index_meta(path)
+    assert final["appended_n"] == 100
+    assert final["n_appends"] >= 2  # two real micro-batches landed
+    assert len(final["stream_batch_ids"]) == final["n_appends"]
+
+
+def test_append_batch_id_replay_guard(spark, corpus, tmp_path):
+    """A batch re-delivered under the SAME id (restart-from-checkpoint
+    semantics) is skipped — idempotent streamed ingestion."""
+    path = str(tmp_path / "idx_replay")
+    AI.build_ivfpq_index(
+        spark, corpus.filter(F.col("vec_id") < _SPLIT), path, dim=_DIM
+    )
+    delta = corpus.filter(F.col("vec_id") >= _SPLIT)
+    first = AI.append_ivfpq_index(spark, path, delta, batch_id=7)
+    assert first["appended"] == 100
+    before = _rows(AI.read_index(spark, path))
+    again = AI.append_ivfpq_index(spark, path, delta, batch_id=7)
+    assert again["appended"] == 0 and again.get("replayed") is True
+    assert _rows(AI.read_index(spark, path)) == before
