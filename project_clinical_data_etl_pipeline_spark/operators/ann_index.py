@@ -271,6 +271,34 @@ def append_ivfpq_index(
     }
 
 
+def rebuild_index(
+    spark: SparkSession, corpus: DataFrame, path: str
+) -> dict:
+    """The action :func:`retrain_criterion` recommends: retrain on the
+    CURRENT corpus under the index's existing geometry (dim, m, ks,
+    n_centroids from the sidecar), overwrite the data, reset the drift
+    counters. Same cost as the original build — which is exactly why
+    the criterion meters it instead of every append paying it."""
+    meta = load_index_meta(path)
+    new_meta = build_ivfpq_index(
+        spark,
+        corpus,
+        path,
+        dim=meta["dim"],
+        n_centroids=meta["n_centroids"],
+        m=meta["m"],
+        ks=meta["ks"],
+        id_col=meta["id_col"],
+        vec_col=meta["vec_col"],
+    )
+    if meta.get("stream_batch_ids"):
+        # the rebuilt corpus already CONTAINS those batches' vectors; a
+        # streaming replay after the rebuild must still be skipped
+        new_meta["stream_batch_ids"] = meta["stream_batch_ids"]
+        _write_meta(path, new_meta)
+    return new_meta
+
+
 def read_index(spark: SparkSession, path: str) -> DataFrame:
     """(neighbor_id, cell BIGINT, pq_code) — the probe input. ``cell``
     is a parquet PARTITION column, so a probe's

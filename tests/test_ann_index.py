@@ -275,6 +275,66 @@ def test_streamed_ingestion_equals_one_shot(spark, corpus, tmp_path):
     assert len(final["stream_batch_ids"]) == final["n_appends"]
 
 
+def test_probe_scan_partition_prunes(spark, built):
+    """The serving-cost claim is a PLAN property: a probe's
+    `cell IN (...)` filter must reach the scan as a PartitionFilters
+    entry (only the probed cell directories are opened), never as a
+    post-scan Filter over a full read."""
+    path, _, _ = built
+    cells = [0, 3]
+    plan = (
+        AI.read_index(spark, path)
+        .filter(F.col("cell").isin(cells))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, f"no PartitionFilters in plan:\n{plan}"
+    assert "cell" in m.group(1), m.group(1)
+
+
+def test_rebuild_resets_drift_and_answers_criterion(spark, corpus, tmp_path):
+    """The lifecycle loop closes: a drift-tripped index rebuilt on the
+    current corpus (same geometry, sidecar-sourced) goes quiet again,
+    drift counters reset, and the streaming replay guard SURVIVES the
+    rebuild (those batches' vectors are in the rebuilt corpus — a
+    replay must still be skipped)."""
+    import numpy as np
+
+    path = str(tmp_path / "idx_lifecycle")
+    meta = AI.build_ivfpq_index(
+        spark, corpus.filter(F.col("vec_id") < _SPLIT), path, dim=_DIM
+    )
+    cents = np.array(meta["centroids"], dtype=np.float64)
+    q, _ = np.linalg.qr(cents.T)
+    e0 = np.zeros(_DIM)
+    e0[0] = 1.0
+    r = e0 - q @ (q.T @ e0)
+    ortho = spark.createDataFrame(
+        [(30_000 + i, (r / np.linalg.norm(r)).tolist()) for i in range(50)],
+        "vec_id bigint, embedding array<double>",
+    )
+    AI.append_ivfpq_index(spark, path, ortho, batch_id=3)
+    assert AI.retrain_criterion(spark, path)["retrain"] is True
+    grown = corpus.filter(F.col("vec_id") < _SPLIT).select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
+            "embedding"
+        ),
+    ).unionByName(ortho)
+    new_meta = AI.rebuild_index(spark, grown, path)
+    assert new_meta["appended_n"] == 0
+    assert AI.load_index_meta(path)["stream_batch_ids"] == [3]
+    crit = AI.retrain_criterion(spark, path)
+    assert crit["retrain"] is False, crit
+    assert crit["n_rows"] == _SPLIT + 50
+    replay = AI.append_ivfpq_index(spark, path, ortho, batch_id=3)
+    assert replay.get("replayed") is True
+
+
 def test_append_batch_id_replay_guard(spark, corpus, tmp_path):
     """A batch re-delivered under the SAME id (restart-from-checkpoint
     semantics) is skipped — idempotent streamed ingestion."""
