@@ -232,7 +232,7 @@ def text_metrics_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_TOP_NGRAMS_SQL = """
+_TOP_NGRAMS_INNER_SQL = """
     WITH w AS (
         SELECT string_split_regex(lower(trim(text)), '[ \\t\\n\\x0b\\f\\r]+') AS ws FROM documents
     ),
@@ -247,6 +247,19 @@ _TOP_NGRAMS_SQL = """
     LIMIT 20
 """
 
+# The 'hh' leg's oracle is deliberately the SAME exact top-20: the
+# bounded-state composition's CONTRACT is that it returns the true
+# top-k whenever every top key clears the Misra-Gries capture bound
+# N/(c+1) — grading it against the exact answer grades that capture
+# claim cross-engine (true at sf0.001/0.01/0.1/1/4, measured round 11;
+# both paths break count ties by ngram asc, so the boundary is
+# deterministic in both engines).
+_TOP_NGRAMS_SQL = f"""
+    SELECT 'exact' AS part, ngram, cnt FROM ({_TOP_NGRAMS_INNER_SQL})
+    UNION ALL
+    SELECT 'hh' AS part, ngram, cnt FROM ({_TOP_NGRAMS_INNER_SQL})
+"""
+
 
 @spec(
     QUERIES,
@@ -254,17 +267,30 @@ _TOP_NGRAMS_SQL = """
     sql=_TOP_NGRAMS_SQL,
     doc="Corpus-wide top-20 word 2-grams by term frequency — the "
     "vocabulary/boilerplate/contamination probe (which templates "
-    "dominate a crawl). explode → hash-agg with map-side partial "
-    "combine (each partition collapses its grams before the exchange) "
-    "→ TakeOrderedAndProject top-k; no global sort of the vocabulary "
-    "ever materializes. Deterministic total order (cnt desc, ngram asc) "
-    "pins the k-boundary ties identically in both engines.",
+    "dominate a crawl). 'exact' leg: explode → hash-agg with map-side "
+    "partial combine (each partition collapses its grams before the "
+    "exchange) → TakeOrderedAndProject top-k; no global sort of the "
+    "vocabulary ever materializes — but the exchange still carries the "
+    "distinct n-gram DOMAIN, the term that stops fitting at 100 TB. "
+    "'hh' leg (round 11): the bounded-state replacement — per-partition "
+    "Misra-Gries candidates (≤ c counters resident, ≤ partitions·c "
+    "rows shuffled) + CMS upper bound + broadcast-pruned exact recount "
+    "of the ≤4k-key candidate set (sketch.cms_top_k via "
+    "text.corpus_top_ngrams_approx) — graded against the SAME exact "
+    "top-20, i.e. the oracle grades the Misra-Gries capture guarantee "
+    "itself. Deterministic total order (cnt desc, ngram asc) pins the "
+    "k-boundary ties identically in both engines and both legs.",
     tags=("llm",),
 )
 def corpus_top_ngrams_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return X.corpus_top_ngrams(
-        load(spark, sf_dir, "documents"), "text", n=2, k=20
+    d = load(spark, sf_dir, "documents")
+    exact = X.corpus_top_ngrams(d, "text", n=2, k=20).select(
+        F.lit("exact").alias("part"), "ngram", "cnt"
     )
+    hh = X.corpus_top_ngrams_approx(d, "text", n=2, k=20).select(
+        F.lit("hh").alias("part"), "ngram", "cnt"
+    )
+    return exact.unionByName(hh)
 
 
 _JACCARD_SQL = f"""

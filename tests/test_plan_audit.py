@@ -86,7 +86,13 @@ def test_flags_shuffle_join_when_broadcast_expected(spark, sf_dir):
 #: crossover, similarity.py) onto the declared Arrow kernel
 _PYTHON_KERNEL = {"op44_vectorized_udf", "multimodal_decode",
                   "multimodal_frame_sample", "sessionize_events",
-                  "embed_neardup_suite"}
+                  "embed_neardup_suite",
+                  # r11: the 'hh' leg's Misra-Gries candidate summary
+                  # is a DECLARED Arrow kernel (mapInPandas, vectorized
+                  # value_counts; ≤ c counters resident) — the honest
+                  # bounded-state path; everything else in both legs is
+                  # JVM-side
+                  "corpus_top_ngrams"}
 #: queries that broadcast a declared-tiny side into a non-equi join
 #: (query vectors — bounded by construction). embed_neardup_suite left
 #: this list in round 5: its cell assignment is now a map-side codegen
