@@ -404,6 +404,160 @@ def cms_merge(*counter_tables: DataFrame) -> DataFrame:
     return out.groupBy("r", "bucket").agg(F.sum("cnt").alias("cnt"))
 
 
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970): set-membership with m bits / k hashes —
+# the fourth profiling sketch. Same determinism recipe as the CMS: the
+# k bit positions are k disjoint 16-bit windows of ONE md5(value)
+# digest mod m, so both engines derive the bit-identical set and
+# membership answers grade hash-match. The filter is represented as
+# the SET of set-bit positions (≤ m rows after distinct — the shuffle
+# is bounded by sketch geometry); merge is UNION DISTINCT (bitwise
+# OR), so per-day/per-source filters combine exactly like the HLL
+# registers. Guarantee: no false negatives ever; false-positive rate
+# ≈ (1 − e^(−kn/m))^k (~2% at the default geometry and n=1000).
+# ---------------------------------------------------------------------------
+
+#: default Bloom geometry: k=4 hash windows, m=8192 bits (16-bit
+#: windows mod 8192 stay uniform since 65536 = 8·8192). k ≤ 8 (32 hex
+#: chars / 4); m ≤ 65536. These are ACCURACY contracts (fp rate), not
+#: volume knobs — same class as CMS d×w.
+_BLOOM_K = 4
+_BLOOM_M = 8192
+
+
+def bloom_bit(col: Column, k_idx: int, m: int = _BLOOM_M) -> Column:
+    """Hash-``k_idx``'s bit position for a value: hex window
+    ``[1+4·k_idx, 4]`` of ``md5(value)`` mod ``m`` (the cms_bucket
+    recipe; Catalyst CSEs the shared digest across the k windows)."""
+    if not 1 <= m <= 65536:
+        raise ValueError(f"m must be in [1, 65536], got {m}")
+    if not 0 <= k_idx <= 7:
+        raise ValueError(f"k_idx must be in [0, 7], got {k_idx}")
+    h = F.md5(col.cast("string"))
+    return (
+        (F.conv(F.substring(h, 1 + 4 * k_idx, 4), 16, 10).cast("bigint") % m)
+        .cast("int")
+    )
+
+
+def bloom_bits(
+    df: DataFrame, col: Column, k: int = _BLOOM_K, m: int = _BLOOM_M
+) -> DataFrame:
+    """The filter: the distinct set-bit positions ``(bit int)`` of the
+    non-null values of ``col`` — one scan, explode(k) fan-out, then a
+    distinct whose exchange carries ≤ m rows per partition at ANY
+    volume (map-side partial dedup)."""
+    positions = F.array(*[bloom_bit(col, i, m) for i in range(k)])
+    return (
+        df.filter(col.isNotNull())
+        .select(F.explode(positions).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_write_partitioned(
+    df: DataFrame,
+    col: Column,
+    path: str,
+    part: Column,
+    k: int = _BLOOM_K,
+    m: int = _BLOOM_M,
+) -> None:
+    """Per-partition Bloom filters persisted as parquet ``(bit)``
+    partitioned by ``part`` (≤ m rows each) — the membership twin of
+    the HLL/CMS persistence: "did day X (or any day range) ever see
+    key k" without rescanning the day's data."""
+    positions = F.array(*[bloom_bit(col, i, m) for i in range(k)])
+    (
+        df.filter(col.isNotNull())
+        .select(part.alias("part"), F.explode(positions).alias("bit"))
+        .distinct()
+        .write.mode("overwrite")
+        .partitionBy("part")
+        .parquet(path)
+    )
+
+
+def bloom_read_merged(spark, path: str, parts=None) -> DataFrame:
+    """Merge-on-read (bitwise OR = union distinct) over the persisted
+    per-partition filters, optionally partition-pruned to ``parts``."""
+    bits = spark.read.parquet(path)
+    if parts is not None:
+        bits = bits.filter(F.col("part").isin(list(parts)))
+    return bits.select("bit").distinct()
+
+
+def bloom_merge(*bit_tables: DataFrame) -> DataFrame:
+    """Bitwise OR: union the set-bit sets. Per-partition filters
+    combine exactly (merged == whole, tested)."""
+    it = iter(bit_tables)
+    out = next(it)
+    for t in it:
+        out = out.unionByName(t)
+    return out.distinct()
+
+
+def bloom_contains(
+    bits: DataFrame,
+    probes: DataFrame,
+    key_col: str = "key",
+    k: int = _BLOOM_K,
+    m: int = _BLOOM_M,
+) -> DataFrame:
+    """Membership read: ``(key, maybe bigint)`` — 1 iff ALL k of the
+    key's bit positions are set (the filter's maybe-present answer; a
+    0 is a GUARANTEED absent). The filter (≤ m rows) broadcasts."""
+    cells = probes.select(
+        F.col(key_col).alias("key"),
+        F.explode(
+            F.array(*[bloom_bit(F.col(key_col), i, m) for i in range(k)])
+        ).alias("bit"),
+    )
+    return (
+        cells.join(F.broadcast(bits.withColumn("__set", F.lit(1))), on="bit", how="left")
+        .groupBy("key")
+        .agg(
+            (F.sum(F.coalesce(F.col("__set"), F.lit(0))) == F.lit(k))
+            .cast("bigint")
+            .alias("maybe")
+        )
+    )
+
+
+def bloom_bits_sql(
+    value_sql: str, from_sql: str, k: int = _BLOOM_K, m: int = _BLOOM_M
+) -> str:
+    """DuckDB twin of :func:`bloom_bits` — generated from the same
+    geometry constants (one definition, no twin drift)."""
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT CAST(('0x' || substr(md5(CAST({value_sql} AS VARCHAR)), {1 + 4 * i}, 4))::BIGINT
+                    % {m} AS INT) AS bit
+            FROM {from_sql} WHERE {value_sql} IS NOT NULL"""
+        for i in range(k)
+    )
+    return f"SELECT DISTINCT bit FROM ({rows})"
+
+
+def bloom_contains_sql(
+    bits_sql: str, probes_sql: str, k: int = _BLOOM_K, m: int = _BLOOM_M
+) -> str:
+    """DuckDB twin of :func:`bloom_contains`; ``probes_sql`` must yield
+    one VARCHAR column ``key``."""
+    cells = "\nUNION ALL\n".join(
+        f"""SELECT key,
+               CAST(('0x' || substr(md5(key), {1 + 4 * i}, 4))::BIGINT % {m} AS INT) AS bit
+            FROM ({probes_sql})"""
+        for i in range(k)
+    )
+    return f"""
+        SELECT c.key,
+               CAST(CASE WHEN SUM(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END) = {k}
+                    THEN 1 ELSE 0 END AS BIGINT) AS maybe
+        FROM ({cells}) c LEFT JOIN ({bits_sql}) b ON c.bit = b.bit
+        GROUP BY c.key
+    """
+
+
 def mg_candidates(df: DataFrame, col: Column, c: int = 1024) -> DataFrame:
     """Per-partition Misra-Gries heavy-hitter summaries — the bounded-
     state candidate generator for :func:`cms_top_k`.

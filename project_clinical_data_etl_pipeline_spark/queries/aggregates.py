@@ -322,6 +322,37 @@ _OP39_43_SQL += f"""
     )
 """
 
+_OP39_43_SQL += f"""
+    UNION ALL
+    SELECT 'bloom' AS part, key AS o_orderstatus,
+           maybe AS c_custkey, truly AS n_urgent,
+           CAST(NULL AS BIGINT) AS n_high,
+           CAST(NULL AS BIGINT) AS n_total,
+           CAST(NULL AS DOUBLE) AS median_price,
+           CAST(NULL AS DOUBLE) AS p90_price
+    FROM (
+        WITH bits AS ({SK.bloom_bits_sql("o_custkey", "orders")}),
+        dom AS (SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS key
+                FROM orders WHERE o_custkey IS NOT NULL),
+        probes AS (
+            (SELECT key FROM dom
+             ORDER BY md5(key || '|bprobe'), key LIMIT 5)
+            UNION ALL
+            (SELECT '-' || CAST(i AS VARCHAR) AS key
+             FROM (SELECT unnest([1, 2, 3, 4, 5]) AS i))
+        ),
+        mb AS ({SK.bloom_contains_sql("SELECT bit FROM bits",
+                                      "SELECT key FROM probes")})
+        SELECT 'ck:' || mb.key AS key, mb.maybe,
+               CAST(CASE WHEN dom.key IS NULL THEN 0 ELSE 1 END AS BIGINT)
+                   AS truly
+        FROM mb LEFT JOIN dom ON mb.key = dom.key
+        UNION ALL
+        SELECT 'set_bits', (SELECT CAST(count(*) AS BIGINT) FROM bits),
+               CAST(NULL AS BIGINT)
+    )
+"""
+
 
 @spec(
     QUERIES,
@@ -364,8 +395,14 @@ _OP39_43_SQL += f"""
     "(sketch.hll_write_partitioned), merged back ON READ (max per "
     "bucket over sketch rows only, no event rescan) and graded "
     "hash-identical to the oracle's whole-table sketch, because "
-    "register max-merge is exact. Nine independent bounded-shuffle "
-    "legs; zero-shuffle concat.",
+    "register max-merge is exact — and the 'bloom' leg: Bloom-filter "
+    "set membership (k=4 bit positions sliced from ONE md5 digest mod "
+    "m=8192, the filter = the ≤m-row distinct set-bit table, "
+    "OR-mergeable), read for 5 deterministic present keys + 5 "
+    "guaranteed-absent keys with exact membership as the truth column "
+    "plus a set-bit population row; integer-only so it hash-matches — "
+    "the no-false-negative guarantee graded cross-engine. Ten "
+    "independent bounded-shuffle legs; zero-shuffle concat.",
 )
 def op39_43_agg_set_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     pctl_nulls = [
@@ -450,6 +487,16 @@ def op39_43_agg_set_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("est_raw").alias("median_price"),
         F.lit(None).cast("double").alias("p90_price"),
     )
+    bloom = op39_bloom_profile(spark, sf_dir).select(
+        F.lit("bloom").alias("part"),
+        F.col("key").alias("o_orderstatus"),
+        F.col("maybe").alias("c_custkey"),
+        F.col("truly").alias("n_urgent"),
+        F.lit(None).cast("bigint").alias("n_high"),
+        F.lit(None).cast("bigint").alias("n_total"),
+        F.lit(None).cast("double").alias("median_price"),
+        F.lit(None).cast("double").alias("p90_price"),
+    )
     cms = op39_cms_profile(spark, sf_dir).select(
         F.lit("cms").alias("part"),
         F.col("key").alias("o_orderstatus"),
@@ -465,6 +512,7 @@ def op39_43_agg_set_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(gapfill).unionByName(unpivoted)
         .unionByName(hll).unionByName(hllm)
         .unionByName(qsample).unionByName(cms)
+        .unionByName(bloom)
     )
 
 
@@ -611,6 +659,53 @@ def op39_hll_merged_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_raw",
         "exact_distinct",
     )
+
+
+def op39_bloom_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership profile of orders.o_custkey — the fourth
+    profiling sketch (set membership; the others cover distinct-count,
+    point frequency, quantiles). Build: the ≤m-row set-bit table in one
+    scan (explode(k) + map-side partial distinct). Read: 5
+    deterministically-chosen PRESENT keys (min-md5 over the distinct
+    domain — no popularity bias, the cms probe pattern) + 5 keys
+    guaranteed ABSENT (negative ids; custkeys are positive), each with
+    the exact membership as the graded truth column — no false
+    negatives is an invariant the oracle re-derives, false positives
+    are legitimate and both engines compute the identical answer
+    bit-for-bit. Plus a 'set_bits' row pinning the filter's population
+    count cross-engine. At 100 TB this is the did-day-X-contain-key
+    check that replaces a partition scan. Graded as the 'bloom' leg of
+    op39_43_agg_set_suite."""
+    o = load(spark, sf_dir, "orders")
+    val = F.col("o_custkey")
+    bits = SK.bloom_bits(o, val)
+    domain = (
+        o.filter(val.isNotNull())
+        .select(val.cast("string").alias("key"))
+        .distinct()
+    )
+    present = domain.orderBy(
+        F.md5(F.concat(F.col("key"), F.lit("|bprobe"))).asc(),
+        F.col("key").asc(),
+    ).limit(5)
+    absent = spark.createDataFrame(
+        [(f"-{i}",) for i in range(1, 6)], "key string"
+    )
+    probes = present.unionByName(absent)
+    maybe = SK.bloom_contains(bits, probes, "key")
+    keys_row = maybe.join(
+        domain.withColumn("__t", F.lit(1)), on="key", how="left"
+    ).select(
+        F.concat(F.lit("ck:"), F.col("key")).alias("key"),
+        F.col("maybe").cast("bigint").alias("maybe"),
+        F.coalesce(F.col("__t"), F.lit(0)).cast("bigint").alias("truly"),
+    )
+    total = bits.agg(
+        F.lit("set_bits").alias("key"),
+        F.count(F.lit(1)).cast("bigint").alias("maybe"),
+        F.lit(None).cast("bigint").alias("truly"),
+    )
+    return keys_row.unionByName(total)
 
 
 def op39_cms_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -241,6 +241,90 @@ def test_cms_python_oracle_bit_exact(spark):
     assert est["7"] >= 3 and est["42"] >= 1  # never under
 
 
+def test_bloom_no_false_negatives_whole_domain(spark, sf_dir):
+    """EVERY present key answers maybe=1 — the Bloom guarantee checked
+    over the full distinct domain, not just the graded probe set."""
+    o = load(spark, sf_dir, "orders")
+    bits = SK.bloom_bits(o, F.col("o_custkey"))
+    domain = (
+        o.filter("o_custkey IS NOT NULL")
+        .select(F.col("o_custkey").cast("string").alias("key"))
+        .distinct()
+    )
+    answers = SK.bloom_contains(bits, domain, "key")
+    assert answers.filter(F.col("maybe") == 0).count() == 0
+
+
+def test_bloom_false_positive_rate_bounded(spark, sf_dir):
+    """Absent keys mostly answer 0: the measured fp rate over 200
+    guaranteed-absent probes stays within 3x the analytic
+    (1 - e^(-kn/m))^k bound (slack absorbs hash luck; both sides are
+    deterministic so this cannot flake)."""
+    import math
+
+    o = load(spark, sf_dir, "orders")
+    bits = SK.bloom_bits(o, F.col("o_custkey"))
+    n = (
+        o.filter("o_custkey IS NOT NULL")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    absent = spark.range(200).select(
+        F.concat(F.lit("-"), (F.col("id") + 1).cast("string")).alias("key")
+    )
+    fp = (
+        SK.bloom_contains(bits, absent, "key")
+        .filter(F.col("maybe") == 1)
+        .count()
+    )
+    analytic = (1 - math.exp(-SK._BLOOM_K * n / SK._BLOOM_M)) ** SK._BLOOM_K
+    assert fp / 200 <= max(3 * analytic, 0.05), (fp, analytic, n)
+
+
+def test_bloom_merge_equals_whole(spark, sf_dir):
+    o = load(spark, sf_dir, "orders")
+    whole = {r["bit"] for r in SK.bloom_bits(o, F.col("o_custkey")).collect()}
+    lo = SK.bloom_bits(o.filter("o_orderkey % 2 = 0"), F.col("o_custkey"))
+    hi = SK.bloom_bits(o.filter("o_orderkey % 2 = 1"), F.col("o_custkey"))
+    merged = {r["bit"] for r in SK.bloom_merge(lo, hi).collect()}
+    assert merged == whole
+
+
+def test_bloom_persist_merge_on_read_equals_whole(spark, sf_dir, tmp_path):
+    """Per-day persisted filters OR-merge on read to the whole-table
+    filter; a two-day pruned read equals the direct filter of those
+    days' rows — same contract as the HLL/CMS persistence."""
+    e = load(spark, sf_dir, "events")
+    path = str(tmp_path / "bloom_by_day")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    SK.bloom_write_partitioned(e, F.col("user_id"), path, day)
+    whole = {r["bit"] for r in SK.bloom_bits(e, F.col("user_id")).collect()}
+    merged = {r["bit"] for r in SK.bloom_read_merged(spark, path).collect()}
+    assert merged == whole
+    days = sorted(
+        r["d"] for r in e.select(day.alias("d")).distinct().collect()
+    )[:2]
+    pruned = {
+        r["bit"]
+        for r in SK.bloom_read_merged(spark, path, parts=days).collect()
+    }
+    direct = {
+        r["bit"]
+        for r in SK.bloom_bits(
+            e.filter(day.isin(days)), F.col("user_id")
+        ).collect()
+    }
+    assert pruned == direct
+
+
+def test_bloom_rejects_bad_geometry(spark):
+    with pytest.raises(ValueError):
+        SK.bloom_bit(F.lit("x"), 8)
+    with pytest.raises(ValueError):
+        SK.bloom_bit(F.lit("x"), 0, m=65537)
+
+
 def test_mg_candidates_guarantee_and_bound(spark):
     """Misra-Gries contract on a skewed synthetic: every key with true
     count > N/(c+1) survives the per-partition summaries + sum-merge,
