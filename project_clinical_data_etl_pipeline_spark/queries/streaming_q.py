@@ -11,6 +11,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.sketch import (
+    _BLOOM_K,
+    _BLOOM_M,
     _CMS_DEPTH,
     cms_counters_sql,
     cms_probe_cells_sql,
@@ -105,6 +107,72 @@ _HOURLY_SUITE_SQL = f"""
     )
 """
 
+# Per-window Bloom set-bit twin, generated from the same geometry
+# constants as streaming/bloom.py (one definition, no drift): each of
+# the k hash windows of md5(user_id), tagged with the event's hour.
+_BLOOMW_BITS_SQL = "\nUNION ALL\n".join(
+    f"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+               AS window_start,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), {1 + 4 * i}, 4))::BIGINT
+                % {_BLOOM_M} AS INT) AS bit
+        FROM events WHERE user_id IS NOT NULL"""
+    for i in range(_BLOOM_K)
+)
+# probe-key bit cells (duplicates preserved — the all-k sum stays
+# exact when two hash windows collide for one key)
+_BLOOMW_CELLS_SQL = "\nUNION ALL\n".join(
+    f"""SELECT key,
+           CAST(('0x' || substr(md5(key), {1 + 4 * i}, 4))::BIGINT
+                % {_BLOOM_M} AS INT) AS bit
+        FROM probes"""
+    for i in range(_BLOOM_K)
+)
+
+_HOURLY_SUITE_SQL += f"""
+    UNION ALL
+    SELECT 'bloomw' AS part, window_start, key AS event_type,
+           maybe AS n_events, CAST(truly AS DOUBLE) AS total_value
+    FROM (
+        WITH wbits AS (
+            SELECT DISTINCT window_start, bit FROM ({_BLOOMW_BITS_SQL})
+        ),
+        probes AS (
+            (SELECT CAST(user_id AS VARCHAR) AS key
+             FROM (SELECT DISTINCT user_id FROM events
+                   WHERE user_id IS NOT NULL)
+             ORDER BY md5(CAST(user_id AS VARCHAR) || '|probe'),
+                      CAST(user_id AS VARCHAR) LIMIT 3)
+            UNION ALL
+            (SELECT unnest(['-1', '-2']) AS key)
+        ),
+        cells AS ({_BLOOMW_CELLS_SQL}),
+        wins AS (SELECT DISTINCT window_start FROM wbits),
+        grid AS (SELECT w.window_start, c.key, c.bit
+                 FROM wins w CROSS JOIN cells c),
+        mb AS (
+            SELECT g.window_start, g.key,
+                   CAST(CASE WHEN SUM(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END)
+                             = {_BLOOM_K} THEN 1 ELSE 0 END AS BIGINT)
+                       AS maybe
+            FROM grid g LEFT JOIN wbits b
+                ON g.window_start = b.window_start AND g.bit = b.bit
+            GROUP BY 1, 2
+        ),
+        tr AS (
+            SELECT strftime(date_trunc('hour', e.ts), '%Y-%m-%d %H:%M:%S')
+                       AS window_start,
+                   CAST(e.user_id AS VARCHAR) AS key,
+                   CAST(1 AS BIGINT) AS truly
+            FROM events e JOIN probes p ON CAST(e.user_id AS VARCHAR) = p.key
+            GROUP BY 1, 2
+        )
+        SELECT mb.window_start, mb.key, mb.maybe,
+               COALESCE(tr.truly, 0) AS truly
+        FROM mb LEFT JOIN tr
+            ON mb.window_start = tr.window_start AND mb.key = tr.key
+    )
+"""
+
 
 @spec(
     QUERIES,
@@ -138,7 +206,14 @@ _HOURLY_SUITE_SQL = f"""
     "computed IN the stream (streaming/cms.py — windowed counter "
     "table, state ≤ d·w ints per window at any cardinality; unlike the "
     "idempotent-max HLL registers, counters SUM, so at-least-once "
-    "sources inflate them — the contract is stated at the operator).",
+    "sources inflate them — the contract is stated at the operator). "
+    "'bloomw' leg (round 11): per-hour Bloom MEMBERSHIP for 3 watched "
+    "keys + 2 guaranteed-absent keys, the filter computed IN the "
+    "stream (streaming/bloom.py — windowed groupBy(window, bit).max(1), "
+    "state ≤ m bit rows per window at any cardinality, and IDEMPOTENT "
+    "like the HLL registers so at-least-once replays are harmless); "
+    "the per-window no-false-negative guarantee grades cross-engine "
+    "(streamed bits ≡ batch bits per window, hash-match).",
     tags=("streaming",),
 )
 def op41_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,6 +266,56 @@ def op41_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_hll_leg(spark, sf_dir))
         .unionByName(_dedupwm_leg(spark, sf_dir))
         .unionByName(_cmsw_leg(spark, sf_dir))
+        .unionByName(_bloomw_leg(spark, sf_dir))
+    )
+
+
+def _bloomw_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour Bloom membership for 3 watched user keys + 2
+    guaranteed-absent keys, the filter computed IN the stream
+    (streaming/bloom.py: windowed groupBy(window, bit).max(1) — state
+    per window ≤ m bit rows at ANY key cardinality, and IDEMPOTENT
+    like the HLL registers, so at-least-once replays are harmless
+    where CMS counters would inflate). The membership read and the
+    exact per-window truth column run batch-side on the drained
+    snapshot. Graded as the 'bloomw' leg of
+    op41_streaming_hourly_counts (streamed bits ≡ batch bits per
+    window — the no-false-negative guarantee per window,
+    hash-match)."""
+    from ..streaming.bloom import run_windowed_bloom_stream, windowed_membership
+
+    e = load(spark, sf_dir, "events")
+    present = (
+        e.filter(F.col("user_id").isNotNull())
+        .select(F.col("user_id").cast("string").alias("key"))
+        .distinct()
+        .orderBy(F.md5(F.concat(F.col("key"), F.lit("|probe"))), F.col("key"))
+        .limit(3)
+    )
+    absent = spark.createDataFrame([("-1",), ("-2",)], "key string")
+    probes = present.unionByName(absent).localCheckpoint(eager=False)
+    bits = run_windowed_bloom_stream(spark, sf_dir)
+    maybe = windowed_membership(bits, probes)
+    truly = (
+        e.join(
+            F.broadcast(probes),
+            F.col("user_id").cast("string") == F.col("key"),
+        )
+        .groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+            .alias("window_start"),
+            "key",
+        )
+        .agg(F.lit(1).cast("bigint").alias("truly"))
+    )
+    return maybe.join(
+        F.broadcast(truly), on=["window_start", "key"], how="left"
+    ).select(
+        F.lit("bloomw").alias("part"),
+        "window_start",
+        F.col("key").alias("event_type"),
+        F.col("maybe").alias("n_events"),
+        F.coalesce(F.col("truly"), F.lit(0)).cast("double").alias("total_value"),
     )
 
 

@@ -520,6 +520,76 @@ def test_streaming_hll_append_finalized_equals_batch(spark, sf_dir):
     assert len(appended) < len(complete)
 
 
+def test_streaming_windowed_bloom_equals_batch(spark, sf_dir):
+    """The streamed per-window set-bit table must equal the batch
+    filter of the same windows — presence (max) is idempotent, so
+    micro-batch order and replays cannot corrupt a bit. And the
+    per-window no-false-negative guarantee holds: every key seen in a
+    window answers maybe=1 for that window."""
+    from project_clinical_data_etl_pipeline_spark.streaming.bloom import (
+        run_windowed_bloom_stream,
+        windowed_membership,
+    )
+
+    bits = run_windowed_bloom_stream(spark, sf_dir)
+    streamed = {
+        (r["window_start"], r["bit"]) for r in bits.collect()
+    }
+    e = load(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    positions = F.array(
+        *[SK.bloom_bit(F.col("user_id"), i) for i in range(SK._BLOOM_K)]
+    )
+    batch = {
+        (r["window_start"], r["bit"])
+        for r in e.select(
+            F.date_format(
+                F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss"
+            ).alias("window_start"),
+            F.explode(positions).alias("bit"),
+        )
+        .distinct()
+        .collect()
+    }
+    assert streamed == batch and streamed
+    # no false negatives per window, over every (window, key) truly seen
+    seen = e.select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+            "window_start"
+        ),
+        F.col("user_id").cast("string").alias("key"),
+    ).distinct()
+    probes = seen.select("key").distinct()
+    answers = {
+        (r["window_start"], r["key"]): r["maybe"]
+        for r in windowed_membership(bits, probes).collect()
+    }
+    for r in seen.collect():
+        assert answers[(r["window_start"], r["key"])] == 1
+
+
+def test_streaming_bloom_append_finalized_equals_complete(spark, sf_dir):
+    """Append mode (watermark evicts finalized windows) emits, for
+    every finalized window, exactly the complete-mode bits — a strict
+    prefix of the windows."""
+    from project_clinical_data_etl_pipeline_spark.streaming.bloom import (
+        run_windowed_bloom_append,
+        run_windowed_bloom_stream,
+    )
+
+    def by_window(df):
+        out: dict = {}
+        for r in df.collect():
+            out.setdefault(r["window_start"], set()).add(r["bit"])
+        return out
+
+    complete = by_window(run_windowed_bloom_stream(spark, sf_dir))
+    appended = by_window(run_windowed_bloom_append(spark, sf_dir))
+    assert appended, "watermark finalized no windows on this data"
+    for w, s in appended.items():
+        assert complete[w] == s, w
+    assert len(appended) < len(complete)
+
+
 def _wctr_dict(df):
     return {
         (r["window_start"], r["r"], r["bucket"]): r["cnt"]
