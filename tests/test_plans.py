@@ -13,7 +13,12 @@ from project_clinical_data_etl_pipeline_spark.queries import REGISTRY
 from project_clinical_data_etl_pipeline_spark.tables import load
 
 #: ops whose WHOLE POINT is a Python kernel (Arrow-batched)
-PYTHON_KERNEL_OPS = {"op44_vectorized_udf", "multimodal_decode"}
+PYTHON_KERNEL_OPS = {"op44_vectorized_udf", "multimodal_decode",
+                     # r11: the 'hh' leg's Misra-Gries candidate
+                     # summary is a declared Arrow kernel (mapInPandas
+                     # — the bounded-state path; see test_plan_audit's
+                     # matching exemption)
+                     "corpus_top_ngrams"}
 #: ops that run a stream or write side effects — explain separately
 NON_PLAIN_OPS = {"op41_streaming_hourly_counts", "op03_37_serde_suite"}
 
