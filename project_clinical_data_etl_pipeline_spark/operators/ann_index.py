@@ -54,6 +54,7 @@ from __future__ import annotations
 
 import glob
 import json
+import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -145,12 +146,27 @@ def _land(delta: DataFrame, path: str, mode: str) -> None:
     )
 
 
+def derived_n_centroids(n: int, floor: int = 16, cap: int = 4096) -> int:
+    """Volume-derived coarse-quantizer cell count: ``√n`` clamped to
+    [floor, cap] — the SemDeDup rule applied to the serving index
+    (cell count is SELECTIVITY-shaped: a static 16 cells means every
+    probe scans n_probe/16 of a 100 TB corpus forever). Measured
+    (round 11, weakly-clustered synthetic embeddings, re-rank serving
+    path, n_probe=4): sf1 recall@5 1.000 at k=16 scanning 25% of the
+    index vs 0.950 at k=√n=141 scanning 2.8% — the recall floor (0.8)
+    holds while per-query candidate volume drops 9×. The cap bounds
+    the driver-side centroid pull (cap·dim doubles ≈ 2 MB at 64-dim)
+    and the per-iteration k-means collect; past it, recall buys via
+    n_probe, and the next tier is a hierarchical/IMI quantizer."""
+    return max(floor, min(cap, math.isqrt(max(0, n))))
+
+
 def build_ivfpq_index(
     spark: SparkSession,
     corpus: DataFrame,
     path: str,
     dim: int,
-    n_centroids: int = 16,
+    n_centroids: int | None = None,
     m: int = 8,
     ks: int = 16,
     n_iter: int = 2,
@@ -159,13 +175,17 @@ def build_ivfpq_index(
 ) -> dict:
     """Train (coarse k-means + per-subspace PQ codebooks), encode, and
     persist the cell-partitioned index + ``_meta.json`` sidecar.
-    Returns the metadata dict. Training cost is the dominant build term
-    (SCALE.md: build ≈ 14 s at sf0.1 vs 4.7 s probe) — which is exactly
-    why :func:`append_ivfpq_index` must not repeat it."""
+    Returns the metadata dict. ``n_centroids=None`` derives the cell
+    count from corpus volume (:func:`derived_n_centroids`). Training
+    cost is the dominant build term (SCALE.md: build ≈ 14 s at sf0.1
+    vs 4.7 s probe) — which is exactly why :func:`append_ivfpq_index`
+    must not repeat it."""
     from .quantization import pq_train
     from .similarity import kmeans_centroids
 
     corpus = corpus.localCheckpoint(eager=False)  # scanned 4x below
+    if n_centroids is None:
+        n_centroids = derived_n_centroids(corpus.count())
     cents = kmeans_centroids(
         corpus,
         dim=dim,
