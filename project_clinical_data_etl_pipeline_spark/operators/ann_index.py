@@ -43,22 +43,27 @@ the criterion, not by silently re-deriving parameters.
 
 Scale notes: meta (centroids + codebooks ≍ n_centroids·dim +
 m·ks·subdim doubles — KBs) is driver-side by construction, same class
-as the kmeans centroid pull. File counts are read from the filesystem
-listing here; on object storage that is the table-format transaction
-log's job (Delta/Iceberg), and this module is the parquet stand-in.
-Single writer assumed (appends are not transactional against each
-other) — the documented Delta-less boundary.
+as the kmeans centroid pull. Since round 11 the index carries a COMMIT
+MANIFEST (plans/txlog.py — the minimal Delta-ism): readers load only
+manifest-listed files, appends publish their files and their stream
+batch id in one atomic rename, and compaction is land→commit→vacuum —
+so crashed writes leave invisible orphans, replays are idempotent, and
+file counts come from the log, not a directory listing. Remaining
+honest boundary: single writer (no optimistic concurrency between
+concurrent committers) and a whole-manifest rewrite per commit — the
+two things a real table format adds.
 """
 
 from __future__ import annotations
 
-import glob
 import json
 import math
 import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ..plans import txlog
 
 _META_NAME = "_meta.json"
 _DATA_DIR = "index"
@@ -132,11 +137,21 @@ def _encode(
     ).withColumn("cell", F.col("cell").cast("int"))
 
 
-def _land(delta: DataFrame, path: str, mode: str) -> None:
+def _land(delta: DataFrame, path: str, mode: str) -> list[str]:
     """Write (one file per cell): every cell's rows hash to exactly one
     of the ``n_cells`` write tasks, so each ``cell=`` directory receives
     exactly one file per landing — the bucketed layout's one-file
-    invariant, kept through appends at one file per touched cell."""
+    invariant, kept through appends at one file per touched cell.
+
+    Returns the RELATIVE paths of the files this write created —
+    landed but NOT yet published: readers go through the commit
+    manifest (plans.txlog), so a crash after this write leaves
+    invisible orphans, never half-applied state. Single writer
+    assumed (the txlog contract), so a before/after listing diff is
+    exactly this write's files."""
+    from ..plans import txlog
+
+    before = set(txlog.list_data_files(_data_path(path)))
     n_cells = delta.select("cell").distinct().count()
     (
         delta.repartition(max(1, n_cells), F.col("cell"))
@@ -144,6 +159,11 @@ def _land(delta: DataFrame, path: str, mode: str) -> None:
         .partitionBy("cell")
         .parquet(_data_path(path))
     )
+    return [
+        f
+        for f in txlog.list_data_files(_data_path(path))
+        if f not in before
+    ]
 
 
 def derived_n_centroids(n: int, floor: int = 16, cap: int = 4096) -> int:
@@ -220,8 +240,11 @@ def build_ivfpq_index(
         "appended_dist_sum": 0.0,
         "n_appends": 0,
     }
-    _land(_encode(corpus, meta, id_col, vec_col), path, "overwrite")
+    added = _land(_encode(corpus, meta, id_col, vec_col), path, "overwrite")
     _write_meta(path, meta)
+    # fresh manifest: a build REPLACES every prior file and (unless the
+    # caller is rebuild_index, which re-commits them) the batch history
+    txlog.commit(_data_path(path), add_files=added, reset=True)
     return meta
 
 
@@ -242,15 +265,19 @@ def append_ivfpq_index(
 
     ``batch_id`` (streaming ingestion): Structured Streaming's
     ``foreachBatch`` re-delivers a batch UNDER THE SAME ID after a
-    restart from checkpoint; a batch id already recorded in the
-    sidecar is skipped, making the append idempotent per batch — the
-    standard idempotent-sink recipe (Delta's txnAppId/txnVersion).
-    The data-then-meta write order means a crash BETWEEN the two can
-    still double-append on replay — the documented no-transaction-log
-    parquet boundary (same class as upsert_partitioned's stage gap);
-    a table format with a commit log closes it."""
+    restart from checkpoint; a batch id already in the COMMIT MANIFEST
+    is skipped, making the append idempotent per batch — the standard
+    idempotent-sink recipe (Delta's txnAppId/txnVersion). Since round
+    11's txlog landed, the file list and the batch id publish in the
+    SAME atomic manifest replace (plans/txlog.py): a crash before the
+    commit leaves the landed files INVISIBLE to every reader (vacuum
+    reclaims them), so the old data-then-meta double-append window is
+    closed — visibility and idempotence switch together. The drift
+    counters stay in the non-transactional sidecar deliberately:
+    they are telemetry, and a lost update there skews a ratio, not
+    correctness."""
     meta = load_index_meta(path)
-    if batch_id is not None and batch_id in meta.get("stream_batch_ids", []):
+    if batch_id is not None and txlog.has_batch(_data_path(path), batch_id):
         return {
             "appended": 0,
             "touched_cells": 0,
@@ -269,18 +296,16 @@ def append_ivfpq_index(
             "drift_ratio": None,
         }
     touched = delta.select("cell").distinct().count()
-    _land(delta, path, "append")
+    added = _land(delta, path, "append")
+    # THE commit point: files become visible and the batch id becomes
+    # applied in one atomic rename
+    txlog.commit(_data_path(path), add_files=added, batch_id=batch_id)
     d = _mean_assign_dist(
         new_vectors, meta["centroids"], meta["dim"], meta["vec_col"]
     )
     meta["appended_n"] += n
     meta["appended_dist_sum"] += (d or 0.0) * n
     meta["n_appends"] += 1
-    if batch_id is not None:
-        # bounded replay-guard window: the stream's lateness horizon in
-        # batches (a restart replays only the last committed batch)
-        ids = meta.get("stream_batch_ids", []) + [batch_id]
-        meta["stream_batch_ids"] = sorted(set(ids))[-100:]
     _write_meta(path, meta)
     base = meta["build_mean_dist"]
     return {
@@ -300,6 +325,7 @@ def rebuild_index(
     counters. Same cost as the original build — which is exactly why
     the criterion meters it instead of every append paying it."""
     meta = load_index_meta(path)
+    prior_ids = txlog.read_manifest(_data_path(path))["batch_ids"]
     new_meta = build_ivfpq_index(
         spark,
         corpus,
@@ -311,68 +337,78 @@ def rebuild_index(
         id_col=meta["id_col"],
         vec_col=meta["vec_col"],
     )
-    if meta.get("stream_batch_ids"):
+    if prior_ids:
         # the rebuilt corpus already CONTAINS those batches' vectors; a
         # streaming replay after the rebuild must still be skipped
-        new_meta["stream_batch_ids"] = meta["stream_batch_ids"]
-        _write_meta(path, new_meta)
+        txlog.commit(_data_path(path), batch_ids=prior_ids)
     return new_meta
 
 
 def read_index(spark: SparkSession, path: str) -> DataFrame:
-    """(neighbor_id, cell BIGINT, pq_code) — the probe input. ``cell``
-    is a parquet PARTITION column, so a probe's
-    ``cell IN (probed cells)`` filter prunes to the matching
-    directories before any file is opened (the partition-pruning twin
-    of the bucketed table's bucket pruning)."""
-    return spark.read.parquet(_data_path(path)).select(
-        "neighbor_id", F.col("cell").cast("bigint").alias("cell"), "pq_code"
+    """(neighbor_id, cell BIGINT, pq_code) — the probe input, reading
+    ONLY the commit-manifest's files (``basePath`` keeps ``cell`` a
+    real partition column over the explicit file list, so a probe's
+    ``cell IN (probed cells)`` filter still prunes to the matching
+    directories — plan-pinned). Files landed by a crashed,
+    uncommitted write are invisible here by construction."""
+    files = txlog.committed_files(_data_path(path))
+    if not files:
+        return spark.createDataFrame(
+            [], "neighbor_id bigint, cell bigint, pq_code array<int>"
+        )
+    return (
+        spark.read.option("basePath", _data_path(path))
+        .parquet(*files)
+        .select(
+            "neighbor_id",
+            F.col("cell").cast("bigint").alias("cell"),
+            "pq_code",
+        )
     )
 
 
+def _cell_of(rel_path: str) -> int:
+    return int(rel_path.split("cell=", 1)[1].split("/", 1)[0])
+
+
 def cell_file_counts(path: str) -> dict[int, int]:
-    """Data files per cell directory, from the filesystem listing —
-    the compaction trigger's input. On object storage this listing is
-    the table format's transaction log (Delta/Iceberg); this is the
-    local parquet stand-in."""
+    """COMMITTED data files per cell — the compaction trigger's input,
+    read from the manifest (plans.txlog), exactly where Delta/Iceberg
+    would read it; crashed writes' orphans don't count."""
     out: dict[int, int] = {}
-    for d in glob.glob(os.path.join(_data_path(path), "cell=*")):
-        cell = int(d.rsplit("=", 1)[1])
-        out[cell] = len(
-            [
-                f
-                for f in os.listdir(d)
-                if f.startswith("part-") and not f.endswith(".crc")
-            ]
-        )
+    for rel in txlog.read_manifest(_data_path(path))["files"]:
+        cell = _cell_of(rel)
+        out[cell] = out.get(cell, 0) + 1
     return out
 
 
 def compact_index(
     spark: SparkSession, path: str, max_files_per_cell: int = 4
 ) -> list[int]:
-    """Rewrite ONLY the cells whose file count exceeds the bound, back
-    to one file each, via dynamic partition overwrite — every other
-    cell's files are untouched (semantics pinned in
-    tests/test_write_semantics.py for the shared
-    ``overwrite_partitions`` primitive). O(hot cells' bytes), not
-    O(index). Returns the compacted cell ids."""
-    from ..sources.writers import overwrite_partitions
-
-    hot = sorted(
-        c for c, n in cell_file_counts(path).items() if n > max_files_per_cell
-    )
+    """Rewrite ONLY the cells whose committed file count exceeds the
+    bound, back to one file each — TRANSACTIONALLY: the compacted
+    replacement files land first (invisible), then one atomic manifest
+    commit swaps them in and the superseded inputs out, then
+    :func:`plans.txlog.vacuum` reclaims the dead bytes. A crash before
+    the commit changes nothing a reader sees; after it, only garbage
+    remains to vacuum. O(hot cells' bytes), not O(index). Returns the
+    compacted cell ids."""
+    root = _data_path(path)
+    manifest = txlog.read_manifest(root)
+    counts = cell_file_counts(path)
+    hot = sorted(c for c, n in counts.items() if n > max_files_per_cell)
     if not hot:
         return []
-    data = spark.read.parquet(_data_path(path)).filter(
-        F.col("cell").isin(hot)
+    old_files = [f for f in manifest["files"] if _cell_of(f) in hot]
+    data = read_index(spark, path).filter(F.col("cell").isin(hot)).select(
+        "neighbor_id", F.col("cell").cast("int").alias("cell"), "pq_code"
     )
     # one task per compacted cell -> back to one file per cell
-    overwrite_partitions(
-        data.repartition(len(hot), F.col("cell")),
-        _data_path(path),
-        ["cell"],
+    added = _land(
+        data.repartition(len(hot), F.col("cell")), path, "append"
     )
+    txlog.commit(root, add_files=added, remove_files=old_files)
+    txlog.vacuum(root)
     return hot
 
 

@@ -227,6 +227,73 @@ def test_meta_missing_raises(tmp_path):
         AI.load_index_meta(str(tmp_path / "nope"))
 
 
+def test_uncommitted_files_are_invisible_and_vacuumable(spark, corpus, tmp_path):
+    """The crash window the txlog closes: data files landed WITHOUT a
+    manifest commit (a writer that died between write and publish) are
+    invisible to readers, don't count toward compaction, and vacuum
+    reclaims them — then the same batch id re-applies exactly once."""
+    import os
+    import shutil
+
+    from project_clinical_data_etl_pipeline_spark.plans import txlog
+
+    path = str(tmp_path / "idx_crash")
+    AI.build_ivfpq_index(
+        spark, corpus.filter(F.col("vec_id") < _SPLIT), path, dim=_DIM
+    )
+    before_rows = _rows(AI.read_index(spark, path))
+    before_counts = AI.cell_file_counts(path)
+    root = os.path.join(path, "index")
+    # simulate the dead writer: a real parquet file lands in a cell
+    # dir but its commit never happens
+    committed = txlog.committed_files(root)
+    orphan = os.path.join(
+        os.path.dirname(committed[0]), "part-CRASHED-orphan.parquet"
+    )
+    shutil.copyfile(committed[0], orphan)
+    assert _rows(AI.read_index(spark, path)) == before_rows, (
+        "uncommitted file leaked into a read"
+    )
+    assert AI.cell_file_counts(path) == before_counts
+    removed = txlog.vacuum(root)
+    assert any("CRASHED" in r for r in removed)
+    assert not os.path.exists(orphan)
+    # the interrupted batch replays under its original id: applies once
+    delta = corpus.filter(F.col("vec_id") >= _SPLIT)
+    s1 = AI.append_ivfpq_index(spark, path, delta, batch_id=11)
+    s2 = AI.append_ivfpq_index(spark, path, delta, batch_id=11)
+    assert s1["appended"] == 100 and s2.get("replayed") is True
+    assert len(_rows(AI.read_index(spark, path))) == _SPLIT + 100
+
+
+def test_compaction_is_transactional(spark, corpus, tmp_path):
+    """Compaction = land → one atomic commit (add compacted, remove
+    superseded) → vacuum: afterwards the manifest holds exactly one
+    file per compacted cell, no dead bytes remain on disk, and the
+    data is unchanged."""
+    import os
+
+    from project_clinical_data_etl_pipeline_spark.plans import txlog
+
+    path = str(tmp_path / "idx_txcompact")
+    AI.build_ivfpq_index(
+        spark, corpus.filter(F.col("vec_id") < _SPLIT), path, dim=_DIM
+    )
+    AI.append_ivfpq_index(
+        spark, path, corpus.filter(F.col("vec_id") >= _SPLIT)
+    )
+    before = _rows(AI.read_index(spark, path))
+    compacted = AI.compact_index(spark, path, max_files_per_cell=1)
+    assert compacted
+    root = os.path.join(path, "index")
+    manifest = txlog.read_manifest(root)
+    # physical files == committed files (vacuum left no garbage)
+    assert set(txlog.list_data_files(root)) == set(manifest["files"])
+    counts = AI.cell_file_counts(path)
+    assert all(counts[c] == 1 for c in compacted)
+    assert _rows(AI.read_index(spark, path)) == before
+
+
 def test_streamed_ingestion_equals_one_shot(spark, corpus, tmp_path):
     """The end-to-end composition: vectors arriving as TWO real
     micro-batches of a Structured Streaming query append to the
@@ -272,7 +339,10 @@ def test_streamed_ingestion_equals_one_shot(spark, corpus, tmp_path):
     final = AI.load_index_meta(path)
     assert final["appended_n"] == 100
     assert final["n_appends"] >= 2  # two real micro-batches landed
-    assert len(final["stream_batch_ids"]) == final["n_appends"]
+    from project_clinical_data_etl_pipeline_spark.plans import txlog
+
+    manifest = txlog.read_manifest(os.path.join(path, "index"))
+    assert len(manifest["batch_ids"]) == final["n_appends"]
 
 
 def test_probe_scan_partition_prunes(spark, built):
@@ -327,7 +397,11 @@ def test_rebuild_resets_drift_and_answers_criterion(spark, corpus, tmp_path):
     ).unionByName(ortho)
     new_meta = AI.rebuild_index(spark, grown, path)
     assert new_meta["appended_n"] == 0
-    assert AI.load_index_meta(path)["stream_batch_ids"] == [3]
+    from project_clinical_data_etl_pipeline_spark.plans import txlog
+
+    assert txlog.read_manifest(
+        str(tmp_path / "idx_lifecycle" / "index")
+    )["batch_ids"] == [3]
     crit = AI.retrain_criterion(spark, path)
     assert crit["retrain"] is False, crit
     assert crit["n_rows"] == _SPLIT + 50
