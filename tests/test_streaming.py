@@ -105,7 +105,7 @@ def test_upsert_rewrites_only_touched_partitions(spark, tmp_path):
 
     got = {
         (r["window_start"], r["event_type"], r["n_events"], r["total_value"])
-        for r in spark.read.parquet(target).drop("p_date").collect()
+        for r in I.read_upsert_target(spark, target).collect()
     }
     assert got == {
         ("2024-05-01 10:00:00", "click", 3, 11.0),   # untouched day kept
@@ -113,6 +113,25 @@ def test_upsert_rewrites_only_touched_partitions(spark, tmp_path):
         ("2024-05-02 09:00:00", "click", 4, 9.0),    # key replaced
         ("2024-05-02 09:00:00", "purchase", 1, 2.0),  # key appended
     }
+    # crash window: a file landed WITHOUT a commit (dead writer) is
+    # invisible to the manifest-aware read and vacuumable — the txlog
+    # contract extended to the upsert target
+    import shutil
+
+    from project_clinical_data_etl_pipeline_spark.plans import txlog
+
+    committed = txlog.committed_files(target)
+    orphan = os.path.join(
+        os.path.dirname(committed[0]), "part-CRASHED.parquet"
+    )
+    shutil.copyfile(committed[0], orphan)
+    still = {
+        (r["window_start"], r["event_type"], r["n_events"], r["total_value"])
+        for r in I.read_upsert_target(spark, target).collect()
+    }
+    assert still == got, "uncommitted file leaked into the read"
+    assert any("CRASHED" in r for r in txlog.vacuum(target))
+    assert not os.path.exists(orphan)
 
 
 def test_batch_sessionize_properties(spark, sf_dir):
