@@ -272,10 +272,16 @@ def append_ivfpq_index(
     SAME atomic manifest replace (plans/txlog.py): a crash before the
     commit leaves the landed files INVISIBLE to every reader (vacuum
     reclaims them), so the old data-then-meta double-append window is
-    closed — visibility and idempotence switch together. The drift
-    counters stay in the non-transactional sidecar deliberately:
-    they are telemetry, and a lost update there skews a ratio, not
-    correctness."""
+    closed — visibility and idempotence switch together. Scope: the
+    guard assumes ONE stream lineage per index — batch ids restart at
+    0 under a fresh checkpointLocation, so a brand-new query against
+    an index with append history would false-skip its early batches;
+    reuse the checkpoint (the restart story this exists for) or
+    rebuild the index. Delta's full recipe keys idempotence on
+    (txnAppId, txnVersion) — the multi-lineage extension if ever
+    needed. The drift counters stay in the non-transactional sidecar
+    deliberately: they are telemetry, and a lost update there skews a
+    ratio, not correctness."""
     meta = load_index_meta(path)
     if batch_id is not None and txlog.has_batch(_data_path(path), batch_id):
         return {
