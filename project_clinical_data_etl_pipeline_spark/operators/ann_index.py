@@ -16,9 +16,10 @@ module gives the index a real lifecycle:
   file per cell at build time (each cell's rows hash to exactly one
   write task).
 - **Self-contained**: trained centroids, codebooks, and build-time
-  drift baselines persist in a ``_meta.json`` sidecar next to the
-  data, so ANY process can append to or probe the index — no
-  per-process training cache required.
+  drift baselines persist in a versioned ``_meta.v{N}.json`` sidecar
+  next to the data (the commit manifest points at the current one),
+  so ANY process can append to or probe the index — no per-process
+  training cache required.
 - **Append is O(delta)**: new vectors are assigned to the EXISTING
   centroids and encoded with the EXISTING codebooks (one map pass over
   the delta — the faiss ``add`` semantics), then landed as one new
@@ -48,10 +49,16 @@ MANIFEST (plans/txlog.py — the minimal Delta-ism): readers load only
 manifest-listed files, appends publish their files and their stream
 batch id in one atomic rename, and compaction is land→commit→vacuum —
 so crashed writes leave invisible orphans, replays are idempotent, and
-file counts come from the log, not a directory listing. Remaining
-honest boundary: single writer (no optimistic concurrency between
-concurrent committers) and a whole-manifest rewrite per commit — the
-two things a real table format adds.
+file counts come from the log, not a directory listing. Since round 12
+the trained-parameter sidecar is VERSIONED and committed through the
+same manifest (``_meta.v{N}.json`` + the manifest's ``meta_file``
+pointer), and build/rebuild land their output as NEW files published
+by one reset commit (old files vacuumed after): every lifecycle verb —
+build, append, compact, rebuild — is now a single atomic publish, and
+readers can never observe data encoded under one parameter set decoded
+with another. Remaining honest boundary: single writer (no optimistic
+concurrency between concurrent committers) and a whole-manifest
+rewrite per commit — the two things a real table format adds.
 """
 
 from __future__ import annotations
@@ -65,12 +72,7 @@ from pyspark.sql import functions as F
 
 from ..plans import txlog
 
-_META_NAME = "_meta.json"
 _DATA_DIR = "index"
-
-
-def _meta_path(path: str) -> str:
-    return os.path.join(path, _META_NAME)
 
 
 def _data_path(path: str) -> str:
@@ -78,19 +80,30 @@ def _data_path(path: str) -> str:
 
 
 def load_index_meta(path: str) -> dict:
-    """Read the index's sidecar metadata (trained parameters + drift
-    counters). Raises FileNotFoundError for a path that holds no built
+    """Read the index's COMMITTED sidecar metadata (trained parameters
+    + drift counters) — resolved through the manifest's ``meta_file``
+    pointer, so the parameters a reader sees always match the files it
+    sees. Raises FileNotFoundError for a path that holds no built
     index — callers must not silently treat an empty dir as an index."""
-    with open(_meta_path(path)) as fh:
+    meta_path = txlog.current_meta_file(_data_path(path))
+    if meta_path is None:
+        raise FileNotFoundError(f"no committed index at {path!r}")
+    with open(meta_path) as fh:
         return json.load(fh)
 
 
-def _write_meta(path: str, meta: dict) -> None:
-    os.makedirs(path, exist_ok=True)
-    tmp = _meta_path(path) + ".tmp"
+def _land_meta(path: str, meta: dict) -> str:
+    """Write the sidecar under a FRESH versioned name (invisible until
+    a commit points at it) and return that name, relative to the data
+    root. Single writer assumed, so manifest version + 1 is unique."""
+    root = _data_path(path)
+    os.makedirs(root, exist_ok=True)
+    name = f"_meta.v{txlog.read_manifest(root)['version'] + 1}.json"
+    tmp = os.path.join(root, name + ".tmp")
     with open(tmp, "w") as fh:
         json.dump(meta, fh)
-    os.replace(tmp, _meta_path(path))  # atomic on POSIX
+    os.replace(tmp, os.path.join(root, name))
+    return name
 
 
 def _mean_assign_dist(
@@ -192,14 +205,25 @@ def build_ivfpq_index(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    carry_batch_ids: list[int] = (),
 ) -> dict:
     """Train (coarse k-means + per-subspace PQ codebooks), encode, and
-    persist the cell-partitioned index + ``_meta.json`` sidecar.
-    Returns the metadata dict. ``n_centroids=None`` derives the cell
-    count from corpus volume (:func:`derived_n_centroids`). Training
-    cost is the dominant build term (SCALE.md: build ≈ 14 s at sf0.1
-    vs 4.7 s probe) — which is exactly why :func:`append_ivfpq_index`
-    must not repeat it."""
+    persist the cell-partitioned index + versioned ``_meta.v{N}.json``
+    sidecar. Returns the metadata dict. ``n_centroids=None`` derives
+    the cell count from corpus volume (:func:`derived_n_centroids`).
+    Training cost is the dominant build term (SCALE.md: build ≈ 14 s
+    at sf0.1 vs 4.7 s probe) — which is exactly why
+    :func:`append_ivfpq_index` must not repeat it.
+
+    CRASH-ATOMIC over an existing index (round-12 fix): the encoded
+    rows and the new sidecar land as NEW invisible files next to the
+    committed ones, then ONE reset commit flips the file list, the
+    parameter pointer, and (via ``carry_batch_ids`` — the
+    :func:`rebuild_index` path) the replay guard together; the
+    superseded files are vacuumed after. A crash anywhere before the
+    commit leaves the prior index fully intact and fully consistent —
+    the earlier ``mode=overwrite`` write physically deleted committed
+    files AND the manifest before the new state existed."""
     from .quantization import pq_train
     from .similarity import kmeans_centroids
 
@@ -240,11 +264,19 @@ def build_ivfpq_index(
         "appended_dist_sum": 0.0,
         "n_appends": 0,
     }
-    added = _land(_encode(corpus, meta, id_col, vec_col), path, "overwrite")
-    _write_meta(path, meta)
-    # fresh manifest: a build REPLACES every prior file and (unless the
-    # caller is rebuild_index, which re-commits them) the batch history
-    txlog.commit(_data_path(path), add_files=added, reset=True)
+    added = _land(_encode(corpus, meta, id_col, vec_col), path, "append")
+    meta_file = _land_meta(path, meta)
+    # THE commit: a build REPLACES every prior file, flips the
+    # parameter pointer, and (unless the caller is rebuild_index,
+    # which passes them through) clears the batch history — atomically
+    txlog.commit(
+        _data_path(path),
+        add_files=added,
+        reset=True,
+        batch_ids=list(carry_batch_ids),
+        meta_file=meta_file,
+    )
+    txlog.vacuum(_data_path(path))  # reclaim the superseded generation
     return meta
 
 
@@ -279,9 +311,10 @@ def append_ivfpq_index(
     reuse the checkpoint (the restart story this exists for) or
     rebuild the index. Delta's full recipe keys idempotence on
     (txnAppId, txnVersion) — the multi-lineage extension if ever
-    needed. The drift counters stay in the non-transactional sidecar
-    deliberately: they are telemetry, and a lost update there skews a
-    ratio, not correctness."""
+    needed. Since round 12 the drift counters ride the same commit as
+    the files (the sidecar is versioned and pointer-flipped by the
+    manifest), so a crashed append can no longer skew the drift ratio;
+    superseded sidecar versions are reclaimed by the next vacuum."""
     meta = load_index_meta(path)
     if batch_id is not None and txlog.has_batch(_data_path(path), batch_id):
         return {
@@ -303,16 +336,18 @@ def append_ivfpq_index(
         }
     touched = delta.select("cell").distinct().count()
     added = _land(delta, path, "append")
-    # THE commit point: files become visible and the batch id becomes
-    # applied in one atomic rename
-    txlog.commit(_data_path(path), add_files=added, batch_id=batch_id)
     d = _mean_assign_dist(
         new_vectors, meta["centroids"], meta["dim"], meta["vec_col"]
     )
     meta["appended_n"] += n
     meta["appended_dist_sum"] += (d or 0.0) * n
     meta["n_appends"] += 1
-    _write_meta(path, meta)
+    meta_file = _land_meta(path, meta)
+    # THE commit point: files become visible, the batch id becomes
+    # applied, and the drift counters advance in one atomic rename
+    txlog.commit(
+        _data_path(path), add_files=added, batch_id=batch_id, meta_file=meta_file
+    )
     base = meta["build_mean_dist"]
     return {
         "appended": n,
@@ -327,12 +362,18 @@ def rebuild_index(
 ) -> dict:
     """The action :func:`retrain_criterion` recommends: retrain on the
     CURRENT corpus under the index's existing geometry (dim, m, ks,
-    n_centroids from the sidecar), overwrite the data, reset the drift
+    n_centroids from the sidecar), replace the data, reset the drift
     counters. Same cost as the original build — which is exactly why
-    the criterion meters it instead of every append paying it."""
+    the criterion meters it instead of every append paying it.
+
+    The prior batch ids ride INSIDE the build's single reset commit
+    (the rebuilt corpus already contains those batches' vectors, so a
+    streaming replay after the rebuild must still be skipped): there
+    is no window where the new index is visible without its replay
+    guard — the round-11 two-commit sequence had one."""
     meta = load_index_meta(path)
     prior_ids = txlog.read_manifest(_data_path(path))["batch_ids"]
-    new_meta = build_ivfpq_index(
+    return build_ivfpq_index(
         spark,
         corpus,
         path,
@@ -342,12 +383,8 @@ def rebuild_index(
         ks=meta["ks"],
         id_col=meta["id_col"],
         vec_col=meta["vec_col"],
+        carry_batch_ids=prior_ids,
     )
-    if prior_ids:
-        # the rebuilt corpus already CONTAINS those batches' vectors; a
-        # streaming replay after the rebuild must still be skipped
-        txlog.commit(_data_path(path), batch_ids=prior_ids)
-    return new_meta
 
 
 def read_index(spark: SparkSession, path: str) -> DataFrame:
@@ -410,9 +447,8 @@ def compact_index(
         "neighbor_id", F.col("cell").cast("int").alias("cell"), "pq_code"
     )
     # one task per compacted cell -> back to one file per cell
-    added = _land(
-        data.repartition(len(hot), F.col("cell")), path, "append"
-    )
+    # (_land repartitions by the distinct-cell count itself)
+    added = _land(data, path, "append")
     txlog.commit(root, add_files=added, remove_files=old_files)
     txlog.vacuum(root)
     return hot

@@ -134,7 +134,22 @@ def closure_insert_edges(
         .agg(F.min("min_depth").alias("min_depth"))
         .localCheckpoint()
     )
-    prev = delta.count()
+
+    def _state(df: DataFrame) -> tuple:
+        # Fixpoint witness: (pair count, Σ min_depth). Pair-count
+        # stability ALONE is unsound here — delta atoms are segments
+        # of heterogeneous depth, so composing two segments can
+        # SHORTEN an already-present pair's min_depth without adding
+        # any pair (unlike the full rebuild, where a pair's shortest
+        # edge-path is never longer than any path that created it).
+        # Depths only decrease under the min-merge and pairs only
+        # grow, so (count, sum) is stable iff the relation is.
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("min_depth").alias("s")
+        ).first()
+        return (row["n"], row["s"])
+
+    prev = _state(delta)
     for _ in range(max_iterations):
         hops = (
             delta.alias("a")
@@ -154,15 +169,10 @@ def closure_insert_edges(
             .agg(F.min("min_depth").alias("min_depth"))
             .localCheckpoint()
         )
-        count = delta.count()
-        if count == prev:
-            # depth can still improve one last round after the pair
-            # SET stabilizes; the min-merge below is idempotent, and
-            # pair-count stability implies segment-composition
-            # stability for depths too (the extra hop would create the
-            # composed pair as well). Pinned against full rebuild.
+        state = _state(delta)
+        if state == prev:
             break
-        prev = count
+        prev = state
     return (
         closure.unionByName(delta)
         .groupBy("descendant_id", "ancestor_id")

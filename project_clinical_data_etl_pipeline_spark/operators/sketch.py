@@ -566,9 +566,12 @@ def mg_candidates(df: DataFrame, col: Column, c: int = 1024) -> DataFrame:
     ``c`` counters (Misra & Gries 1982; merge rule from Agarwal et al.
     2012 "Mergeable Summaries": sum counts, subtract the (c+1)-th
     largest, drop non-positives — applied per Arrow batch over the
-    batch's exact ``value_counts``). Output: ≤ c rows of
-    ``(k string, mg_cnt bigint)`` PER PARTITION, so the downstream
-    shuffle is bounded by partitions·c — never by the distinct domain.
+    batch's exact ``value_counts``). Output: ≤ c candidate rows of
+    ``(k string, mg_cnt bigint)`` PER PARTITION plus ONE sentinel row
+    (``k`` NULL, ``mg_cnt`` = the partition's non-null row count) —
+    the downstream shuffle stays bounded by partitions·(c+1), never by
+    the distinct domain. The sentinels let :func:`cms_top_k` derive
+    the summed undercount slack N/(c+1) without a second source scan.
     Guarantee: every key with true count > N/(c+1) survives with
     ``mg_cnt`` undercounting by at most N/(c+1).
 
@@ -602,20 +605,23 @@ def mg_candidates(df: DataFrame, col: Column, c: int = 1024) -> DataFrame:
                 running = running[running > thresh] - thresh
             return running
 
-        buf, buffered = [], 0
+        buf, buffered, seen = [], 0, 0
         for pdf in batches:
             buf.append(pdf["k"])
             buffered += len(pdf)
+            seen += len(pdf)
             if buffered >= _FLUSH_ROWS:
                 running = flush(running, buf)
                 buf, buffered = [], 0
         running = flush(running, buf)
-        yield pd.DataFrame(
+        out = pd.DataFrame(
             {
                 "k": running.index.astype(str),
                 "mg_cnt": running.astype("int64").values,
             }
         )
+        sentinel = pd.DataFrame({"k": [None], "mg_cnt": [seen]})
+        yield pd.concat([out, sentinel], ignore_index=True)
 
     return src.mapInPandas(summarize, "k string, mg_cnt long")
 
@@ -635,16 +641,25 @@ def cms_top_k(
     exchange carries every distinct value the corpus contains.
 
     Composition: (1) Misra-Gries per-partition candidates
-    (:func:`mg_candidates`) — shuffle ≤ partitions·c rows; sum-merge,
-    keep the top ``max(4k, 64)`` (TakeOrderedAndProject); (2) CMS
-    counters over the stream (shuffle ≤ d·w rows/partition) read per
-    candidate — the never-underestimating upper bound, emitted as
-    ``est``; (3) ``rank='exact'`` (default): a third scan broadcast-
-    pruned to the candidate keys recounts them EXACTLY — the shuffle
-    carries ≤ |candidates| rows after map-side partials, so ranking
-    among captured candidates is exact and the ONLY approximation left
-    is MG capture (guaranteed for every key with true count >
-    N/(c+1)). ``rank='cms'`` skips the third scan and ranks by ``est``
+    (:func:`mg_candidates`) — shuffle ≤ partitions·(c+1) rows;
+    sum-merge, then keep every candidate whose merged count lands
+    within the summed MG undercount slack ``N//(c+1)`` of the k-th
+    largest (any key outside that band provably cannot reach the true
+    top-k, since per-partition undercount totals ≤ N/(c+1) — the cut
+    is derived from the MG error bound, not an arbitrary constant, so
+    no true heavy hitter can be pushed below it by undercounting);
+    (2) CMS counters over the stream (shuffle ≤ d·w rows/partition)
+    read per candidate — the never-underestimating upper bound,
+    emitted as ``est``; (3) ``rank='exact'`` (default): a third scan
+    broadcast-pruned to the candidate keys recounts them EXACTLY — the
+    shuffle carries ≤ |candidates| rows after map-side partials, so
+    ranking among captured candidates is exact and the ONLY
+    approximation left is MG capture (guaranteed for every key with
+    true count > N/(c+1)). Near-flat distributions inflate the
+    slack-band candidate set (bounded by the summary size,
+    partitions·c — the honest cost of a distribution the sketch
+    genuinely cannot separate); heavy-tailed ones keep it ≈ k.
+    ``rank='cms'`` skips the third scan and ranks by ``est``
     — one less pass, but the ~eN/w overestimate noise reorders any
     distribution whose top-k gaps are below it (measured: recall 0.25
     on the near-flat synthetic 2-gram corpus vs 1.0 for exact-rank;
@@ -660,12 +675,30 @@ def cms_top_k(
     if rank not in ("exact", "cms"):
         raise ValueError(f"rank must be 'exact' or 'cms'; got {rank!r}")
     counters = cms_counters(df, col, d, w)
-    cand = (
+    # merged summary + sentinels in ONE pass over the source; the two
+    # control scalars below (N, k-th merged count) are single-row
+    # collects over this ≤ partitions·(c+1)-row frame
+    merged = (
         mg_candidates(df, col, c)
         .groupBy("k")
         .agg(F.sum("mg_cnt").alias("mg"))
-        .orderBy(F.col("mg").desc(), F.col("k").asc())
-        .limit(max(4 * k, 64))
+        .localCheckpoint()
+    )
+    n_total = (
+        merged.filter(F.col("k").isNull()).agg(F.sum("mg").alias("n")).collect()
+    )[0]["n"] or 0
+    slack = n_total // (c + 1)
+    kth_row = (
+        merged.filter(F.col("k").isNotNull())
+        .orderBy(F.col("mg").desc())
+        .limit(k)
+        .agg(F.min("mg").alias("kth"))
+        .collect()
+    )[0]["kth"]
+    cand = (
+        merged.filter(
+            F.col("k").isNotNull() & (F.col("mg") >= F.lit((kth_row or 0) - slack))
+        )
         .select(F.col("k").alias("key"))
     )
     est = cms_point_estimates(counters, cand, "key", d, w)

@@ -13,12 +13,28 @@ rename atomicity) that carries the file list AND the batch id in the
 same commit. Idempotence and visibility therefore switch together:
 either a batch's files are visible and its id is recorded, or neither.
 
+The manifest can also carry a ``meta_file`` pointer — the name of a
+versioned sidecar (e.g. an index's trained parameters) that must flip
+in the SAME commit as the data it describes. Writers land the new
+sidecar under a fresh name (invisible), pass it to :func:`commit`,
+and readers resolve the current one through the manifest — so data
+and parameters can never be observed mismatched (the Iceberg
+metadata-pointer move, one level down).
+
 Deliberate simplifications vs a real table format, stated:
 - the manifest is rewritten whole per commit (fine at ≤ thousands of
-  files; a real log appends segments + checkpoints);
+  files; a real log appends segments + checkpoints — measured
+  rewrite cost at 10^4 files in SCALE.md);
 - single writer assumed (no optimistic concurrency / CAS);
 - ``vacuum`` deletes unreferenced data files — run it OUTSIDE any
-  reader's lifetime, as with Delta's VACUUM retention caveat.
+  reader's lifetime, as with Delta's VACUUM retention caveat;
+- the batch-id set is truncated to the 1000 LARGEST ids per commit,
+  with the truncation recorded as a WATERMARK: ids are monotonic per
+  stream lineage (the single-lineage scope documented at the ann_index
+  call site), so any id at or below the highest id ever dropped is
+  necessarily already applied — :func:`has_batch` answers True for it
+  from the watermark instead of false-appending. The horizon is
+  therefore a memory bound, not a correctness bound.
 """
 
 from __future__ import annotations
@@ -28,6 +44,7 @@ import json
 import os
 
 _MANIFEST = "_commits.json"
+_BATCH_ID_HORIZON = 1000
 
 
 def _manifest_path(root: str) -> str:
@@ -35,13 +52,18 @@ def _manifest_path(root: str) -> str:
 
 
 def read_manifest(root: str) -> dict:
-    """Current committed state: ``{"version", "files", "batch_ids"}``.
-    A missing manifest is version -1 with nothing visible."""
+    """Current committed state: ``{"version", "files", "batch_ids",
+    "batch_watermark", "meta_file"}``. A missing manifest is version -1
+    with nothing visible. Manifests written before the watermark /
+    meta-pointer fields existed read back with the neutral defaults."""
     try:
         with open(_manifest_path(root)) as fh:
-            return json.load(fh)
+            state = json.load(fh)
     except FileNotFoundError:
-        return {"version": -1, "files": [], "batch_ids": []}
+        state = {"version": -1, "files": [], "batch_ids": []}
+    state.setdefault("batch_watermark", None)
+    state.setdefault("meta_file", None)
+    return state
 
 
 def commit(
@@ -51,27 +73,42 @@ def commit(
     batch_id: int | None = None,
     batch_ids: list[int] = (),
     reset: bool = False,
+    meta_file: str | None = None,
 ) -> dict:
     """Publish a new version: files in ``add_files`` become visible,
     ``remove_files`` stop being visible, ``batch_id`` /``batch_ids``
-    (if given) are recorded — all in ONE atomic rename. ``reset=True``
+    (if given) are recorded, and ``meta_file`` (if given) becomes the
+    current sidecar pointer — all in ONE atomic rename. ``reset=True``
     starts the file list from empty (a full rebuild replacing every
     prior file) while still bumping the version and, unless new ids
-    are passed, CLEARING the batch history too — rebuilds that must
-    keep replay protection pass the old ids via ``batch_ids``.
+    are passed, CLEARING the batch history AND watermark too —
+    rebuilds that must keep replay protection pass the old ids via
+    ``batch_ids`` (the watermark survives alongside them). A reset
+    without a new ``meta_file`` keeps the prior pointer (rebuilds that
+    reuse parameters) — pass one to flip it atomically with the data.
     Returns the new state. Paths are relative to ``root``."""
     state = read_manifest(root)
     prev_files = [] if reset else state["files"]
     prev_ids = set() if reset else set(state["batch_ids"])
+    watermark = None if (reset and not batch_ids) else state["batch_watermark"]
     files = [f for f in prev_files if f not in set(remove_files)]
     files += [f for f in add_files if f not in set(files)]
     ids = prev_ids | set(batch_ids)
     if batch_id is not None:
         ids.add(batch_id)
+    kept = sorted(ids)[-_BATCH_ID_HORIZON:]
+    dropped = sorted(ids)[:-_BATCH_ID_HORIZON]
+    if dropped:
+        # ids are monotonic per lineage: everything at or below the
+        # highest dropped id is already applied — remember that once
+        # instead of remembering each of them
+        watermark = max(dropped[-1], watermark if watermark is not None else -1)
     new = {
         "version": state["version"] + 1,
         "files": sorted(files),
-        "batch_ids": sorted(ids)[-1000:],
+        "batch_ids": kept,
+        "batch_watermark": watermark,
+        "meta_file": meta_file if meta_file is not None else state["meta_file"],
     }
     os.makedirs(root, exist_ok=True)
     tmp = _manifest_path(root) + ".tmp"
@@ -82,7 +119,19 @@ def commit(
 
 
 def has_batch(root: str, batch_id: int) -> bool:
-    return batch_id in read_manifest(root)["batch_ids"]
+    """True iff ``batch_id`` was already applied: either it is in the
+    retained id window, or it is at or below the truncation watermark
+    (monotonic ids ⇒ dropped ids were all applied)."""
+    state = read_manifest(root)
+    if state["batch_watermark"] is not None and batch_id <= state["batch_watermark"]:
+        return True
+    return batch_id in state["batch_ids"]
+
+
+def current_meta_file(root: str) -> str | None:
+    """Absolute path of the committed sidecar pointer, or None."""
+    rel = read_manifest(root)["meta_file"]
+    return None if rel is None else os.path.join(root, rel)
 
 
 def committed_files(root: str) -> list[str]:
@@ -102,12 +151,20 @@ def list_data_files(root: str, pattern: str = "**/part-*") -> list[str]:
 
 def vacuum(root: str) -> list[str]:
     """Delete physical data files not referenced by the manifest — the
-    leftovers of crashed (uncommitted) writes and of compactions'
-    superseded inputs. Returns the removed relative paths."""
-    visible = set(read_manifest(root)["files"])
+    leftovers of crashed (uncommitted) writes and of compactions' /
+    rebuilds' superseded inputs — plus superseded versioned sidecars
+    (``_meta.v*.json`` other than the committed pointer). Returns the
+    removed relative paths."""
+    state = read_manifest(root)
+    visible = set(state["files"])
     removed = []
     for rel in list_data_files(root):
         if rel not in visible:
             os.remove(os.path.join(root, rel))
             removed.append(rel)
-    return removed
+    for f in glob.glob(os.path.join(root, "_meta.v*.json")):
+        rel = os.path.relpath(f, root)
+        if rel != state["meta_file"]:
+            os.remove(f)
+            removed.append(rel)
+    return sorted(removed)

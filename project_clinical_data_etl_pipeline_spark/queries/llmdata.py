@@ -273,9 +273,10 @@ _TOP_NGRAMS_SQL = f"""
     "vocabulary ever materializes — but the exchange still carries the "
     "distinct n-gram DOMAIN, the term that stops fitting at 100 TB. "
     "'hh' leg (round 11): the bounded-state replacement — per-partition "
-    "Misra-Gries candidates (≤ c counters resident, ≤ partitions·c "
+    "Misra-Gries candidates (≤ c counters resident, ≤ partitions·(c+1) "
     "rows shuffled) + CMS upper bound + broadcast-pruned exact recount "
-    "of the ≤4k-key candidate set (sketch.cms_top_k via "
+    "of every candidate within the MG slack band N//(c+1) of the k-th "
+    "(sketch.cms_top_k via "
     "text.corpus_top_ngrams_approx) — graded against the SAME exact "
     "top-20, i.e. the oracle grades the Misra-Gries capture guarantee "
     "itself. Deterministic total order (cnt desc, ngram asc) pins the "

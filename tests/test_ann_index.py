@@ -423,3 +423,54 @@ def test_append_batch_id_replay_guard(spark, corpus, tmp_path):
     again = AI.append_ivfpq_index(spark, path, delta, batch_id=7)
     assert again["appended"] == 0 and again.get("replayed") is True
     assert _rows(AI.read_index(spark, path)) == before
+
+
+def test_rebuild_crash_before_commit_leaves_old_index_intact(
+    spark, corpus, tmp_path, monkeypatch
+):
+    """Round-12 atomicity fix: a rebuild that dies ANYWHERE before its
+    single reset commit must leave the prior generation fully
+    consistent — committed files still on disk, parameters still the
+    OLD ones (no torn meta/data pairing), probes unchanged, and the
+    replay guard intact. The round-11 overwrite write physically
+    deleted committed files and the manifest before the new state
+    existed."""
+    from project_clinical_data_etl_pipeline_spark.plans import txlog
+
+    path = str(tmp_path / "idx_crash_rebuild")
+    AI.build_ivfpq_index(
+        spark, corpus.filter(F.col("vec_id") < _SPLIT), path, dim=_DIM
+    )
+    AI.append_ivfpq_index(
+        spark, path, corpus.filter(F.col("vec_id") >= _SPLIT), batch_id=5
+    )
+    root = str(tmp_path / "idx_crash_rebuild" / "index")
+    before_rows = _rows(AI.read_index(spark, path))
+    before_meta = AI.load_index_meta(path)
+    before_manifest = txlog.read_manifest(root)
+
+    real_commit = txlog.commit
+
+    def exploding_commit(*a, **k):
+        raise RuntimeError("injected crash at the commit point")
+
+    monkeypatch.setattr(txlog, "commit", exploding_commit)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        AI.rebuild_index(spark, corpus, path)
+    monkeypatch.setattr(txlog, "commit", real_commit)
+
+    # nothing a reader sees changed: same manifest version, same rows,
+    # same trained parameters, replay guard still answers
+    assert txlog.read_manifest(root) == before_manifest
+    assert _rows(AI.read_index(spark, path)) == before_rows
+    assert AI.load_index_meta(path)["centroids"] == before_meta["centroids"]
+    assert txlog.has_batch(root, 5)
+    # the crashed generation is invisible orphans; vacuum reclaims them
+    removed = txlog.vacuum(root)
+    assert removed  # the landed-but-never-published files
+    assert _rows(AI.read_index(spark, path)) == before_rows
+    # and the index still APPENDS and REBUILDS normally afterwards
+    new_meta = AI.rebuild_index(spark, corpus, path)
+    assert new_meta["appended_n"] == 0
+    assert txlog.has_batch(root, 5)  # carried inside the single commit
+    assert AI.retrain_criterion(spark, path)["n_rows"] == corpus.count()

@@ -71,6 +71,28 @@ def test_insert_path_through_multiple_new_edges(spark):
     )
 
 
+def test_insert_depth_improves_after_pair_set_stabilizes(spark):
+    """Regression (round-12 advice): delta segments are heterogeneous
+    in depth, so the composed relation can keep SHORTENING min_depth
+    after its pair SET stabilizes — a fixpoint break on pair count
+    alone returned (0, 8, 4) here where the rebuild says (0, 8, 3).
+    The break must witness depths too (count, Σ min_depth)."""
+    old = _edges(spark, [(0, 1), (1, 4), (2, 7), (3, 4), (4, 5), (6, 7), (7, 8)])
+    new = _edges(spark, [(0, 4), (0, 5), (4, 6), (6, 8)])
+    inc = H.closure_insert_edges(H.transitive_closure(old), new)
+    rows = _rows(inc)
+    assert (0, 8, 3) in rows
+    assert _rows(inc) == _rows(
+        H.transitive_closure(
+            _edges(
+                spark,
+                [(0, 1), (1, 4), (2, 7), (3, 4), (4, 5), (6, 7), (7, 8),
+                 (0, 4), (0, 5), (4, 6), (6, 8)],
+            )
+        )
+    )
+
+
 def test_insert_into_empty_delta_regions(spark):
     """New edges disconnected from the old graph: the seed joins find
     no old extensions and the delta is just the new edges' own

@@ -341,15 +341,49 @@ def test_mg_candidates_guarantee_and_bound(spark):
     n = 5 * 500 + 7500
     err = n / (c + 1)  # ~154
     summ = SK.mg_candidates(df, F.col("k"), c=c)
-    assert summ.count() <= df.rdd.getNumPartitions() * c
+    # ≤ c candidates + 1 row-count sentinel per partition
+    assert summ.count() <= df.rdd.getNumPartitions() * (c + 1)
     merged = {
         r["k"]: r["mg_cnt"]
         for r in summ.groupBy("k").agg(F.sum("mg_cnt").alias("mg_cnt")).collect()
     }
+    # the NULL-key sentinels sum to the exact total row count (the
+    # slack input cms_top_k derives N from without a second scan)
+    assert merged.pop(None) == n
     for i in range(5):
         key = f"hot{i}"
         assert key in merged, f"{key} lost despite count 500 > {err:.0f}"
         assert 500 - err <= merged[key] <= 500
+
+
+def test_cms_top_k_slack_band_survives_differential_undercount(spark):
+    """Regression (round-12 advice): a true top-1 key whose merged MG
+    count is pushed far down the candidate ranking by PER-PARTITION
+    undercounting must still reach the exact recount. Layout: one
+    partition holds 'top' (×101) amid 300 tail keys (×50) — the MG
+    merge there subtracts 50, leaving mg('top')=51 — while another
+    partition holds 200 'mid' keys (×100) with no truncation, so 200
+    candidates outrank 'top'. The old fixed top-max(4k,64) cut dropped
+    it; the slack band (N//(c+1) of the k-th) cannot, by the MG error
+    bound."""
+    c = 256
+    p0 = (
+        spark.range(101).select(F.lit("top").alias("k"))
+        .unionByName(
+            spark.range(300).crossJoin(spark.range(50).withColumnRenamed("id", "r"))
+            .select(F.concat(F.lit("tail"), F.col("id")).alias("k"))
+        )
+        .coalesce(1)
+    )
+    p1 = (
+        spark.range(200)
+        .crossJoin(spark.range(100).withColumnRenamed("id", "r"))
+        .select(F.concat(F.lit("mid"), F.col("id")).alias("k"))
+        .coalesce(1)
+    )
+    df = p0.unionByName(p1)
+    rows = SK.cms_top_k(df, F.col("k"), k=1, c=c).collect()
+    assert [(r["key"], r["cnt"]) for r in rows] == [("top", 101)]
 
 
 def test_cms_top_k_exact_rank_equals_true_topk(spark, sf_dir):

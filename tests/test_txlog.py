@@ -19,8 +19,15 @@ def _touch(root, rel):
 
 def test_empty_manifest_state(tmp_path):
     state = txlog.read_manifest(str(tmp_path))
-    assert state == {"version": -1, "files": [], "batch_ids": []}
+    assert state == {
+        "version": -1,
+        "files": [],
+        "batch_ids": [],
+        "batch_watermark": None,
+        "meta_file": None,
+    }
     assert txlog.committed_files(str(tmp_path)) == []
+    assert txlog.current_meta_file(str(tmp_path)) is None
 
 
 def test_commit_versions_add_remove(tmp_path):
@@ -43,6 +50,48 @@ def test_batch_ids_publish_with_files(tmp_path):
     assert not txlog.has_batch(root, 7)
     txlog.commit(root, batch_ids=[7, 9])
     assert txlog.has_batch(root, 7) and txlog.has_batch(root, 9)
+
+
+def test_batch_id_horizon_is_a_watermark(tmp_path):
+    """Truncation past the 1000-id horizon must not forget that the
+    dropped (older, monotonic) ids were applied: has_batch answers
+    True for them from the watermark instead of false-appending
+    (round-12 advice)."""
+    root = str(tmp_path)
+    txlog.commit(root, batch_ids=list(range(1500)))
+    state = txlog.read_manifest(root)
+    assert len(state["batch_ids"]) == 1000
+    assert state["batch_watermark"] == 499
+    assert txlog.has_batch(root, 0)          # dropped, below watermark
+    assert txlog.has_batch(root, 499)        # the watermark itself
+    assert txlog.has_batch(root, 500)        # retained window
+    assert txlog.has_batch(root, 1499)
+    assert not txlog.has_batch(root, 1500)   # genuinely new
+    # the watermark survives later commits and only ratchets up
+    txlog.commit(root, batch_id=1500)
+    assert txlog.has_batch(root, 0) and txlog.has_batch(root, 500)
+    # reset without carried ids clears history AND watermark
+    txlog.commit(root, reset=True)
+    assert not txlog.has_batch(root, 0) and not txlog.has_batch(root, 1500)
+
+
+def test_meta_file_pointer_flips_atomically_and_persists(tmp_path):
+    root = str(tmp_path)
+    _touch(root, "_meta.v0.json")
+    txlog.commit(root, add_files=["f1"], meta_file="_meta.v0.json")
+    assert txlog.current_meta_file(root) == os.path.join(root, "_meta.v0.json")
+    # retained across commits that don't pass one (appends, compactions)
+    txlog.commit(root, add_files=["f2"])
+    assert txlog.current_meta_file(root) == os.path.join(root, "_meta.v0.json")
+    # retained across reset too (rebuild reusing parameters)
+    txlog.commit(root, reset=True, add_files=["f3"])
+    assert txlog.current_meta_file(root) == os.path.join(root, "_meta.v0.json")
+    # flipped when a new one is committed; vacuum reclaims the stale one
+    _touch(root, "_meta.v3.json")
+    txlog.commit(root, meta_file="_meta.v3.json")
+    removed = txlog.vacuum(root)
+    assert "_meta.v0.json" in removed
+    assert os.path.exists(os.path.join(root, "_meta.v3.json"))
 
 
 def test_commit_is_atomic_rename(tmp_path):
