@@ -135,19 +135,32 @@ def _encode(
     corpus: DataFrame, meta: dict, id_col: str, vec_col: str
 ) -> DataFrame:
     """(neighbor_id, cell INT, pq_code) under the index's FROZEN
-    parameters — the shared build/append map pass. ``cell`` is cast to
-    int so the values written match what parquet partition discovery
-    infers back on read (type-stable round trip)."""
-    from .quantization import ivfpq_index
+    parameters — the shared build/append map pass, switching on the
+    sidecar's cell geometry (flat coarse quantizer vs two-level IMI).
+    ``cell`` is cast to int so the values written match what parquet
+    partition discovery infers back on read (type-stable round trip)."""
+    from .quantization import imi_index, ivfpq_index
 
-    return ivfpq_index(
-        corpus,
-        meta["centroids"],
-        meta["codebooks"],
-        meta["dim"],
-        id_col=id_col,
-        vec_col=vec_col,
-    ).withColumn("cell", F.col("cell").cast("int"))
+    if meta.get("quantizer") == "imi":
+        enc = imi_index(
+            corpus,
+            meta["centroids"],
+            meta["centroids2"],
+            meta["codebooks"],
+            meta["dim"],
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    else:
+        enc = ivfpq_index(
+            corpus,
+            meta["centroids"],
+            meta["codebooks"],
+            meta["dim"],
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    return enc.withColumn("cell", F.col("cell").cast("int"))
 
 
 def _land(delta: DataFrame, path: str, mode: str) -> list[str]:
@@ -258,13 +271,31 @@ def build_ivfpq_index(
         "codebooks": books,
         "id_col": id_col,
         "vec_col": vec_col,
-        "build_n": corpus.count(),
-        "build_mean_dist": _mean_assign_dist(corpus, cents, dim, vec_col),
-        "appended_n": 0,
-        "appended_dist_sum": 0.0,
-        "n_appends": 0,
     }
-    added = _land(_encode(corpus, meta, id_col, vec_col), path, "append")
+    return _publish_build(corpus, path, meta, carry_batch_ids)
+
+
+def _publish_build(
+    corpus: DataFrame, path: str, meta: dict, carry_batch_ids: list[int]
+) -> dict:
+    """Shared build tail for every quantizer geometry: stamp the drift
+    baseline, encode under the (now frozen) parameters, land the files
+    + versioned sidecar invisibly, publish everything in ONE reset
+    commit, vacuum the superseded generation."""
+    meta.update(
+        {
+            "build_n": corpus.count(),
+            "build_mean_dist": _mean_assign_dist(
+                corpus, meta["centroids"], meta["dim"], meta["vec_col"]
+            ),
+            "appended_n": 0,
+            "appended_dist_sum": 0.0,
+            "n_appends": 0,
+        }
+    )
+    added = _land(
+        _encode(corpus, meta, meta["id_col"], meta["vec_col"]), path, "append"
+    )
     meta_file = _land_meta(path, meta)
     # THE commit: a build REPLACES every prior file, flips the
     # parameter pointer, and (unless the caller is rebuild_index,
@@ -278,6 +309,77 @@ def build_ivfpq_index(
     )
     txlog.vacuum(_data_path(path))  # reclaim the superseded generation
     return meta
+
+
+def build_imi_index(
+    spark: SparkSession,
+    corpus: DataFrame,
+    path: str,
+    dim: int,
+    k1: int | None = None,
+    k2: int | None = None,
+    m: int = 8,
+    ks: int = 16,
+    n_iter: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    carry_batch_ids: list[int] = (),
+) -> dict:
+    """Build the index under the TWO-LEVEL (IMI-style) coarse quantizer
+    — the tier past the flat quantizer's 4096-centroid cap
+    (:func:`derived_n_centroids`): k1·k2 effective cells with only
+    k1 + k2 centroids driver-side (quantization.imi_train — level-1
+    spherical k-means + one shared L2 codebook over residuals).
+    ``k1``/``k2`` default to the volume-derived per-level branch
+    (quantization.derived_imi_k ≈ ⌈n^(1/4)⌉ each, so the composite
+    cell count tracks √n without the flat cap ever binding below
+    n ≈ 10^12). Same layout, commit manifest, drift counters, append /
+    compact / probe verbs as the flat build — the geometry lives
+    entirely in the sidecar (``quantizer: "imi"``). Drift baselines
+    measure level-1 assignment distance (the distribution-shift signal
+    is level-1's fit; level-2 refines within it)."""
+    from .quantization import derived_imi_k, imi_train, pq_train
+
+    corpus = corpus.localCheckpoint(eager=False)  # scanned repeatedly
+    if k1 is None or k2 is None:
+        n = corpus.count()
+        k1 = k1 if k1 is not None else derived_imi_k(n)
+        k2 = k2 if k2 is not None else derived_imi_k(n)
+    cents1, cents2 = imi_train(
+        corpus,
+        dim=dim,
+        k1=k1,
+        k2=k2,
+        n_iter=n_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_dp=6,
+    )
+    books = pq_train(
+        corpus,
+        dim=dim,
+        m=m,
+        ks=ks,
+        n_iter=n_iter,
+        id_col=id_col,
+        vec_col=vec_col,
+        round_dp=6,
+    )
+    meta = {
+        "quantizer": "imi",
+        "dim": dim,
+        "m": m,
+        "ks": ks,
+        "imi_k1": k1,
+        "imi_k2": k2,
+        "n_centroids": k1 * k2,  # effective cells (occupancy math)
+        "centroids": cents1,
+        "centroids2": cents2,
+        "codebooks": books,
+        "id_col": id_col,
+        "vec_col": vec_col,
+    }
+    return _publish_build(corpus, path, meta, carry_batch_ids)
 
 
 def append_ivfpq_index(
@@ -373,12 +475,28 @@ def rebuild_index(
     guard — the round-11 two-commit sequence had one."""
     meta = load_index_meta(path)
     prior_ids = txlog.read_manifest(_data_path(path))["batch_ids"]
+    if meta.get("quantizer") == "imi":
+        return build_imi_index(
+            spark,
+            corpus,
+            path,
+            dim=meta["dim"],
+            k1=meta["imi_k1"],
+            k2=meta["imi_k2"],
+            m=meta["m"],
+            ks=meta["ks"],
+            id_col=meta["id_col"],
+            vec_col=meta["vec_col"],
+            carry_batch_ids=prior_ids,
+        )
     return build_ivfpq_index(
         spark,
         corpus,
         path,
+        # len(centroids), not the sidecar's n_centroids scalar: a
+        # split-grown index rebuilds at its CURRENT refinement
+        n_centroids=len(meta["centroids"]),
         dim=meta["dim"],
-        n_centroids=meta["n_centroids"],
         m=meta["m"],
         ks=meta["ks"],
         id_col=meta["id_col"],
@@ -454,6 +572,115 @@ def compact_index(
     return hot
 
 
+def split_cell(
+    spark: SparkSession,
+    path: str,
+    cell_id: int,
+    n_subcells: int = 2,
+    n_iter: int = 2,
+) -> dict:
+    """The MIDDLE maintenance rung between append-forever and a full
+    retrain: re-cluster ONE hot cell into ``n_subcells`` finer cells —
+    O(hot cell's bytes), never O(index) and never O(corpus), where
+    :func:`rebuild_index` costs a full build (the dominant,
+    corpus-growing term: SCALE.md sf4 measured 48.2 s build vs 10.3 s
+    append). Triggered by :func:`retrain_criterion`'s hot-cell-skew
+    signal; the IVF analog of the file-count compaction the lifecycle
+    already has.
+
+    Mechanics: the hot cell's rows are read (partition-pruned scan),
+    their PQ RECONSTRUCTIONS — the index is self-contained; raw vectors
+    are never needed — are k-means'd into ``n_subcells`` sub-centroids
+    (min-id seeds, 6-dp means: deterministic), the centroid table is
+    refined IN PLACE (the hot slot takes sub-centroid 0, the rest
+    append — every other cell keeps its id, so cell ids stay positional
+    and no other partition is touched), and the hot rows re-assign
+    against the refined table. New files land invisibly (one per
+    touched cell), then ONE commit swaps them in, retires the hot
+    cell's old files, and flips the sidecar pointer — split is as
+    crash-atomic as every other verb.
+
+    Honest boundaries: (a) rows in OTHER cells are not re-examined — a
+    row whose argmax would now flip to a new sub-cell stays where it
+    is (bounded misplacement near the split region; the recall floor
+    is pinned post-split in tests); (b) the drift baseline is NOT
+    re-measured (finer centroids slightly shrink future assignment
+    distances, biasing the drift ratio conservatively low — the hot
+    trigger, which split answers, is unaffected); (c) flat quantizer
+    only — the IMI analog is a level-2 refinement, and at IMI scale
+    hot cells dilute across k1·k2 instead.
+
+    Returns ``{"cell", "new_cell_ids", "rows", "n_centroids"}``."""
+    from .quantization import pq_reconstruct_joined
+    from .similarity import cell_assign, kmeans_centroids, norm
+
+    meta = load_index_meta(path)
+    if meta.get("quantizer") == "imi":
+        raise NotImplementedError(
+            "split_cell refines the FLAT quantizer; the two-level index's "
+            "hot-cell remedy is a level-2 refinement (roadmap) — or rebuild"
+        )
+    root = _data_path(path)
+    old_files = [
+        f for f in txlog.read_manifest(root)["files"] if _cell_of(f) == cell_id
+    ]
+    if not old_files:
+        raise ValueError(f"cell {cell_id} holds no committed files")
+    recon = (
+        pq_reconstruct_joined(
+            read_index(spark, path).filter(F.col("cell") == cell_id),
+            meta["codebooks"],
+            out_col="__cv",
+        )
+        .select("neighbor_id", "__cv", "pq_code")
+        # consumed by training AND re-assignment: materialize the
+        # decoded hot slice once (O(hot cell) rows)
+        .localCheckpoint()
+    )
+    sub = kmeans_centroids(
+        recon,
+        dim=meta["dim"],
+        id_col="neighbor_id",
+        vec_col="__cv",
+        n_centroids=n_subcells,
+        n_iter=n_iter,
+        round_dp=6,
+        materialize=False,  # recon is already materialized
+    )
+    new_cents = [list(c) for c in meta["centroids"]]
+    new_cents[cell_id] = sub[0]
+    first_new = len(new_cents)
+    new_cents.extend(sub[1:])
+    # the unrolled assignment kernel needs plain column refs: land the
+    # norm as a named column first (the _mean_assign_dist pattern)
+    reassigned = (
+        recon.withColumn("__n", norm("__cv", meta["dim"]))
+        .select(
+            "neighbor_id",
+            cell_assign("__cv", "__n", new_cents, meta["dim"])
+            .cast("int")
+            .alias("cell"),
+            "pq_code",
+        )
+    )
+    added = _land(reassigned, path, "append")
+    meta["centroids"] = new_cents
+    meta["n_centroids"] = len(new_cents)
+    meta_file = _land_meta(path, meta)
+    # THE commit: refined rows in, superseded hot files out, refined
+    # centroid table current — one atomic publish
+    txlog.commit(
+        root, add_files=added, remove_files=old_files, meta_file=meta_file
+    )
+    txlog.vacuum(root)
+    return {
+        "cell": cell_id,
+        "new_cell_ids": [cell_id] + list(range(first_new, len(new_cents))),
+        "rows": recon.count(),
+        "n_centroids": len(new_cents),
+    }
+
+
 def retrain_criterion(
     spark: SparkSession,
     path: str,
@@ -510,6 +737,10 @@ def retrain_criterion(
         "reasons": reasons,
         "drift_ratio": drift_ratio,
         "hot_cell_ratio": hot_ratio,
+        # the skew culprit — :func:`split_cell`'s input when the
+        # hot-cell trigger fires alone (the middle rung; a drift
+        # trigger still means rebuild)
+        "hot_cell": max(occ, key=occ.get) if occ else None,
         "n_rows": total,
         "appended_fraction": meta["appended_n"] / max(1, total),
     }
@@ -523,12 +754,28 @@ def probe_index(
     n_probe: int = 4,
 ) -> DataFrame:
     """ADC top-k over the persisted index — parameters come from the
-    sidecar, so any process can serve it cold. Same probe plan as
-    ``quantization.ivfpq_topk`` (cell-pruned scan, codebook-lookup
-    reconstruction on the probed slice only)."""
-    from .quantization import ivfpq_topk
+    sidecar, so any process can serve it cold, under EITHER geometry:
+    flat (``quantization.ivfpq_topk``) or two-level IMI
+    (``quantization.imi_topk`` — ``n_probe`` applies per level there,
+    probing n_probe² composite cells). Both share the cell-pruned
+    scan / codebook-lookup-on-the-probed-slice plan."""
+    from .quantization import imi_topk, ivfpq_topk
 
     meta = load_index_meta(path)
+    if meta.get("quantizer") == "imi":
+        return imi_topk(
+            queries,
+            read_index(spark, path),
+            meta["centroids"],
+            meta["centroids2"],
+            meta["codebooks"],
+            meta["dim"],
+            k=k,
+            n_probe1=n_probe,
+            n_probe2=n_probe,
+            id_col=meta["id_col"],
+            vec_col=meta["vec_col"],
+        )
     return ivfpq_topk(
         queries,
         read_index(spark, path),

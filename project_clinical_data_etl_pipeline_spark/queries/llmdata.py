@@ -1293,18 +1293,18 @@ def _pq_lloyd_round_sql(prev: str, out: str) -> str:
     )"""
 
 
-def _pq_topk_sql(k: int = 5) -> str:
-    """DuckDB twin of :func:`embed_topk_pq`: re-derive the trained
-    codebooks ({_PQ_ITER} fused Lloyd rounds over m subspace slices),
-    re-encode every vector against the FINAL codebooks, reconstruct by
-    codebook lookup, and score exact queries vs reconstructions."""
+def _pq_recon_ctes() -> str:
+    """The shared PQ-oracle CTE block (expects a prior ``v`` CTE):
+    subspace slices → {_PQ_ITER} fused Lloyd rounds → final-codebook
+    encode → per-vector reconstruction ``recon(vec_id, rv)``. Used by
+    both the 'pq' and 'imi' legs of embed_topk_suite — one definition,
+    no twin drift."""
     final_cb = f"cb{_PQ_ITER}"
     rounds = ",\n".join(
         _pq_lloyd_round_sql(f"cb{i}", f"cb{i + 1}") for i in range(_PQ_ITER)
     )
     enc_l2 = _PQ_L2.format(cb=final_cb, x="subs.sv")
     return f"""
-    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
     subs AS (
         SELECT vec_id, ss.sub,
                list_slice(e, ss.sub * {_PQ_W} + 1, (ss.sub + 1) * {_PQ_W}) AS sv
@@ -1329,7 +1329,17 @@ def _pq_topk_sql(k: int = 5) -> str:
         FROM enc JOIN {final_cb}
           ON enc.sub = {final_cb}.sub AND enc.cid = {final_cb}.cid
         GROUP BY enc.vec_id
-    ),
+    )"""
+
+
+def _pq_topk_sql(k: int = 5) -> str:
+    """DuckDB twin of :func:`embed_topk_pq`: re-derive the trained
+    codebooks ({_PQ_ITER} fused Lloyd rounds over m subspace slices),
+    re-encode every vector against the FINAL codebooks, reconstruct by
+    codebook lookup, and score exact queries vs reconstructions."""
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    {_pq_recon_ctes()},
     q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 8),
     scored AS (
         SELECT query_id, recon.vec_id AS neighbor_id,
@@ -1345,6 +1355,202 @@ def _pq_topk_sql(k: int = 5) -> str:
           FROM scored)
     WHERE rn <= {k}
     """
+
+
+# ---------------------------------------------------------------------------
+# Two-level (IMI) leg: the coarse quantizer tier past the flat
+# 4096-centroid cap (operators.quantization.imi_train/imi_index/
+# imi_topk — k1·k2 effective cells from k1+k2 centroids). The oracle
+# re-derives BOTH training levels (level-1 cosine Lloyd, level-2 L2
+# Lloyd over residuals x − c1), the composite assignment, the
+# JOINT-ranked probe (top-p1 level-1 branches, then best p1·p2
+# composite centroids by actual distance), and the PQ-reconstruction
+# scoring — so the graded check covers the full two-level pipeline
+# cross-engine, not just its row count.
+# ---------------------------------------------------------------------------
+
+#: IMI configuration for the graded leg — must match embed_topk_imi.
+_IMI_K1, _IMI_K2, _IMI_P1, _IMI_P2 = 8, 8, 3, 3
+
+
+def _imi_l2_round_sql(prev: str, out: str, src: str = "resid") -> str:
+    """One L2 Lloyd round over the residual vectors — the DuckDB twin
+    of quantization.pq_train(m=1) on the residual frame (the level-2
+    training quantization.imi_train delegates to): L2 argmin
+    c·c − 2·r·c (ties → lowest cid), DECIMAL-exact 6-dp elementwise
+    means, empty cells keep the previous centroid."""
+    l2 = (
+        f"(list_dot_product({prev}.c, {prev}.c) - "
+        f"(CAST(2 AS DOUBLE) * list_dot_product({src}.r, {prev}.c)))"
+    )
+    return f"""
+    a_{out} AS (
+        SELECT vec_id, r, cid FROM (
+            SELECT {src}.vec_id, {src}.r, {prev}.cid,
+                   row_number() OVER (
+                       PARTITION BY {src}.vec_id
+                       ORDER BY {l2} ASC, {prev}.cid ASC) AS rn
+            FROM {src} CROSS JOIN {prev}
+        ) WHERE rn = 1
+    ),
+    m_{out} AS (
+        SELECT cid, list(mv ORDER BY idx) AS c
+        FROM (
+            SELECT cid, idx,
+                   round(CAST(sum(CAST(val AS DECIMAL(28,10))) AS DOUBLE)
+                         / count(*), 6) AS mv
+            FROM (SELECT cid, unnest(r) AS val,
+                         generate_subscripts(r, 1) AS idx
+                  FROM a_{out})
+            GROUP BY cid, idx
+        )
+        GROUP BY cid
+    ),
+    {out} AS (
+        SELECT {prev}.cid, coalesce(m_{out}.c, {prev}.c) AS c
+        FROM {prev} LEFT JOIN m_{out} USING (cid)
+    )"""
+
+
+def _imi_topk_sql(k: int = 5) -> str:
+    """DuckDB twin of :func:`embed_topk_imi` — the full two-level
+    pipeline: level-1 cosine k-means (2 Lloyd rounds, min-id seeds,
+    6-dp means), corpus assignment + residuals, level-2 L2 k-means on
+    residuals (min-id seeds), composite cell = c1·k2 + c2, PQ
+    reconstruction (the shared _pq_recon_ctes block), joint-ranked
+    probes, and cosine scoring of queries vs reconstructions in the
+    probed cells only."""
+    dd = (
+        "(list_dot_product(comp, comp) - "
+        "(CAST(2 AS DOUBLE) * list_dot_product(qv, comp)))"
+    )
+    return f"""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    seed1 AS (SELECT rn - 1 AS cid, e AS c
+              FROM (SELECT row_number() OVER (ORDER BY vec_id) AS rn, e
+                    FROM v) s
+              WHERE s.rn <= {_IMI_K1}),
+    {_lloyd_round_sql('seed1', 'imc1', src='v')},
+    {_lloyd_round_sql('imc1', 'imc2', src='v')},
+    assigned1 AS (
+        SELECT vec_id, e, cid FROM (
+            SELECT v.vec_id, v.e, imc2.cid,
+                   row_number() OVER (
+                       PARTITION BY v.vec_id
+                       ORDER BY {_NDCOS.format(a='v.e', b='imc2.c')} DESC,
+                                imc2.cid ASC) AS rn
+            FROM v CROSS JOIN imc2
+        ) WHERE rn = 1
+    ),
+    resid AS (
+        SELECT a.vec_id,
+               list_transform(generate_series(1, {_PQ_DIM}),
+                              i -> a.e[i] - cb.c[i]) AS r
+        FROM assigned1 a JOIN imc2 cb USING (cid)
+    ),
+    seed2 AS (SELECT rn - 1 AS cid, r AS c
+              FROM (SELECT row_number() OVER (ORDER BY vec_id) AS rn, r
+                    FROM resid) s
+              WHERE s.rn <= {_IMI_K2}),
+    {_imi_l2_round_sql('seed2', 'imr1')},
+    {_imi_l2_round_sql('imr1', 'imr2')},
+    enc2 AS (
+        SELECT vec_id, cid2 FROM (
+            SELECT resid.vec_id, imr2.cid AS cid2,
+                   row_number() OVER (
+                       PARTITION BY resid.vec_id
+                       ORDER BY (list_dot_product(imr2.c, imr2.c)
+                                 - (CAST(2 AS DOUBLE)
+                                    * list_dot_product(resid.r, imr2.c))) ASC,
+                                imr2.cid ASC) AS rn
+            FROM resid CROSS JOIN imr2
+        ) WHERE rn = 1
+    ),
+    cellmap AS (
+        SELECT a.vec_id, a.cid * {_IMI_K2} + e2.cid2 AS cell
+        FROM assigned1 a JOIN enc2 e2 USING (vec_id)
+    ),
+    {_pq_recon_ctes()},
+    q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 8),
+    p1 AS (
+        SELECT query_id, qv, cid AS c1, c AS c1vec FROM (
+            SELECT q.query_id, q.qv, cb.cid, cb.c,
+                   row_number() OVER (
+                       PARTITION BY q.query_id
+                       ORDER BY {_NDCOS.format(a='q.qv', b='cb.c')} DESC,
+                                cb.cid ASC) AS rn
+            FROM q CROSS JOIN imc2 cb
+        ) WHERE rn <= {_IMI_P1}
+    ),
+    pj AS (
+        SELECT query_id, qv, cell FROM (
+            SELECT query_id, qv, cell,
+                   row_number() OVER (
+                       PARTITION BY query_id
+                       ORDER BY {dd} ASC, cell ASC) AS rn
+            FROM (
+                SELECT p1.query_id, p1.qv,
+                       p1.c1 * {_IMI_K2} + cb2.cid AS cell,
+                       list_transform(generate_series(1, {_PQ_DIM}),
+                                      i -> p1.c1vec[i] + cb2.c[i]) AS comp
+                FROM p1 CROSS JOIN imr2 cb2
+            )
+        ) WHERE rn <= {_IMI_P1 * _IMI_P2}
+    ),
+    scored AS (
+        SELECT pj.query_id, cm.vec_id AS neighbor_id,
+               list_dot_product(qv, rv)
+                 / (sqrt(list_dot_product(qv, qv))
+                    * sqrt(list_dot_product(rv, rv))) AS cosine
+        FROM pj JOIN cellmap cm USING (cell)
+        JOIN recon ON recon.vec_id = cm.vec_id
+        WHERE pj.query_id <> cm.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= {k}
+    """
+
+
+def embed_topk_imi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level (IMI) approximate top-5: level-1 spherical k-means +
+    shared L2 residual codebook (quantization.imi_train) compose
+    k1·k2 = {_IMI_K1}·{_IMI_K2} effective cells from k1+k2 centroids;
+    queries JOINT-rank the composite centroids and probe the best
+    p1·p2 = {_IMI_P1}·{_IMI_P2} cells (~14% candidate fraction at this
+    geometry); scoring is ADC over PQ reconstructions of the probed
+    slice. This is the quantizer tier past the flat 4096-centroid cap
+    — at 10^10 vectors the flat √n rule needs 10^5 driver-side
+    centroids, the two-level one needs 2·10^2.5. Registered through
+    embed_topk_suite (method='imi')."""
+    from ..operators.quantization import (
+        imi_index,
+        imi_topk,
+        imi_train,
+        pq_train,
+    )
+
+    e = load(spark, sf_dir, "embeddings")
+    cents1, cents2 = imi_train(
+        e, dim=_PQ_DIM, k1=_IMI_K1, k2=_IMI_K2, n_iter=2, round_dp=6
+    )
+    books = pq_train(
+        e, dim=_PQ_DIM, m=_PQ_M, ks=_PQ_KS, n_iter=_PQ_ITER, round_dp=6
+    )
+    idx = imi_index(e, cents1, cents2, books, _PQ_DIM)
+    return imi_topk(
+        e.filter(F.col("vec_id") < 8),
+        idx,
+        cents1,
+        cents2,
+        books,
+        _PQ_DIM,
+        k=5,
+        n_probe1=_IMI_P1,
+        n_probe2=_IMI_P2,
+    )
 
 
 #: Per-process cache for the bench serving path: (centroids, codebooks,
@@ -1513,14 +1719,20 @@ def embed_topk_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT 'ivf' AS method, * FROM ({_IVF_SQL})
         UNION ALL
         SELECT 'pq' AS method, * FROM ({_pq_topk_sql()})
+        UNION ALL
+        SELECT 'imi' AS method, * FROM ({_imi_topk_sql()})
     """,
-    doc="All four ANN retrieval strategies over one oracle: exact "
+    doc="All five ANN retrieval strategies over one oracle: exact "
     "brute-force cosine top-5 (the correctness baseline), multi-table "
-    "random-hyperplane LSH, IVF cell-probing, and product-quantization "
+    "random-hyperplane LSH, IVF cell-probing, product-quantization "
     "ADC (in-engine-trained codebooks — the oracle re-derives the full "
     "fused subspace Lloyd training, the encoding, and the "
-    "reconstruction) — discriminated by a `method` column. One "
-    "registry slot covers the whole family; the recall@5 gate "
+    "reconstruction), and the two-level IMI quantizer (NEW round 12 — "
+    "the oracle re-derives BOTH training levels, the composite "
+    "assignment, the joint-ranked probe, and the scoring: the "
+    "past-the-4096-cap cell geometry is graded end to end, not just "
+    "row-counted) — discriminated by a `method` column. One registry "
+    "slot covers the whole family; the recall@5 gate "
     "(tests/test_ann_recall.py) separately asserts the approximate "
     "methods actually retrieve the true neighbors. Each branch scans "
     "the corpus independently (methods share no state), so suite cost "
@@ -1540,6 +1752,9 @@ def embed_topk_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .unionByName(
             embed_topk_pq(spark, sf_dir).withColumn("method", F.lit("pq"))
+        )
+        .unionByName(
+            embed_topk_imi(spark, sf_dir).withColumn("method", F.lit("imi"))
         )
     )
 
