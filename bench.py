@@ -246,6 +246,26 @@ def _ann_maint_split(spark, sf_dir):
         out["probe"] = round(time.perf_counter() - t0, 2)
         if stats.get("drift_ratio") is not None:
             out["drift"] = round(stats["drift_ratio"], 3)
+        # round 12: the middle maintenance rung — split the hottest
+        # cell; must cost O(hot cell), a small fraction of build
+        t0 = time.perf_counter()
+        hot = AI.retrain_criterion(spark, path)["hot_cell"]
+        AI.split_cell(spark, path, hot, n_subcells=2)
+        out["split"] = round(time.perf_counter() - t0, 2)
+        # round 12: two-level (IMI) build + probe at the derived
+        # per-level branch — the geometry past the flat 4096-cell cap
+        shutil.rmtree(path, ignore_errors=True)
+        t0 = time.perf_counter()
+        AI.build_imi_index(spark, e.filter(F.col("vec_id") < split), path, dim=64)
+        out["imi_build"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        AI.append_ivfpq_index(spark, path, e.filter(F.col("vec_id") >= split))
+        out["imi_append"] = round(time.perf_counter() - t0, 2)
+        t0 = time.perf_counter()
+        AI.probe_index(
+            spark, path, e.filter(F.col("vec_id") < 8), k=5, n_probe=3
+        ).count()
+        out["imi_probe"] = round(time.perf_counter() - t0, 2)
         return out
     finally:
         shutil.rmtree(path, ignore_errors=True)

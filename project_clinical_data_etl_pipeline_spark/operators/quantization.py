@@ -32,6 +32,8 @@ encoding, and reconstruction end-to-end.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 

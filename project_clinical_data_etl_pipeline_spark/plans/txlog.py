@@ -22,9 +22,11 @@ and parameters can never be observed mismatched (the Iceberg
 metadata-pointer move, one level down).
 
 Deliberate simplifications vs a real table format, stated:
-- the manifest is rewritten whole per commit (fine at ≤ thousands of
-  files; a real log appends segments + checkpoints — measured
-  rewrite cost at 10^4 files in SCALE.md);
+- the manifest is rewritten whole per commit — MEASURED (round 12):
+  a one-file commit against a 10^4-file manifest costs ~6 ms, against
+  10^5 files ~78 ms, so the whole-rewrite design holds to ~10^5 files
+  per target and segment-append + checkpoint (the real-log recipe)
+  is only needed past that;
 - single writer assumed (no optimistic concurrency / CAS);
 - ``vacuum`` deletes unreferenced data files — run it OUTSIDE any
   reader's lifetime, as with Delta's VACUUM retention caveat;

@@ -157,10 +157,31 @@ def run_watermarked_append_stream(
     )
 
 
+#: Relative sidecar root for the upsert target's per-day HLL register
+#: partitions, inside the SAME commit manifest as the data files.
+_HLL_DIR = "_hll"
+
+
+def _day_registers(df: DataFrame, sketch_col: str, p: int) -> DataFrame:
+    """Per-day HLL register table ``(part, bucket, rho)`` of ``df`` —
+    the sidecar content for the days present in ``df``."""
+    from ..operators.sketch import hll_bucket_rho
+
+    bucket, rho = hll_bucket_rho(F.col(sketch_col), p)
+    return (
+        df.filter(F.col(sketch_col).isNotNull())
+        .select(F.col("p_date").cast("string").alias("part"), bucket, rho)
+        .groupBy("part", "bucket")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
 def upsert_partitioned(
     batch: DataFrame,
     target_dir: str,
     keys: list[str] = ("window_start", "event_type"),
+    sketch_col: str | None = None,
+    sketch_p: int = 8,
 ) -> None:
     """Partition-scoped parquet MERGE — the foreachBatch upsert
     callback, O(touched partitions) per batch, NOT O(target).
@@ -183,7 +204,21 @@ def upsert_partitioned(
     read and rewrote the ENTIRE target per micro-batch — the one plan
     shape in the repo that would not have survived 100x (r10
     verdict); round 11 first partition-scoped it, then round 11 final
-    made the partition swap atomic."""
+    made the partition swap atomic.
+
+    ``sketch_col`` (round 12): maintain a per-day HLL register SIDECAR
+    over that column of the target rows, INSIDE the same commit —
+    profile-without-rescan kept current by the ingestion itself. The
+    touched days' register partitions are recomputed from the same
+    ``merged`` frame the data pass already built (upsert REPLACES
+    rows, and max-merged registers cannot forget a replaced value —
+    recompute-per-touched-day is the correct maintenance law, still
+    O(touched partitions)) and swap in the SAME atomic commit as the
+    data files, so readers can never observe data and profile from
+    different versions. Invariant (test-pinned): after every batch,
+    the sidecar's register table per day equals a fresh sketch of that
+    day's current target rows. Read back via
+    :func:`read_upsert_sketch`."""
     from ..plans import txlog
 
     keys = list(keys)
@@ -195,34 +230,65 @@ def upsert_partitioned(
     s = batch.sparkSession
     b = batch.withColumn("p_date", F.to_date("window_start"))
 
-    def land(df):
+    def land(write) -> list[str]:
         before = set(txlog.list_data_files(target_dir))
-        df.write.mode("append").partitionBy("p_date").parquet(target_dir)
+        write()
         return [
             f
             for f in txlog.list_data_files(target_dir)
             if f not in before
         ]
 
+    def land_data(df) -> list[str]:
+        return land(
+            lambda: df.write.mode("append")
+            .partitionBy("p_date")
+            .parquet(target_dir)
+        )
+
+    def land_sketch(df) -> list[str]:
+        import os
+
+        return land(
+            lambda: _day_registers(df, sketch_col, sketch_p)
+            .write.mode("append")
+            .partitionBy("part")
+            .parquet(os.path.join(target_dir, _HLL_DIR))
+        )
+
     manifest = txlog.read_manifest(target_dir)
     if not manifest["files"]:
         # first non-empty batch: nothing to merge
-        txlog.commit(target_dir, add_files=land(b))
+        added = land_data(b)
+        if sketch_col is not None:
+            added += land_sketch(b)
+        txlog.commit(target_dir, add_files=added)
         return
     days = [r["p_date"] for r in b.select("p_date").distinct().collect()]
     prefixes = tuple(f"p_date={d}/" for d in days)
-    old_touched = [f for f in manifest["files"] if f.startswith(prefixes)]
+    sk_prefixes = tuple(f"{_HLL_DIR}/part={d}/" for d in days)
+    old_touched = [
+        f
+        for f in manifest["files"]
+        if f.startswith(prefixes) or f.startswith(sk_prefixes)
+    ]
     existing = read_upsert_target(s, target_dir, drop_part=False).filter(
         F.col("p_date").isin(days)
     )
     merged = existing.join(
         b.select(keys), on=keys, how="left_anti"
     ).unionByName(b)
+    if sketch_col is not None:
+        # merged feeds BOTH the data land and the sketch recompute —
+        # materialize it once instead of re-running the anti-join
+        merged = merged.localCheckpoint(eager=False)
     # merged rows land as NEW files (invisible), then ONE atomic commit
     # swaps them in and the touched days' old files out; vacuum
     # reclaims the dead bytes. A crash before the commit changes
     # nothing a reader sees — the same txlog contract as the ANN index.
-    added = land(merged)
+    added = land_data(merged)
+    if sketch_col is not None:
+        added += land_sketch(merged)
     txlog.commit(target_dir, add_files=added, remove_files=old_touched)
     txlog.vacuum(target_dir)
 
@@ -232,18 +298,60 @@ def read_upsert_target(
 ) -> DataFrame:
     """Manifest-aware read of the upsert target: only COMMITTED files
     are loaded (basePath keeps ``p_date`` a partition column over the
-    file list), so a crashed half-landed merge is invisible."""
+    file list), so a crashed half-landed merge is invisible. Sidecar
+    files (the ``_hll/`` register partitions) share the manifest but
+    are not data — excluded here, read via
+    :func:`read_upsert_sketch`."""
+    import os
+
     from ..plans import txlog
 
-    files = txlog.committed_files(target_dir)
+    files = [
+        f
+        for f in txlog.committed_files(target_dir)
+        if not os.path.relpath(f, target_dir).startswith(f"{_HLL_DIR}/")
+    ]
     if not files:
         raise FileNotFoundError(f"no committed upsert target at {target_dir}")
     out = spark.read.option("basePath", target_dir).parquet(*files)
     return out.drop("p_date") if drop_part else out
 
 
+def read_upsert_sketch(
+    spark: SparkSession, target_dir: str, parts=None
+) -> DataFrame:
+    """Manifest-aware read of the upsert target's per-day HLL register
+    sidecar: ``(part, bucket, rho)`` — only COMMITTED register files,
+    optionally pruned to ``parts`` (day strings). Answer "distinct
+    <sketch_col> over any day range" by max-merging these rows
+    (operators.sketch.hll_merge → hll_estimate) — profile-without-
+    rescan, kept current by the upsert itself."""
+    import os
+
+    from ..plans import txlog
+
+    base = os.path.join(target_dir, _HLL_DIR)
+    files = [
+        f
+        for f in txlog.committed_files(target_dir)
+        if os.path.relpath(f, target_dir).startswith(f"{_HLL_DIR}/")
+    ]
+    if not files:
+        raise FileNotFoundError(f"no committed sketch sidecar at {base}")
+    regs = spark.read.option("basePath", base).parquet(*files).select(
+        F.col("part").cast("string").alias("part"), "bucket", "rho"
+    )
+    if parts is not None:
+        regs = regs.filter(F.col("part").isin(list(parts)))
+    return regs
+
+
 def run_upsert_stream(
-    spark: SparkSession, sf_dir: str, target_dir: str, delay: str = "1 hour"
+    spark: SparkSession,
+    sf_dir: str,
+    target_dir: str,
+    delay: str = "1 hour",
+    sketch_col: str | None = None,
 ) -> DataFrame:
     """The reference's nightly-sync roadmap item (insights.md:169) as a
     streaming upsert: watermarked windowed aggregates land in a
@@ -253,10 +361,12 @@ def run_upsert_stream(
     and only the partitions present in the batch are rewritten
     (:func:`upsert_partitioned`). Exactly-once per batch id; at
     warehouse scale the same callback targets Delta/Iceberg MERGE or a
-    JDBC upsert instead of parquet partition overwrite."""
+    JDBC upsert instead of parquet partition overwrite. ``sketch_col``
+    additionally maintains the per-day HLL profile sidecar inside the
+    same commits."""
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
-        upsert_partitioned(batch, target_dir)
+        upsert_partitioned(batch, target_dir, sketch_col=sketch_col)
 
     name = f"hourly_upsert_{uuid.uuid4().hex[:8]}"
     q = (

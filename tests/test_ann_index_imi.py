@@ -324,3 +324,15 @@ def test_split_cell_rejects_imi_and_empty(spark, corpus, imi_built, flat_built):
     flat_path, _ = flat_built
     with pytest.raises(ValueError):
         AI.split_cell(spark, flat_path, 9999)
+
+
+def test_derived_imi_k_rule():
+    from project_clinical_data_etl_pipeline_spark.operators.quantization import (
+        derived_imi_k,
+    )
+
+    assert derived_imi_k(0) == 8          # floor
+    assert derived_imi_k(20_000) == 12    # ceil(20000^0.25)
+    assert derived_imi_k(80_000) == 17
+    assert derived_imi_k(10**12) == 1000  # just under the cap
+    assert derived_imi_k(10**13) == 1024  # cap binds

@@ -755,3 +755,120 @@ def test_dedup_within_watermark_synthetic_triggers(spark, tmp_path):
         q.stop()
         spark.catalog.dropTempView(name)
     assert [eid for eid, _ in got] == [1, 2, 3]
+
+
+def test_upsert_sketch_sidecar_maintained_in_same_commit(spark, tmp_path):
+    """Round 12: per-day HLL register sidecar maintained INSIDE the
+    upsert's atomic commits. Invariant after every batch: the sidecar's
+    register table per day EQUALS a fresh sketch of that day's current
+    target rows — including the replace case, where a max-merged
+    register could not forget the replaced value (the sidecar is
+    recomputed per touched day, not max-merged). Untouched days'
+    sketch files stay byte-identical; a commit-point crash changes
+    neither data nor profile."""
+    import os
+
+    from project_clinical_data_etl_pipeline_spark.operators.sketch import (
+        hll_registers,
+    )
+    from project_clinical_data_etl_pipeline_spark.plans import txlog
+
+    target = str(tmp_path / "sketch_target")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "window_start string, event_type string, "
+            "n_events bigint, total_value double",
+        )
+
+    def sidecar_rows(parts=None):
+        return sorted(
+            (r["part"], r["bucket"], r["rho"])
+            for r in I.read_upsert_sketch(spark, target, parts).collect()
+        )
+
+    def recompute_rows():
+        data = I.read_upsert_target(spark, target, drop_part=False)
+        out = []
+        for day in [
+            r["p_date"] for r in data.select("p_date").distinct().collect()
+        ]:
+            regs = hll_registers(
+                data.filter(F.col("p_date") == day), F.col("event_type")
+            )
+            out += [
+                (str(day), r["bucket"], r["rho"]) for r in regs.collect()
+            ]
+        return sorted(out)
+
+    I.upsert_partitioned(
+        mk(
+            [
+                ("2024-05-01 10:00:00", "click", 3, 11.0),
+                ("2024-05-01 11:00:00", "view", 1, 3.0),
+                ("2024-05-02 09:00:00", "click", 2, 5.0),
+            ]
+        ),
+        target,
+        sketch_col="event_type",
+    )
+    assert sidecar_rows() == recompute_rows()
+
+    def sketch_snap(day):
+        d = os.path.join(target, "_hll", f"part={day}")
+        return {
+            f: os.path.getmtime(os.path.join(d, f))
+            for f in os.listdir(d)
+            if f.startswith("part-")
+        }
+
+    day1_sketch_before = sketch_snap("2024-05-01")
+    # second batch touches ONLY day 2 and REPLACES its sole event_type
+    # ('click' rows vanish from that day: a max-merged sidecar would
+    # still carry click's register bits — recompute must not)
+    I.upsert_partitioned(
+        mk([("2024-05-02 09:00:00", "purchase", 1, 2.0)]),
+        target,
+        keys=["window_start"],
+        sketch_col="event_type",
+    )
+    assert sidecar_rows() == recompute_rows()
+    assert sketch_snap("2024-05-01") == day1_sketch_before, (
+        "untouched day's sketch partition rewritten"
+    )
+    # the day-2 sidecar now sketches exactly {'purchase'}
+    day2 = I.read_upsert_sketch(spark, target, parts=["2024-05-02"])
+    fresh = hll_registers(
+        spark.createDataFrame([("purchase",)], "event_type string"),
+        F.col("event_type"),
+    )
+    assert sorted((r["bucket"], r["rho"]) for r in day2.collect()) == sorted(
+        (r["bucket"], r["rho"]) for r in fresh.collect()
+    )
+    # crash at the commit point: neither data nor profile moves
+    import pytest as _pytest
+
+    before_data = sorted(
+        map(tuple, I.read_upsert_target(spark, target).collect())
+    )
+    before_sketch = sidecar_rows()
+    real_commit = txlog.commit
+    txlog.commit = lambda *a, **k: (_ for _ in ()).throw(
+        RuntimeError("injected crash")
+    )
+    try:
+        with _pytest.raises(RuntimeError, match="injected crash"):
+            I.upsert_partitioned(
+                mk([("2024-05-02 09:00:00", "refund", 1, 1.0)]),
+                target,
+                sketch_col="event_type",
+            )
+    finally:
+        txlog.commit = real_commit
+    assert sorted(
+        map(tuple, I.read_upsert_target(spark, target).collect())
+    ) == before_data
+    assert sidecar_rows() == before_sketch
+    txlog.vacuum(target)
+    assert sidecar_rows() == before_sketch
