@@ -139,9 +139,19 @@ def _encode(
     sidecar's cell geometry (flat coarse quantizer vs two-level IMI).
     ``cell`` is cast to int so the values written match what parquet
     partition discovery infers back on read (type-stable round trip)."""
-    from .quantization import imi_index, ivfpq_index
+    from .quantization import imi_index, imi_pb_index, ivfpq_index
 
-    if meta.get("quantizer") == "imi":
+    if meta.get("quantizer") == "imi" and meta.get("per_branch"):
+        enc = imi_pb_index(
+            corpus,
+            meta["centroids"],
+            meta["centroids2"],
+            meta["codebooks"],
+            meta["dim"],
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+    elif meta.get("quantizer") == "imi":
         enc = imi_index(
             corpus,
             meta["centroids"],
@@ -324,6 +334,7 @@ def build_imi_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     carry_batch_ids: list[int] = (),
+    per_branch: bool = False,
 ) -> dict:
     """Build the index under the TWO-LEVEL (IMI-style) coarse quantizer
     — the tier past the flat quantizer's 4096-centroid cap
@@ -337,15 +348,29 @@ def build_imi_index(
     compact / probe verbs as the flat build — the geometry lives
     entirely in the sidecar (``quantizer: "imi"``). Drift baselines
     measure level-1 assignment distance (the distribution-shift signal
-    is level-1's fit; level-2 refines within it)."""
-    from .quantization import derived_imi_k, imi_train, pq_train
+    is level-1's fit; level-2 refines within it).
+
+    ``per_branch=True`` trains a SEPARATE k2-entry residual codebook
+    per level-1 branch (quantization.imi_train_perbranch) — the
+    HIGH-RECALL configuration: each branch's residual distribution
+    gets its own dictionary (measured sf4: recall 0.875 shared →
+    parity with flat per-branch) at the cost of the centroid budget
+    returning to k1·k2 (flat-class — per-branch is a recall knob, not
+    a cap escape; the curve is in SCALE.md round 12)."""
+    from .quantization import (
+        derived_imi_k,
+        imi_train,
+        imi_train_perbranch,
+        pq_train,
+    )
 
     corpus = corpus.localCheckpoint(eager=False)  # scanned repeatedly
     if k1 is None or k2 is None:
         n = corpus.count()
         k1 = k1 if k1 is not None else derived_imi_k(n)
         k2 = k2 if k2 is not None else derived_imi_k(n)
-    cents1, cents2 = imi_train(
+    train = imi_train_perbranch if per_branch else imi_train
+    cents1, cents2 = train(
         corpus,
         dim=dim,
         k1=k1,
@@ -367,6 +392,7 @@ def build_imi_index(
     )
     meta = {
         "quantizer": "imi",
+        "per_branch": per_branch,
         "dim": dim,
         "m": m,
         "ks": ks,
@@ -488,6 +514,7 @@ def rebuild_index(
             id_col=meta["id_col"],
             vec_col=meta["vec_col"],
             carry_batch_ids=prior_ids,
+            per_branch=bool(meta.get("per_branch")),
         )
     return build_ivfpq_index(
         spark,
@@ -759,9 +786,23 @@ def probe_index(
     (``quantization.imi_topk`` — ``n_probe`` applies per level there,
     probing n_probe² composite cells). Both share the cell-pruned
     scan / codebook-lookup-on-the-probed-slice plan."""
-    from .quantization import imi_topk, ivfpq_topk
+    from .quantization import imi_pb_topk, imi_topk, ivfpq_topk
 
     meta = load_index_meta(path)
+    if meta.get("quantizer") == "imi" and meta.get("per_branch"):
+        return imi_pb_topk(
+            queries,
+            read_index(spark, path),
+            meta["centroids"],
+            meta["centroids2"],
+            meta["codebooks"],
+            meta["dim"],
+            k=k,
+            n_probe1=n_probe,
+            n_probe2=n_probe,
+            id_col=meta["id_col"],
+            vec_col=meta["vec_col"],
+        )
     if meta.get("quantizer") == "imi":
         return imi_topk(
             queries,

@@ -872,3 +872,82 @@ def test_upsert_sketch_sidecar_maintained_in_same_commit(spark, tmp_path):
     assert sidecar_rows() == before_sketch
     txlog.vacuum(target)
     assert sidecar_rows() == before_sketch
+
+
+def test_upsert_sketch_sidecar_all_kinds(spark, tmp_path):
+    """The CMS and Bloom sidecars follow the same recompute law in the
+    same commit: after a replace batch, each kind equals a fresh
+    sketch of the day's current rows (counters must FORGET the
+    replaced key's counts; bits must forget its positions)."""
+    from project_clinical_data_etl_pipeline_spark.operators.sketch import (
+        bloom_bits,
+        cms_counters,
+    )
+
+    target = str(tmp_path / "sketch_all_target")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "window_start string, event_type string, "
+            "n_events bigint, total_value double",
+        )
+
+    kinds = ("hll", "cms", "bloom")
+    I.upsert_partitioned(
+        mk(
+            [
+                ("2024-05-01 10:00:00", "click", 3, 11.0),
+                ("2024-05-02 09:00:00", "click", 2, 5.0),
+                ("2024-05-02 10:00:00", "view", 2, 5.0),
+            ]
+        ),
+        target,
+        sketch_col="event_type",
+        sketches=kinds,
+    )
+    # replace day 2 entirely with a single 'purchase' window
+    I.upsert_partitioned(
+        mk([("2024-05-02 09:00:00", "purchase", 1, 2.0)]),
+        target,
+        keys=["window_start"],
+        sketch_col="event_type",
+        sketches=kinds,
+    )
+    data = I.read_upsert_target(spark, target, drop_part=False)
+    day2 = data.filter(F.col("p_date") == "2024-05-02")
+    # day 2 now holds: purchase (replaced 09:00) + view (10:00 kept)
+    assert {
+        r["event_type"] for r in day2.select("event_type").collect()
+    } == {"purchase", "view"}
+    got_cms = sorted(
+        (r["r"], r["bucket"], r["cnt"])
+        for r in I.read_upsert_sketch(
+            spark, target, parts=["2024-05-02"], kind="cms"
+        ).collect()
+    )
+    want_cms = sorted(
+        (r["r"], r["bucket"], r["cnt"])
+        for r in cms_counters(day2, F.col("event_type")).collect()
+    )
+    assert got_cms == want_cms  # 'click' counts forgotten
+    got_bloom = sorted(
+        r["bit"]
+        for r in I.read_upsert_sketch(
+            spark, target, parts=["2024-05-02"], kind="bloom"
+        ).collect()
+    )
+    want_bloom = sorted(
+        r["bit"] for r in bloom_bits(day2, F.col("event_type")).collect()
+    )
+    assert got_bloom == want_bloom
+    # hll kind still present and day-1 untouched across kinds
+    for kind in kinds:
+        parts = {
+            r["part"]
+            for r in I.read_upsert_sketch(spark, target, kind=kind)
+            .select("part")
+            .distinct()
+            .collect()
+        }
+        assert parts == {"2024-05-01", "2024-05-02"}
