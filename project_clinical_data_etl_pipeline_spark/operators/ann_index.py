@@ -228,7 +228,7 @@ def build_ivfpq_index(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    carry_batch_ids: list[int] = (),
+    carry_lineages: dict | None = None,
 ) -> dict:
     """Train (coarse k-means + per-subspace PQ codebooks), encode, and
     persist the cell-partitioned index + versioned ``_meta.v{N}.json``
@@ -241,8 +241,8 @@ def build_ivfpq_index(
     CRASH-ATOMIC over an existing index (round-12 fix): the encoded
     rows and the new sidecar land as NEW invisible files next to the
     committed ones, then ONE reset commit flips the file list, the
-    parameter pointer, and (via ``carry_batch_ids`` — the
-    :func:`rebuild_index` path) the replay guard together; the
+    parameter pointer, and (via ``carry_lineages`` — the
+    :func:`rebuild_index` path) every lineage's replay guard together; the
     superseded files are vacuumed after. A crash anywhere before the
     commit leaves the prior index fully intact and fully consistent —
     the earlier ``mode=overwrite`` write physically deleted committed
@@ -282,11 +282,11 @@ def build_ivfpq_index(
         "id_col": id_col,
         "vec_col": vec_col,
     }
-    return _publish_build(corpus, path, meta, carry_batch_ids)
+    return _publish_build(corpus, path, meta, carry_lineages)
 
 
 def _publish_build(
-    corpus: DataFrame, path: str, meta: dict, carry_batch_ids: list[int]
+    corpus: DataFrame, path: str, meta: dict, carry_lineages: dict | None
 ) -> dict:
     """Shared build tail for every quantizer geometry: stamp the drift
     baseline, encode under the (now frozen) parameters, land the files
@@ -314,7 +314,7 @@ def _publish_build(
         _data_path(path),
         add_files=added,
         reset=True,
-        batch_ids=list(carry_batch_ids),
+        carry_lineages=carry_lineages,
         meta_file=meta_file,
     )
     txlog.vacuum(_data_path(path))  # reclaim the superseded generation
@@ -333,7 +333,7 @@ def build_imi_index(
     n_iter: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    carry_batch_ids: list[int] = (),
+    carry_lineages: dict | None = None,
     per_branch: bool = False,
 ) -> dict:
     """Build the index under the TWO-LEVEL (IMI-style) coarse quantizer
@@ -405,7 +405,7 @@ def build_imi_index(
         "id_col": id_col,
         "vec_col": vec_col,
     }
-    return _publish_build(corpus, path, meta, carry_batch_ids)
+    return _publish_build(corpus, path, meta, carry_lineages)
 
 
 def append_ivfpq_index(
@@ -413,6 +413,7 @@ def append_ivfpq_index(
     path: str,
     new_vectors: DataFrame,
     batch_id: int | None = None,
+    lineage: str = "default",
 ) -> dict:
     """faiss-``add`` semantics: assign ``new_vectors`` to the EXISTING
     centroids, encode with the EXISTING codebooks, land one new file
@@ -444,7 +445,9 @@ def append_ivfpq_index(
     manifest), so a crashed append can no longer skew the drift ratio;
     superseded sidecar versions are reclaimed by the next vacuum."""
     meta = load_index_meta(path)
-    if batch_id is not None and txlog.has_batch(_data_path(path), batch_id):
+    if batch_id is not None and txlog.has_batch(
+        _data_path(path), batch_id, lineage=lineage
+    ):
         return {
             "appended": 0,
             "touched_cells": 0,
@@ -474,7 +477,11 @@ def append_ivfpq_index(
     # THE commit point: files become visible, the batch id becomes
     # applied, and the drift counters advance in one atomic rename
     txlog.commit(
-        _data_path(path), add_files=added, batch_id=batch_id, meta_file=meta_file
+        _data_path(path),
+        add_files=added,
+        batch_id=batch_id,
+        lineage=lineage,
+        meta_file=meta_file,
     )
     base = meta["build_mean_dist"]
     return {
@@ -500,7 +507,7 @@ def rebuild_index(
     is no window where the new index is visible without its replay
     guard — the round-11 two-commit sequence had one."""
     meta = load_index_meta(path)
-    prior_ids = txlog.read_manifest(_data_path(path))["batch_ids"]
+    prior = txlog.read_manifest(_data_path(path))["lineages"]
     if meta.get("quantizer") == "imi":
         return build_imi_index(
             spark,
@@ -513,7 +520,7 @@ def rebuild_index(
             ks=meta["ks"],
             id_col=meta["id_col"],
             vec_col=meta["vec_col"],
-            carry_batch_ids=prior_ids,
+            carry_lineages=prior,
             per_branch=bool(meta.get("per_branch")),
         )
     return build_ivfpq_index(
@@ -528,7 +535,7 @@ def rebuild_index(
         ks=meta["ks"],
         id_col=meta["id_col"],
         vec_col=meta["vec_col"],
-        carry_batch_ids=prior_ids,
+        carry_lineages=prior,
     )
 
 

@@ -30,13 +30,21 @@ Deliberate simplifications vs a real table format, stated:
 - single writer assumed (no optimistic concurrency / CAS);
 - ``vacuum`` deletes unreferenced data files — run it OUTSIDE any
   reader's lifetime, as with Delta's VACUUM retention caveat;
-- the batch-id set is truncated to the 1000 LARGEST ids per commit,
-  with the truncation recorded as a WATERMARK: ids are monotonic per
-  stream lineage (the single-lineage scope documented at the ann_index
-  call site), so any id at or below the highest id ever dropped is
-  necessarily already applied — :func:`has_batch` answers True for it
-  from the watermark instead of false-appending. The horizon is
-  therefore a memory bound, not a correctness bound.
+- each lineage's batch-id set is truncated to the 1000 LARGEST ids
+  per commit, with the truncation recorded as a per-lineage WATERMARK:
+  ids are monotonic per stream lineage, so any id at or below the
+  highest id ever dropped is necessarily already applied —
+  :func:`has_batch` answers True for it from the watermark instead of
+  false-appending. The horizon is therefore a memory bound, not a
+  correctness bound.
+
+Replay guards are keyed by (LINEAGE, batch id) — Delta's
+(txnAppId, txnVersion) recipe (round 12; previously a single implicit
+lineage, which would false-skip a brand-new stream whose batch ids
+restart at 0 against a target with append history). The default
+lineage ("default") mirrors into the legacy top-level ``batch_ids`` /
+``batch_watermark`` fields, and legacy manifests read back as that
+lineage, so single-stream callers and old manifests are unaffected.
 """
 
 from __future__ import annotations
@@ -47,6 +55,7 @@ import os
 
 _MANIFEST = "_commits.json"
 _BATCH_ID_HORIZON = 1000
+_DEFAULT_LINEAGE = "default"
 
 
 def _manifest_path(root: str) -> str:
@@ -55,9 +64,13 @@ def _manifest_path(root: str) -> str:
 
 def read_manifest(root: str) -> dict:
     """Current committed state: ``{"version", "files", "batch_ids",
-    "batch_watermark", "meta_file"}``. A missing manifest is version -1
-    with nothing visible. Manifests written before the watermark /
-    meta-pointer fields existed read back with the neutral defaults."""
+    "batch_watermark", "meta_file", "lineages"}`` — ``lineages`` maps
+    lineage name → ``{"ids": [...], "watermark": int|None}``; the
+    legacy top-level ``batch_ids``/``batch_watermark`` mirror the
+    default lineage. A missing manifest is version -1 with nothing
+    visible. Manifests written before the watermark / meta-pointer /
+    lineage fields existed read back with neutral defaults (their
+    batch history becomes the default lineage)."""
     try:
         with open(_manifest_path(root)) as fh:
             state = json.load(fh)
@@ -65,6 +78,17 @@ def read_manifest(root: str) -> dict:
         state = {"version": -1, "files": [], "batch_ids": []}
     state.setdefault("batch_watermark", None)
     state.setdefault("meta_file", None)
+    if "lineages" not in state:
+        state["lineages"] = (
+            {
+                _DEFAULT_LINEAGE: {
+                    "ids": state["batch_ids"],
+                    "watermark": state["batch_watermark"],
+                }
+            }
+            if state["batch_ids"] or state["batch_watermark"] is not None
+            else {}
+        )
     return state
 
 
@@ -76,41 +100,64 @@ def commit(
     batch_ids: list[int] = (),
     reset: bool = False,
     meta_file: str | None = None,
+    lineage: str = _DEFAULT_LINEAGE,
+    carry_lineages: dict | None = None,
 ) -> dict:
     """Publish a new version: files in ``add_files`` become visible,
     ``remove_files`` stop being visible, ``batch_id`` /``batch_ids``
-    (if given) are recorded, and ``meta_file`` (if given) becomes the
-    current sidecar pointer — all in ONE atomic rename. ``reset=True``
-    starts the file list from empty (a full rebuild replacing every
-    prior file) while still bumping the version and, unless new ids
-    are passed, CLEARING the batch history AND watermark too —
-    rebuilds that must keep replay protection pass the old ids via
-    ``batch_ids`` (the watermark survives alongside them). A reset
-    without a new ``meta_file`` keeps the prior pointer (rebuilds that
-    reuse parameters) — pass one to flip it atomically with the data.
+    (if given) are recorded under ``lineage``, and ``meta_file`` (if
+    given) becomes the current sidecar pointer — all in ONE atomic
+    rename. ``reset=True`` starts the file list from empty (a full
+    rebuild replacing every prior file) while still bumping the
+    version and, unless replay history is passed, CLEARING every
+    lineage's batch history AND watermark too — rebuilds that must
+    keep replay protection pass ``carry_lineages`` (the prior
+    manifest's whole ``lineages`` map — every stream's guard survives)
+    or, legacy, ``batch_ids`` for the one ``lineage``. A reset without
+    a new ``meta_file`` keeps the prior pointer (rebuilds that reuse
+    parameters) — pass one to flip it atomically with the data.
     Returns the new state. Paths are relative to ``root``."""
     state = read_manifest(root)
     prev_files = [] if reset else state["files"]
-    prev_ids = set() if reset else set(state["batch_ids"])
-    watermark = None if (reset and not batch_ids) else state["batch_watermark"]
     files = [f for f in prev_files if f not in set(remove_files)]
     files += [f for f in add_files if f not in set(files)]
-    ids = prev_ids | set(batch_ids)
+    if reset:
+        lineages = {
+            k: {"ids": list(v["ids"]), "watermark": v["watermark"]}
+            for k, v in (carry_lineages or {}).items()
+        }
+    else:
+        lineages = {
+            k: {"ids": list(v["ids"]), "watermark": v["watermark"]}
+            for k, v in state["lineages"].items()
+        }
+        if carry_lineages:
+            raise ValueError("carry_lineages is only meaningful with reset=True")
+    entry = lineages.setdefault(lineage, {"ids": [], "watermark": None})
+    ids = set(entry["ids"]) | set(batch_ids)
     if batch_id is not None:
         ids.add(batch_id)
     kept = sorted(ids)[-_BATCH_ID_HORIZON:]
     dropped = sorted(ids)[:-_BATCH_ID_HORIZON]
+    watermark = entry["watermark"]
     if dropped:
         # ids are monotonic per lineage: everything at or below the
         # highest dropped id is already applied — remember that once
         # instead of remembering each of them
         watermark = max(dropped[-1], watermark if watermark is not None else -1)
+    entry["ids"], entry["watermark"] = kept, watermark
+    if not kept and watermark is None:
+        lineages.pop(lineage, None)  # don't persist empty entries
+    default = lineages.get(_DEFAULT_LINEAGE, {"ids": [], "watermark": None})
     new = {
         "version": state["version"] + 1,
         "files": sorted(files),
-        "batch_ids": kept,
-        "batch_watermark": watermark,
+        # legacy mirror of the default lineage (old readers + the
+        # single-stream call sites keep working unchanged)
+        "batch_ids": default["ids"],
+        "batch_watermark": default["watermark"],
         "meta_file": meta_file if meta_file is not None else state["meta_file"],
+        "lineages": lineages,
     }
     os.makedirs(root, exist_ok=True)
     tmp = _manifest_path(root) + ".tmp"
@@ -120,14 +167,19 @@ def commit(
     return new
 
 
-def has_batch(root: str, batch_id: int) -> bool:
-    """True iff ``batch_id`` was already applied: either it is in the
-    retained id window, or it is at or below the truncation watermark
-    (monotonic ids ⇒ dropped ids were all applied)."""
-    state = read_manifest(root)
-    if state["batch_watermark"] is not None and batch_id <= state["batch_watermark"]:
+def has_batch(
+    root: str, batch_id: int, lineage: str = _DEFAULT_LINEAGE
+) -> bool:
+    """True iff ``batch_id`` was already applied UNDER ``lineage``:
+    either it is in that lineage's retained id window, or it is at or
+    below that lineage's truncation watermark (monotonic ids ⇒ dropped
+    ids were all applied). Other lineages' ids never collide."""
+    entry = read_manifest(root)["lineages"].get(lineage)
+    if entry is None:
+        return False
+    if entry["watermark"] is not None and batch_id <= entry["watermark"]:
         return True
-    return batch_id in state["batch_ids"]
+    return batch_id in entry["ids"]
 
 
 def current_meta_file(root: str) -> str | None:

@@ -433,6 +433,7 @@ def start_index_append_stream(
     source_dir: str,
     index_path: str,
     schema: str = "vec_id bigint, embedding array<double>",
+    lineage: str = "default",
 ):
     """Streaming vector ingestion → incremental ANN index maintenance —
     the composition the r10 verdict flagged as missing: the corpus
@@ -446,7 +447,10 @@ def start_index_append_stream(
     whole streamed history and says when the frozen parameters have
     drifted enough to pay a rebuild. Replayed batches (restart from
     checkpoint re-delivers the last batch id) are skipped via the
-    sidecar's batch-id guard — idempotent ingestion.
+    manifest's (``lineage``, batch id) guard — idempotent ingestion;
+    pass each distinct stream its own ``lineage`` (e.g. the checkpoint
+    identity) so two streams whose batch ids both start at 0 never
+    false-skip each other (round 12 — the Delta txnAppId recipe).
 
     Returns the running StreamingQuery so callers control batch
     boundaries (``processAllAvailable()`` between file drops); probe
@@ -458,7 +462,11 @@ def start_index_append_stream(
 
     def land(batch: DataFrame, batch_id: int) -> None:
         append_ivfpq_index(
-            batch.sparkSession, index_path, batch, batch_id=batch_id
+            batch.sparkSession,
+            index_path,
+            batch,
+            batch_id=batch_id,
+            lineage=lineage,
         )
 
     return (

@@ -474,3 +474,40 @@ def test_rebuild_crash_before_commit_leaves_old_index_intact(
     assert new_meta["appended_n"] == 0
     assert txlog.has_batch(root, 5)  # carried inside the single commit
     assert AI.retrain_criterion(spark, path)["n_rows"] == corpus.count()
+
+
+def test_multi_lineage_append_guards(spark, corpus, tmp_path):
+    """Round 12: replay guards key on (lineage, batch id). Two streams
+    whose batch ids both start at 0 append independently; each
+    lineage's replay skips; a rebuild carries EVERY lineage's guard in
+    its single reset commit."""
+    from project_clinical_data_etl_pipeline_spark.plans import txlog
+
+    path = str(tmp_path / "idx_lineages")
+    AI.build_ivfpq_index(
+        spark, corpus.filter(F.col("vec_id") < _SPLIT), path, dim=_DIM
+    )
+    d1 = corpus.filter(
+        (F.col("vec_id") >= _SPLIT) & (F.col("vec_id") < _SPLIT + 50)
+    )
+    d2 = corpus.filter(F.col("vec_id") >= _SPLIT + 50)
+    a = AI.append_ivfpq_index(spark, path, d1, batch_id=0, lineage="sA")
+    assert a["appended"] == 50
+    # same batch id, DIFFERENT lineage: must apply, not false-skip
+    b = AI.append_ivfpq_index(spark, path, d2, batch_id=0, lineage="sB")
+    assert b["appended"] == 50
+    # replays skip per lineage
+    assert AI.append_ivfpq_index(
+        spark, path, d1, batch_id=0, lineage="sA"
+    ).get("replayed") is True
+    assert AI.append_ivfpq_index(
+        spark, path, d2, batch_id=0, lineage="sB"
+    ).get("replayed") is True
+    # rebuild carries both guards inside the one reset commit
+    AI.rebuild_index(spark, corpus, path)
+    root = str(tmp_path / "idx_lineages" / "index")
+    assert txlog.has_batch(root, 0, lineage="sA")
+    assert txlog.has_batch(root, 0, lineage="sB")
+    assert AI.append_ivfpq_index(
+        spark, path, d1, batch_id=0, lineage="sA"
+    ).get("replayed") is True

@@ -25,6 +25,7 @@ def test_empty_manifest_state(tmp_path):
         "batch_ids": [],
         "batch_watermark": None,
         "meta_file": None,
+        "lineages": {},
     }
     assert txlog.committed_files(str(tmp_path)) == []
     assert txlog.current_meta_file(str(tmp_path)) is None
@@ -119,3 +120,59 @@ def test_list_data_files_skips_non_part(tmp_path):
     _touch(root, "cell=0/part-a.parquet")
     _touch(root, "cell=0/part-a.parquet.crc")
     assert txlog.list_data_files(root) == ["cell=0/part-a.parquet"]
+
+
+def test_multi_lineage_replay_guards_do_not_collide(tmp_path):
+    """Round 12: replay guards are keyed by (lineage, batch id) — the
+    Delta (txnAppId, txnVersion) recipe. Two streams whose batch ids
+    both restart at 0 must not false-skip each other; watermarks are
+    per lineage; the default lineage mirrors into the legacy fields."""
+    root = str(tmp_path)
+    txlog.commit(root, add_files=["a"], batch_id=0, lineage="streamA")
+    assert txlog.has_batch(root, 0, lineage="streamA")
+    assert not txlog.has_batch(root, 0, lineage="streamB")
+    assert not txlog.has_batch(root, 0)  # default lineage untouched
+    txlog.commit(root, add_files=["b"], batch_id=0, lineage="streamB")
+    assert txlog.has_batch(root, 0, lineage="streamB")
+    # per-lineage horizon/watermark
+    txlog.commit(root, batch_ids=list(range(1500)), lineage="streamA")
+    assert txlog.has_batch(root, 3, lineage="streamA")   # below watermark
+    assert not txlog.has_batch(root, 3, lineage="streamB")
+    # legacy mirror: default-lineage commits show in batch_ids
+    txlog.commit(root, batch_id=7)
+    state = txlog.read_manifest(root)
+    assert state["batch_ids"] == [7]
+    assert set(state["lineages"]) == {"streamA", "streamB", "default"}
+
+
+def test_reset_with_carry_lineages_preserves_every_guard(tmp_path):
+    root = str(tmp_path)
+    txlog.commit(root, add_files=["a"], batch_id=4, lineage="sA")
+    txlog.commit(root, add_files=["b"], batch_id=9)  # default lineage
+    prior = txlog.read_manifest(root)["lineages"]
+    txlog.commit(root, add_files=["c"], reset=True, carry_lineages=prior)
+    assert txlog.read_manifest(root)["files"] == ["c"]
+    assert txlog.has_batch(root, 4, lineage="sA")
+    assert txlog.has_batch(root, 9)
+    # reset WITHOUT carry clears everything
+    txlog.commit(root, reset=True)
+    assert not txlog.has_batch(root, 4, lineage="sA")
+    assert not txlog.has_batch(root, 9)
+
+
+def test_legacy_manifest_migrates_to_default_lineage(tmp_path):
+    import json
+    import os
+
+    root = str(tmp_path)
+    os.makedirs(root, exist_ok=True)
+    with open(os.path.join(root, "_commits.json"), "w") as fh:
+        json.dump(
+            {"version": 3, "files": ["f"], "batch_ids": [1, 2],
+             "batch_watermark": 0}, fh,
+        )
+    assert txlog.has_batch(root, 2)
+    assert txlog.has_batch(root, 0)  # watermark honored
+    assert not txlog.has_batch(root, 2, lineage="other")
+    state = txlog.commit(root, batch_id=3)
+    assert state["batch_ids"] == [1, 2, 3]
