@@ -95,10 +95,18 @@ def load_index_meta(path: str) -> dict:
 def _land_meta(path: str, meta: dict) -> str:
     """Write the sidecar under a FRESH versioned name (invisible until
     a commit points at it) and return that name, relative to the data
-    root. Single writer assumed, so manifest version + 1 is unique."""
+    root. The uuid suffix keeps names unique under CONCURRENT writers
+    (txlog commits are optimistic since round 12): two appends racing
+    the same base version each land their own sidecar and the commit
+    winner's pointer wins — drift counters are telemetry, so the
+    losing delta's counter bump is an acceptable lost update (stated
+    at append_ivfpq_index)."""
+    import uuid
+
     root = _data_path(path)
     os.makedirs(root, exist_ok=True)
-    name = f"_meta.v{txlog.read_manifest(root)['version'] + 1}.json"
+    ver = txlog.read_manifest(root)["version"] + 1
+    name = f"_meta.v{ver}.{uuid.uuid4().hex[:8]}.json"
     tmp = os.path.join(root, name + ".tmp")
     with open(tmp, "w") as fh:
         json.dump(meta, fh)

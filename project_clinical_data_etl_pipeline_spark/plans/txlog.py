@@ -21,13 +21,28 @@ and readers resolve the current one through the manifest — so data
 and parameters can never be observed mismatched (the Iceberg
 metadata-pointer move, one level down).
 
+CONCURRENCY (round 12): commits are OPTIMISTIC, Delta-style. Each
+commit publishes a new VERSIONED manifest file
+(``_commits.v{N}.json``) claimed by ``os.link`` from a fully-written
+temp file — link(2) fails atomically if the target exists, so version
+N+1 can be claimed by exactly ONE writer; a loser re-reads the
+winner's state and retries its commit on top (bounded retries, then
+``CommitConflict``). Readers resolve the highest version present —
+always a complete file, never torn. The version files double as the
+log's history; ``vacuum`` retains the trailing window. The former
+single-writer caveat is CLOSED (multi-writer lost-update test-pinned);
+what remains vs Delta is conflict SEMANTICS (blind retry re-applies
+the same add/remove sets rather than checking logical conflicts —
+fine for the disjoint-file writers this repo composes).
+
 Deliberate simplifications vs a real table format, stated:
 - the manifest is rewritten whole per commit — MEASURED (round 12):
   a one-file commit against a 10^4-file manifest costs ~6 ms, against
   10^5 files ~78 ms, so the whole-rewrite design holds to ~10^5 files
   per target and segment-append + checkpoint (the real-log recipe)
   is only needed past that;
-- single writer assumed (no optimistic concurrency / CAS);
+- retried commits re-apply their file deltas blindly (no logical
+  conflict detection between concurrent writers' intents);
 - ``vacuum`` deletes unreferenced data files — run it OUTSIDE any
   reader's lifetime, as with Delta's VACUUM retention caveat;
 - each lineage's batch-id set is truncated to the 1000 LARGEST ids
@@ -52,14 +67,37 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
+import uuid
 
-_MANIFEST = "_commits.json"
+_LEGACY_MANIFEST = "_commits.json"
+_MANIFEST_RE = re.compile(r"_commits\.v(\d+)\.json$")
 _BATCH_ID_HORIZON = 1000
 _DEFAULT_LINEAGE = "default"
+_COMMIT_RETRIES = 64
+_MANIFEST_HISTORY = 10  # versions vacuum retains
 
 
-def _manifest_path(root: str) -> str:
-    return os.path.join(root, _MANIFEST)
+class CommitConflict(RuntimeError):
+    """Raised when a commit loses the version race _COMMIT_RETRIES
+    times in a row — pathological contention, not a normal outcome."""
+
+
+def _manifest_versions(root: str) -> list[tuple[int, str]]:
+    out = []
+    for f in glob.glob(os.path.join(root, "_commits.v*.json")):
+        m = _MANIFEST_RE.search(f)
+        if m:
+            out.append((int(m.group(1)), f))
+    return sorted(out)
+
+
+def _current_manifest_path(root: str) -> str | None:
+    versions = _manifest_versions(root)
+    if versions:
+        return versions[-1][1]
+    legacy = os.path.join(root, _LEGACY_MANIFEST)
+    return legacy if os.path.exists(legacy) else None
 
 
 def read_manifest(root: str) -> dict:
@@ -71,11 +109,12 @@ def read_manifest(root: str) -> dict:
     visible. Manifests written before the watermark / meta-pointer /
     lineage fields existed read back with neutral defaults (their
     batch history becomes the default lineage)."""
-    try:
-        with open(_manifest_path(root)) as fh:
-            state = json.load(fh)
-    except FileNotFoundError:
+    path = _current_manifest_path(root)
+    if path is None:
         state = {"version": -1, "files": [], "batch_ids": []}
+    else:
+        with open(path) as fh:
+            state = json.load(fh)
     state.setdefault("batch_watermark", None)
     state.setdefault("meta_file", None)
     if "lineages" not in state:
@@ -116,55 +155,82 @@ def commit(
     or, legacy, ``batch_ids`` for the one ``lineage``. A reset without
     a new ``meta_file`` keeps the prior pointer (rebuilds that reuse
     parameters) — pass one to flip it atomically with the data.
-    Returns the new state. Paths are relative to ``root``."""
-    state = read_manifest(root)
-    prev_files = [] if reset else state["files"]
-    files = [f for f in prev_files if f not in set(remove_files)]
-    files += [f for f in add_files if f not in set(files)]
-    if reset:
-        lineages = {
-            k: {"ids": list(v["ids"]), "watermark": v["watermark"]}
-            for k, v in (carry_lineages or {}).items()
-        }
-    else:
-        lineages = {
-            k: {"ids": list(v["ids"]), "watermark": v["watermark"]}
-            for k, v in state["lineages"].items()
-        }
-        if carry_lineages:
-            raise ValueError("carry_lineages is only meaningful with reset=True")
-    entry = lineages.setdefault(lineage, {"ids": [], "watermark": None})
-    ids = set(entry["ids"]) | set(batch_ids)
-    if batch_id is not None:
-        ids.add(batch_id)
-    kept = sorted(ids)[-_BATCH_ID_HORIZON:]
-    dropped = sorted(ids)[:-_BATCH_ID_HORIZON]
-    watermark = entry["watermark"]
-    if dropped:
-        # ids are monotonic per lineage: everything at or below the
-        # highest dropped id is already applied — remember that once
-        # instead of remembering each of them
-        watermark = max(dropped[-1], watermark if watermark is not None else -1)
-    entry["ids"], entry["watermark"] = kept, watermark
-    if not kept and watermark is None:
-        lineages.pop(lineage, None)  # don't persist empty entries
-    default = lineages.get(_DEFAULT_LINEAGE, {"ids": [], "watermark": None})
-    new = {
-        "version": state["version"] + 1,
-        "files": sorted(files),
-        # legacy mirror of the default lineage (old readers + the
-        # single-stream call sites keep working unchanged)
-        "batch_ids": default["ids"],
-        "batch_watermark": default["watermark"],
-        "meta_file": meta_file if meta_file is not None else state["meta_file"],
-        "lineages": lineages,
-    }
+
+    OPTIMISTIC: the new state is computed from a fresh read and
+    published by CLAIMING version N+1 via ``os.link`` from a
+    fully-written temp file — exactly one writer can create
+    ``_commits.v{N+1}.json``; a loser re-reads and retries on top of
+    the winner (up to ``_COMMIT_RETRIES``, then
+    :class:`CommitConflict`). Returns the new state. Paths are
+    relative to ``root``."""
     os.makedirs(root, exist_ok=True)
-    tmp = _manifest_path(root) + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(new, fh)
-    os.replace(tmp, _manifest_path(root))  # the atomic publish
-    return new
+    for _ in range(_COMMIT_RETRIES):
+        state = read_manifest(root)
+        prev_files = [] if reset else state["files"]
+        files = [f for f in prev_files if f not in set(remove_files)]
+        files += [f for f in add_files if f not in set(files)]
+        if reset:
+            lineages = {
+                k: {"ids": list(v["ids"]), "watermark": v["watermark"]}
+                for k, v in (carry_lineages or {}).items()
+            }
+        else:
+            lineages = {
+                k: {"ids": list(v["ids"]), "watermark": v["watermark"]}
+                for k, v in state["lineages"].items()
+            }
+            if carry_lineages:
+                raise ValueError(
+                    "carry_lineages is only meaningful with reset=True"
+                )
+        entry = lineages.setdefault(lineage, {"ids": [], "watermark": None})
+        ids = set(entry["ids"]) | set(batch_ids)
+        if batch_id is not None:
+            ids.add(batch_id)
+        kept = sorted(ids)[-_BATCH_ID_HORIZON:]
+        dropped = sorted(ids)[:-_BATCH_ID_HORIZON]
+        watermark = entry["watermark"]
+        if dropped:
+            # ids are monotonic per lineage: everything at or below the
+            # highest dropped id is already applied — remember that once
+            # instead of remembering each of them
+            watermark = max(
+                dropped[-1], watermark if watermark is not None else -1
+            )
+        entry["ids"], entry["watermark"] = kept, watermark
+        if not kept and watermark is None:
+            lineages.pop(lineage, None)  # don't persist empty entries
+        default = lineages.get(
+            _DEFAULT_LINEAGE, {"ids": [], "watermark": None}
+        )
+        new = {
+            "version": state["version"] + 1,
+            "files": sorted(files),
+            # legacy mirror of the default lineage (old readers + the
+            # single-stream call sites keep working unchanged)
+            "batch_ids": default["ids"],
+            "batch_watermark": default["watermark"],
+            "meta_file": meta_file
+            if meta_file is not None
+            else state["meta_file"],
+            "lineages": lineages,
+        }
+        target = os.path.join(root, f"_commits.v{new['version']}.json")
+        tmp = os.path.join(root, f".commit-{uuid.uuid4().hex}.tmp")
+        with open(tmp, "w") as fh:
+            json.dump(new, fh)
+        try:
+            # THE publish + CAS in one syscall: link fails atomically
+            # if another writer already claimed this version
+            os.link(tmp, target)
+            return new
+        except FileExistsError:
+            continue  # lost the race — retry on the winner's state
+        finally:
+            os.unlink(tmp)
+    raise CommitConflict(
+        f"lost the commit race {_COMMIT_RETRIES} times at {root!r}"
+    )
 
 
 def has_batch(
@@ -207,8 +273,11 @@ def vacuum(root: str) -> list[str]:
     """Delete physical data files not referenced by the manifest — the
     leftovers of crashed (uncommitted) writes and of compactions' /
     rebuilds' superseded inputs — plus superseded versioned sidecars
-    (``_meta.v*.json`` other than the committed pointer). Returns the
-    removed relative paths."""
+    (``_meta.v*.json`` other than the committed pointer), manifest
+    history past the retained window (``_MANIFEST_HISTORY`` versions,
+    and the legacy single-file manifest once versioned ones exist),
+    and crashed commit temp files. Returns the removed relative
+    paths."""
     state = read_manifest(root)
     visible = set(state["files"])
     removed = []
@@ -221,4 +290,15 @@ def vacuum(root: str) -> list[str]:
         if rel != state["meta_file"]:
             os.remove(f)
             removed.append(rel)
+    versions = _manifest_versions(root)
+    for _, f in versions[:-_MANIFEST_HISTORY]:
+        os.remove(f)
+        removed.append(os.path.relpath(f, root))
+    legacy = os.path.join(root, _LEGACY_MANIFEST)
+    if versions and os.path.exists(legacy):
+        os.remove(legacy)
+        removed.append(_LEGACY_MANIFEST)
+    for f in glob.glob(os.path.join(root, ".commit-*.tmp")):
+        os.remove(f)
+        removed.append(os.path.relpath(f, root))
     return sorted(removed)

@@ -95,14 +95,52 @@ def test_meta_file_pointer_flips_atomically_and_persists(tmp_path):
     assert os.path.exists(os.path.join(root, "_meta.v3.json"))
 
 
-def test_commit_is_atomic_rename(tmp_path):
-    """No torn manifests: the published file is always complete JSON
-    (written to .tmp then os.replace'd)."""
+def test_commit_is_atomic_publish(tmp_path):
+    """No torn manifests: every published version file is complete
+    JSON (written whole to a temp then linked into place), no temp
+    leftovers, and versions are sequential files readers can resolve
+    by max."""
     root = str(tmp_path)
     txlog.commit(root, add_files=["f1"])
-    with open(os.path.join(root, "_commits.json")) as fh:
-        json.load(fh)  # parses — never half-written
-    assert not os.path.exists(os.path.join(root, "_commits.json.tmp"))
+    txlog.commit(root, add_files=["f2"])
+    for name in ("_commits.v0.json", "_commits.v1.json"):
+        with open(os.path.join(root, name)) as fh:
+            json.load(fh)  # parses — never half-written
+    assert not [f for f in os.listdir(root) if f.endswith(".tmp")]
+    assert txlog.read_manifest(root)["version"] == 1
+
+
+def test_concurrent_commits_lose_no_updates(tmp_path):
+    """Round 12: the single-writer caveat is closed — commits CAS on
+    the next version file (os.link), losers retry on the winner's
+    state. 8 threads x 25 commits of disjoint files: every file must
+    be visible, every version claimed exactly once, every batch id
+    recorded under its lineage."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    root = str(tmp_path)
+
+    def worker(w):
+        for i in range(25):
+            txlog.commit(
+                root,
+                add_files=[f"cell={w}/part-{i}.parquet"],
+                batch_id=i,
+                lineage=f"w{w}",
+            )
+
+    with ThreadPoolExecutor(max_workers=8) as ex:
+        list(ex.map(worker, range(8)))
+    state = txlog.read_manifest(root)
+    assert len(state["files"]) == 200, "lost update"
+    assert state["version"] == 199  # one version per successful commit
+    for w in range(8):
+        for i in range(25):
+            assert txlog.has_batch(root, i, lineage=f"w{w}")
+    # vacuum prunes manifest history to the retained window
+    removed = txlog.vacuum(root)
+    assert any("_commits.v" in r for r in removed)
+    assert txlog.read_manifest(root)["version"] == 199
 
 
 def test_vacuum_removes_only_unreferenced(tmp_path):
