@@ -56,9 +56,10 @@ pointer), and build/rebuild land their output as NEW files published
 by one reset commit (old files vacuumed after): every lifecycle verb —
 build, append, compact, rebuild — is now a single atomic publish, and
 readers can never observe data encoded under one parameter set decoded
-with another. Remaining honest boundary: single writer (no optimistic
-concurrency between concurrent committers) and a whole-manifest
-rewrite per commit — the two things a real table format adds.
+with another. The manifest itself is a versioned CAS log since round
+12 (concurrent committers retry, no lost updates; replay guards key on
+(lineage, batch id)); the remaining stated boundaries live in
+plans/txlog.py.
 """
 
 from __future__ import annotations
@@ -168,6 +169,7 @@ def _encode(
             meta["dim"],
             id_col=id_col,
             vec_col=vec_col,
+            stride=meta.get("imi_stride"),
         )
     else:
         enc = ivfpq_index(
@@ -406,6 +408,10 @@ def build_imi_index(
         "ks": ks,
         "imi_k1": k1,
         "imi_k2": k2,
+        # composite ids are c1·stride + c2 with FIXED stride = 2·k2:
+        # the headroom lets split_cell append level-2 entries without
+        # moving any existing cell id (exhausted headroom ⇒ rebuild)
+        "imi_stride": 2 * k2,
         "n_centroids": k1 * k2,  # effective cells (occupancy math)
         "centroids": cents1,
         "centroids2": cents2,
@@ -642,26 +648,42 @@ def split_cell(
     cell's old files, and flips the sidecar pointer — split is as
     crash-atomic as every other verb.
 
+    TWO-LEVEL (shared-codebook IMI) indexes split at LEVEL 2 (round
+    12 — the gating measurement showed the hot trigger fires on the
+    composite geometry too, ratio 12.8 under blob skew): the hot
+    composite cell (c1, c2) decomposes via the FIXED id stride, the
+    hot rows' RESIDUALS vs centroid c1 re-cluster into sub-entries via
+    L2 k-means, the shared level-2 codebook grows in place (slot c2
+    replaced, the rest appended — the build-time 2·k2 stride headroom
+    keeps every existing composite id stable; exhausted headroom ⇒
+    ValueError, rebuild), and only the hot cell's rows re-assign
+    (their c1 is fixed by construction). Same single-commit publish.
+
     Honest boundaries: (a) rows in OTHER cells are not re-examined — a
     row whose argmax would now flip to a new sub-cell stays where it
     is (bounded misplacement near the split region; the recall floor
     is pinned post-split in tests); (b) the drift baseline is NOT
     re-measured (finer centroids slightly shrink future assignment
     distances, biasing the drift ratio conservatively low — the hot
-    trigger, which split answers, is unaffected); (c) flat quantizer
-    only — the IMI analog is a level-2 refinement, and at IMI scale
-    hot cells dilute across k1·k2 instead.
+    trigger, which split answers, is unaffected); (c) the per-branch
+    variant has no split (it is the measured honest loser —
+    SCALE.md round 12 — and a per-branch codebook could grow past the
+    shared stride); (d) growing the SHARED level-2 codebook refines
+    FUTURE assignments of every branch (semantically a finer shared
+    dictionary — the same bounded-misplacement class as (a)).
 
     Returns ``{"cell", "new_cell_ids", "rows", "n_centroids"}``."""
     from .quantization import pq_reconstruct_joined
     from .similarity import cell_assign, kmeans_centroids, norm
 
     meta = load_index_meta(path)
-    if meta.get("quantizer") == "imi":
+    if meta.get("per_branch"):
         raise NotImplementedError(
-            "split_cell refines the FLAT quantizer; the two-level index's "
-            "hot-cell remedy is a level-2 refinement (roadmap) — or rebuild"
+            "split_cell supports the flat and shared-IMI geometries; the "
+            "per-branch variant is the measured honest loser — rebuild"
         )
+    if meta.get("quantizer") == "imi":
+        return _split_imi_cell(spark, path, meta, cell_id, n_subcells, n_iter)
     root = _data_path(path)
     old_files = [
         f for f in txlog.read_manifest(root)["files"] if _cell_of(f) == cell_id
@@ -720,6 +742,102 @@ def split_cell(
         "new_cell_ids": [cell_id] + list(range(first_new, len(new_cents))),
         "rows": recon.count(),
         "n_centroids": len(new_cents),
+    }
+
+
+def _split_imi_cell(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    cell_id: int,
+    n_subcells: int,
+    n_iter: int,
+) -> dict:
+    """:func:`split_cell`'s two-level path: grow the SHARED level-2
+    codebook with sub-entries trained on the hot composite cell's
+    residuals (reconstruction − level-1 centroid), re-assign only that
+    cell's rows, publish rows + grown codebook in one atomic commit.
+    O(hot cell); existing composite ids stay stable under the fixed
+    build-time stride."""
+    from .quantization import (
+        _lit_double,
+        pq_encode,
+        pq_reconstruct_joined,
+        pq_train,
+    )
+
+    root = _data_path(path)
+    stride = meta.get("imi_stride") or len(meta["centroids2"])
+    c1, _c2 = divmod(cell_id, stride)
+    cents2 = [list(c) for c in meta["centroids2"]]
+    k2 = len(cents2)
+    if k2 + n_subcells - 1 > stride:
+        raise ValueError(
+            f"level-2 headroom exhausted ({k2}+{n_subcells - 1} > stride "
+            f"{stride}); rebuild_index re-derives the geometry"
+        )
+    old_files = [
+        f for f in txlog.read_manifest(root)["files"] if _cell_of(f) == cell_id
+    ]
+    if not old_files:
+        raise ValueError(f"cell {cell_id} holds no committed files")
+    c1_vec = meta["centroids"][c1]
+    c1_lit = f"array({', '.join(_lit_double(x) for x in c1_vec)})"
+    res = (
+        pq_reconstruct_joined(
+            read_index(spark, path).filter(F.col("cell") == cell_id),
+            meta["codebooks"],
+            out_col="__cv",
+        )
+        .select(
+            "neighbor_id",
+            "pq_code",
+            F.expr(f"zip_with(__cv, {c1_lit}, (a, b) -> a - b)").alias(
+                "__res"
+            ),
+        )
+        # consumed by training AND re-assignment (O(hot cell) rows)
+        .localCheckpoint()
+    )
+    # L2 k-means over the hot residuals = pq_train with one full-width
+    # "subspace" (the imi_train level-2 recipe, scoped to this cell)
+    sub = pq_train(
+        res,
+        dim=meta["dim"],
+        m=1,
+        ks=n_subcells,
+        n_iter=n_iter,
+        id_col="neighbor_id",
+        vec_col="__res",
+        round_dp=6,
+    )[0]
+    cents2[_c2] = sub[0]
+    first_new = k2
+    cents2.extend(sub[1:])
+    reassigned = pq_encode(
+        res, [cents2], vec_col="__res", code_col="__c2a"
+    ).select(
+        "neighbor_id",
+        (F.lit(c1) * stride + F.element_at("__c2a", 1))
+        .cast("int")
+        .alias("cell"),
+        "pq_code",
+    )
+    added = _land(reassigned, path, "append")
+    meta["centroids2"] = cents2
+    meta["imi_k2"] = len(cents2)
+    meta["n_centroids"] = meta["imi_k1"] * len(cents2)
+    meta_file = _land_meta(path, meta)
+    txlog.commit(
+        root, add_files=added, remove_files=old_files, meta_file=meta_file
+    )
+    txlog.vacuum(root)
+    return {
+        "cell": cell_id,
+        "new_cell_ids": [cell_id]
+        + [c1 * stride + j for j in range(first_new, len(cents2))],
+        "rows": res.count(),
+        "n_centroids": meta["n_centroids"],
     }
 
 
@@ -831,6 +949,7 @@ def probe_index(
             n_probe2=n_probe,
             id_col=meta["id_col"],
             vec_col=meta["vec_col"],
+            stride=meta.get("imi_stride"),
         )
     return ivfpq_topk(
         queries,

@@ -850,16 +850,20 @@ def imi_cell_cols(
     cents2: list[list[float]],
     dim: int,
     vec_col: str,
+    stride: int | None = None,
 ) -> DataFrame:
-    """Append the composite cell id ``cell = c1·k2 + c2`` in ONE map
-    pass: c1 = cosine argmax vs cents1 (similarity.cell_assign — expr
-    or Arrow kernel by size), residual = literal-table lookup +
+    """Append the composite cell id ``cell = c1·stride + c2`` in ONE
+    map pass: c1 = cosine argmax vs cents1 (similarity.cell_assign —
+    expr or Arrow kernel by size), residual = literal-table lookup +
     elementwise subtract, c2 = L2 argmin of the residual vs cents2
     (pq_encode with m=1 — same kernel switch). No join, no Exchange;
-    both centroid sets ride the task binaries (k1+k2 vectors)."""
+    both centroid sets ride the task binaries (k1+k2 vectors).
+    ``stride`` defaults to len(cents2); the managed index builds with
+    HEADROOM (2·k2) so level-2 entries appended by a later
+    ``split_cell`` keep every existing composite id stable."""
     from .similarity import cell_assign, norm
 
-    k2 = len(cents2)
+    k2 = len(cents2) if stride is None else stride
     out = (
         df.withColumn("__imn", norm(F.col(vec_col), dim))
         .withColumn("__c1", cell_assign(vec_col, "__imn", cents1, dim))
@@ -886,6 +890,7 @@ def imi_index(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    stride: int | None = None,
 ) -> DataFrame:
     """The two-level index projection — (neighbor_id, cell, pq_code)
     with ``cell`` the composite id — in one map pass, the exact twin of
@@ -900,6 +905,7 @@ def imi_index(
         cents2,
         dim,
         vec_col,
+        stride=stride,
     )
     return pq_encode(assigned, codebooks, vec_col=vec_col).select(
         "neighbor_id", "cell", "pq_code"
@@ -915,6 +921,7 @@ def imi_probe_cells(
     n_probe2: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    stride: int | None = None,
 ) -> DataFrame:
     """(query_id, __qv, __qn, cell): each query's ``n_probe1·n_probe2``
     probed composite cells, JOINT-ranked:
@@ -941,7 +948,7 @@ def imi_probe_cells(
 
     from .similarity import _centroid_df, cosine, dot, norm
 
-    k2 = len(cents2)
+    k2 = len(cents2) if stride is None else stride
     spark = queries.sparkSession
     cent1 = _centroid_df(spark, cents1)
     w1 = Window.partitionBy("query_id").orderBy(
@@ -1016,6 +1023,7 @@ def imi_topk(
     n_probe2: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    stride: int | None = None,
 ) -> DataFrame:
     """Two-level IVF+PQ top-k: probe ``n_probe1·n_probe2`` composite
     cells of the k1·k2-cell index, decode and score ONLY that slice —
@@ -1024,7 +1032,8 @@ def imi_topk(
     geometry whose candidate fraction keeps falling past the flat
     quantizer's 4096-centroid cap."""
     probes = imi_probe_cells(
-        queries, cents1, cents2, dim, n_probe1, n_probe2, id_col, vec_col
+        queries, cents1, cents2, dim, n_probe1, n_probe2, id_col, vec_col,
+        stride=stride,
     )
     return _score_probed(
         probes,

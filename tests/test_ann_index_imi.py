@@ -92,7 +92,8 @@ def test_imi_append_equals_one_shot_encode(spark, corpus, imi_built):
     lifecycle invariant, re-proven on the composite cell geometry."""
     path, meta = imi_built
     one_shot = imi_index(
-        corpus, meta["centroids"], meta["centroids2"], meta["codebooks"], _DIM
+        corpus, meta["centroids"], meta["centroids2"], meta["codebooks"],
+        _DIM, stride=meta["imi_stride"],
     ).withColumn("cell", F.col("cell").cast("bigint"))
     assert _rows(AI.read_index(spark, path)) == _rows(one_shot)
 
@@ -107,7 +108,7 @@ def test_imi_probe_after_append_equals_one_shot_probe(spark, corpus, imi_built):
         queries,
         imi_index(
             corpus, meta["centroids"], meta["centroids2"],
-            meta["codebooks"], _DIM,
+            meta["codebooks"], _DIM, stride=meta["imi_stride"],
         ),
         meta["centroids"],
         meta["centroids2"],
@@ -116,19 +117,24 @@ def test_imi_probe_after_append_equals_one_shot_probe(spark, corpus, imi_built):
         k=5,
         n_probe1=3,
         n_probe2=3,
+        stride=meta["imi_stride"],
     )
     assert _probe_rows(got) == _probe_rows(want)
 
 
 def test_imi_composite_cells_cover_geometry(spark, imi_built):
-    """Composite ids live in [0, k1·k2) and decompose as c1·k2 + c2."""
+    """Composite ids live in [0, k1·stride) with c2 < k2 (the stride
+    headroom is reserved for split growth) and decompose as
+    c1·stride + c2."""
     path, meta = imi_built
     cells = [
         r["cell"]
         for r in AI.read_index(spark, path).select("cell").distinct().collect()
     ]
     k1, k2 = meta["imi_k1"], meta["imi_k2"]
-    assert all(0 <= c < k1 * k2 for c in cells)
+    stride = meta["imi_stride"]
+    assert stride == 2 * 6
+    assert all(0 <= c < k1 * stride and c % stride < k2 for c in cells)
     assert len(cells) > k1  # finer than any flat k1-cell partitioning
 
 
@@ -317,13 +323,86 @@ def test_split_cell_crash_before_commit_changes_nothing(
     assert _rows(AI.read_index(spark, path)) == before_rows
 
 
-def test_split_cell_rejects_imi_and_empty(spark, corpus, imi_built, flat_built):
-    imi_path, _ = imi_built
+def test_split_cell_rejects_perbranch_headroom_and_empty(
+    spark, corpus, imi_pb_built, imi_built, flat_built
+):
     with pytest.raises(NotImplementedError):
-        AI.split_cell(spark, imi_path, 0)
+        AI.split_cell(spark, imi_pb_built[0], 0)
     flat_path, _ = flat_built
     with pytest.raises(ValueError):
         AI.split_cell(spark, flat_path, 9999)
+    # shared-IMI headroom bound: stride 12 at k2=6 leaves room for 6
+    # extra entries — asking for 8 subcells must refuse, not corrupt
+    imi_path, meta = imi_built
+    some_cell = AI.read_index(spark, imi_path).select("cell").first()["cell"]
+    with pytest.raises(ValueError, match="headroom"):
+        AI.split_cell(spark, imi_path, int(some_cell), n_subcells=8)
+
+
+def test_split_imi_cell_refines_level_two(spark, corpus, tmp_path):
+    """The two-level split rung: a blob-hot composite cell splits by
+    GROWING the shared level-2 codebook (ids stable under the stride
+    headroom) — rows preserved, other cells' files untouched, hot
+    occupancy reduced, the index still appends and probes."""
+    nat = corpus.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias(
+            "embedding"
+        ),
+    )
+    base = nat.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("__b")
+    )
+    blob = (
+        nat.filter(F.col("vec_id") < 150)
+        .crossJoin(F.broadcast(base))
+        .select(
+            (F.col("vec_id") + 10_000).alias("vec_id"),
+            F.expr(
+                "zip_with(__b, embedding, (b, e) -> 0.9 * b + 0.3 * e)"
+            ).alias("embedding"),
+        )
+    )
+    skewed = nat.unionByName(blob)
+    path = str(tmp_path / "imi_split_idx")
+    meta = AI.build_imi_index(spark, skewed, path, dim=_DIM, k1=3, k2=3)
+    root = str(tmp_path / "imi_split_idx" / "index")
+    crit = AI.retrain_criterion(spark, path)
+    hot = crit["hot_cell"]
+    before_codes = _codes(AI.read_index(spark, path))
+    occ_before = {
+        r["cell"]: r["n"]
+        for r in AI.read_index(spark, path).groupBy("cell")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    files_before = txlog.read_manifest(root)["files"]
+    untouched = {f for f in files_before if AI._cell_of(f) != hot}
+    report = AI.split_cell(spark, path, hot, n_subcells=2)
+    assert report["rows"] == occ_before[hot]
+    new_meta = AI.load_index_meta(path)
+    assert new_meta["imi_k2"] == 4  # shared codebook grew
+    assert new_meta["imi_stride"] == 6  # ids stable
+    assert new_meta["n_centroids"] == 3 * 4
+    assert _codes(AI.read_index(spark, path)) == before_codes
+    assert untouched <= set(txlog.read_manifest(root)["files"])
+    occ_after = {
+        r["cell"]: r["n"]
+        for r in AI.read_index(spark, path).groupBy("cell")
+        .agg(F.count("*").alias("n")).collect()
+    }
+    assert occ_after.get(hot, 0) < occ_before[hot]
+    assert max(occ_after.values()) <= max(occ_before.values())
+    # all cells still decompose under the stride with c2 < grown k2
+    assert all(c % 6 < 4 for c in occ_after)
+    # lifecycle continues: append + probe against the grown codebook
+    extra = skewed.limit(20).select(
+        (F.col("vec_id") + 500_000).alias("vec_id"), "embedding"
+    )
+    assert AI.append_ivfpq_index(spark, path, extra)["appended"] == 20
+    probed = AI.probe_index(
+        spark, path, skewed.filter(F.col("vec_id") < 8), k=5, n_probe=2
+    )
+    assert probed.count() > 0
 
 
 def test_derived_imi_k_rule():
