@@ -100,16 +100,34 @@ def _current_manifest_path(root: str) -> str | None:
     return legacy if os.path.exists(legacy) else None
 
 
-def read_manifest(root: str) -> dict:
-    """Current committed state: ``{"version", "files", "batch_ids",
+def read_manifest(root: str, version: int | None = None) -> dict:
+    """Committed state ``{"version", "files", "batch_ids",
     "batch_watermark", "meta_file", "lineages"}`` — ``lineages`` maps
     lineage name → ``{"ids": [...], "watermark": int|None}``; the
     legacy top-level ``batch_ids``/``batch_watermark`` mirror the
     default lineage. A missing manifest is version -1 with nothing
     visible. Manifests written before the watermark / meta-pointer /
     lineage fields existed read back with neutral defaults (their
-    batch history becomes the default lineage)."""
-    path = _current_manifest_path(root)
+    batch history becomes the default lineage).
+
+    ``version`` (round 12 — the versioned log's TIME TRAVEL): read the
+    state AS OF that commit version instead of the latest. Only
+    versions inside the vacuum-retained history window
+    (``_MANIFEST_HISTORY``) are readable; asking for a pruned or
+    never-written version raises FileNotFoundError rather than
+    silently answering from a different snapshot. Pair with
+    ``committed_files(root, version=...)`` for a consistent
+    as-of read (vacuum permitting — vacuumed data files are gone
+    regardless of which manifest once referenced them)."""
+    if version is None:
+        path = _current_manifest_path(root)
+    else:
+        path = os.path.join(root, f"_commits.v{version}.json")
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"no manifest version {version} at {root!r} "
+                "(never written, or pruned by vacuum)"
+            )
     if path is None:
         state = {"version": -1, "files": [], "batch_ids": []}
     else:
@@ -254,9 +272,13 @@ def current_meta_file(root: str) -> str | None:
     return None if rel is None else os.path.join(root, rel)
 
 
-def committed_files(root: str) -> list[str]:
-    """Absolute paths of the currently visible data files."""
-    return [os.path.join(root, f) for f in read_manifest(root)["files"]]
+def committed_files(root: str, version: int | None = None) -> list[str]:
+    """Absolute paths of the visible data files — current, or AS OF a
+    retained ``version`` (time travel over the versioned log)."""
+    return [
+        os.path.join(root, f)
+        for f in read_manifest(root, version=version)["files"]
+    ]
 
 
 def list_data_files(root: str, pattern: str = "**/part-*") -> list[str]:

@@ -214,3 +214,30 @@ def test_legacy_manifest_migrates_to_default_lineage(tmp_path):
     assert not txlog.has_batch(root, 2, lineage="other")
     state = txlog.commit(root, batch_id=3)
     assert state["batch_ids"] == [1, 2, 3]
+
+
+def test_time_travel_reads_retained_versions(tmp_path):
+    """The versioned log doubles as history: read_manifest/
+    committed_files answer AS OF any retained version; pruned or
+    never-written versions raise instead of answering from a different
+    snapshot."""
+    import pytest
+
+    root = str(tmp_path)
+    txlog.commit(root, add_files=["a"])                      # v0
+    txlog.commit(root, add_files=["b"], batch_id=5)          # v1
+    txlog.commit(root, remove_files=["a"], add_files=["c"])  # v2
+    assert txlog.read_manifest(root)["files"] == ["b", "c"]
+    assert txlog.read_manifest(root, version=0)["files"] == ["a"]
+    v1 = txlog.read_manifest(root, version=1)
+    assert v1["files"] == ["a", "b"] and v1["batch_ids"] == [5]
+    assert [os.path.basename(f) for f in txlog.committed_files(root, version=0)] == ["a"]
+    with pytest.raises(FileNotFoundError):
+        txlog.read_manifest(root, version=7)
+    # vacuum prunes history past the window; pruned versions raise
+    for i in range(15):
+        txlog.commit(root, add_files=[f"x{i}"])
+    txlog.vacuum(root)
+    with pytest.raises(FileNotFoundError):
+        txlog.read_manifest(root, version=0)
+    assert txlog.read_manifest(root)["version"] == 17
