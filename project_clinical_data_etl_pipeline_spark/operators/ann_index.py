@@ -60,6 +60,26 @@ with another. The manifest itself is a versioned CAS log since round
 12 (concurrent committers retry, no lost updates; replay guards key on
 (lineage, batch id)); the remaining stated boundaries live in
 plans/txlog.py.
+
+Concurrency contract on ONE index root (round 13, exact):
+- **Concurrent APPENDS compose.** Landings have exact attribution
+  (txlog.land staging — no listing diffs), commits CAS, and the
+  sidecar pointer is conflict-checked (``expect_meta_file``): an
+  append that raced another writer's parameter change gets
+  txlog.MetaConflict and redoes itself under the winner's sidecar —
+  drift counters merge correctly because each redo re-reads them.
+- **Appends racing ONE maintenance verb compose** the same way (the
+  split tolerating an interleaved append, and vice versa).
+- **Maintenance verbs are serialized per index** (one maintainer at a
+  time — the Delta OPTIMIZE deployment shape): two cell-rewriting
+  verbs racing could each re-add rows the other just retired. Not
+  detected, by scope; stated here.
+- **Rebuild quiesces appends**: it re-encodes a corpus snapshot, so an
+  append that commits between the snapshot read and the reset commit
+  would have its vectors dropped with its batch id retained (no
+  replay rescue). Stop the append stream around rebuild_index — the
+  criterion that recommends rebuilds is read by the same operator
+  that owns the stream.
 """
 
 from __future__ import annotations
@@ -74,6 +94,7 @@ from pyspark.sql import functions as F
 from ..plans import txlog
 
 _DATA_DIR = "index"
+_META_RETRIES = 4  # redo attempts when a verb loses the parameter race
 
 
 def _data_path(path: str) -> str:
@@ -86,11 +107,32 @@ def load_index_meta(path: str) -> dict:
     pointer, so the parameters a reader sees always match the files it
     sees. Raises FileNotFoundError for a path that holds no built
     index — callers must not silently treat an empty dir as an index."""
-    meta_path = txlog.current_meta_file(_data_path(path))
+    return _load_meta_pointed(path)[0]
+
+
+def _load_meta_pointed(path: str) -> tuple[dict, str | None]:
+    """(meta, pointer) — the pointer is the manifest-relative sidecar
+    name the meta was resolved through, the value a mutating verb
+    passes back as ``expect_meta_file`` so an interleaved parameter
+    change surfaces as txlog.MetaConflict instead of being silently
+    reverted (round 13). Pointer is None for a LEGACY pre-round-12
+    index (manifest without a ``meta_file`` pointer): those fall back
+    to the unversioned ``_meta.json`` sidecar next to the data — old
+    targets keep working, exactly as txlog migrates legacy manifests;
+    the next parameter-writing commit flips them to a versioned
+    pointer and vacuum then retires the legacy file."""
+    root = _data_path(path)
+    meta_path = txlog.current_meta_file(root)
     if meta_path is None:
+        legacy = os.path.join(root, "_meta.json")
+        if txlog.read_manifest(root)["version"] >= 0 and os.path.exists(
+            legacy
+        ):
+            with open(legacy) as fh:
+                return json.load(fh), None
         raise FileNotFoundError(f"no committed index at {path!r}")
     with open(meta_path) as fh:
-        return json.load(fh)
+        return json.load(fh), os.path.relpath(meta_path, root)
 
 
 def _land_meta(path: str, meta: dict) -> str:
@@ -183,7 +225,7 @@ def _encode(
     return enc.withColumn("cell", F.col("cell").cast("int"))
 
 
-def _land(delta: DataFrame, path: str, mode: str) -> list[str]:
+def _land(delta: DataFrame, path: str, mode: str = "append") -> list[str]:
     """Write (one file per cell): every cell's rows hash to exactly one
     of the ``n_cells`` write tasks, so each ``cell=`` directory receives
     exactly one file per landing — the bucketed layout's one-file
@@ -192,24 +234,25 @@ def _land(delta: DataFrame, path: str, mode: str) -> list[str]:
     Returns the RELATIVE paths of the files this write created —
     landed but NOT yet published: readers go through the commit
     manifest (plans.txlog), so a crash after this write leaves
-    invisible orphans, never half-applied state. Single writer
-    assumed (the txlog contract), so a before/after listing diff is
-    exactly this write's files."""
+    invisible orphans, never half-applied state. Attribution is EXACT
+    (round 13): the write stages into a fresh hidden directory and the
+    moved files are returned (txlog.land) — no before/after listing
+    diff, so concurrent writers on the same index can never claim each
+    other's landed-but-uncommitted files, and landing cost no longer
+    scales with the target's total file count."""
     from ..plans import txlog
 
-    before = set(txlog.list_data_files(_data_path(path)))
     n_cells = delta.select("cell").distinct().count()
-    (
-        delta.repartition(max(1, n_cells), F.col("cell"))
-        .write.mode(mode)
-        .partitionBy("cell")
-        .parquet(_data_path(path))
-    )
-    return [
-        f
-        for f in txlog.list_data_files(_data_path(path))
-        if f not in before
-    ]
+
+    def write(staging: str) -> None:
+        (
+            delta.repartition(max(1, n_cells), F.col("cell"))
+            .write.mode("overwrite")
+            .partitionBy("cell")
+            .parquet(staging)
+        )
+
+    return txlog.land(_data_path(path), write)
 
 
 def derived_n_centroids(n: int, floor: int = 16, cap: int = 4096) -> int:
@@ -457,20 +500,19 @@ def append_ivfpq_index(
     needed. Since round 12 the drift counters ride the same commit as
     the files (the sidecar is versioned and pointer-flipped by the
     manifest), so a crashed append can no longer skew the drift ratio;
-    superseded sidecar versions are reclaimed by the next vacuum."""
-    meta = load_index_meta(path)
-    if batch_id is not None and txlog.has_batch(
-        _data_path(path), batch_id, lineage=lineage
-    ):
-        return {
-            "appended": 0,
-            "touched_cells": 0,
-            "mean_dist": None,
-            "drift_ratio": None,
-            "replayed": True,
-        }
+    superseded sidecar versions are reclaimed by the next vacuum.
+
+    RACING MAINTENANCE (round 13): the commit carries
+    ``expect_meta_file`` — the pointer this append's parameters were
+    read through. If a concurrent split/compact/rebuild flipped the
+    parameters in between, the commit raises txlog.MetaConflict and
+    the append REDOES itself under the winner's sidecar (re-encode,
+    re-land, re-commit; the orphaned first landing is reclaimed by
+    vacuum's grace path). Blindly winning instead would revert a
+    split's grown centroid table while its reassigned rows (cell ids
+    past the old table) stay committed — the exact data/parameter
+    mismatch the versioned sidecar exists to prevent."""
     new_vectors = new_vectors.localCheckpoint(eager=False)  # scanned 2x
-    delta = _encode(new_vectors, meta, meta["id_col"], meta["vec_col"])
     n = new_vectors.count()
     if n == 0:
         return {
@@ -479,31 +521,52 @@ def append_ivfpq_index(
             "mean_dist": None,
             "drift_ratio": None,
         }
-    touched = delta.select("cell").distinct().count()
-    added = _land(delta, path, "append")
-    d = _mean_assign_dist(
-        new_vectors, meta["centroids"], meta["dim"], meta["vec_col"]
+    for _ in range(_META_RETRIES):
+        meta, pointer = _load_meta_pointed(path)
+        if batch_id is not None and txlog.has_batch(
+            _data_path(path), batch_id, lineage=lineage
+        ):
+            return {
+                "appended": 0,
+                "touched_cells": 0,
+                "mean_dist": None,
+                "drift_ratio": None,
+                "replayed": True,
+            }
+        delta = _encode(new_vectors, meta, meta["id_col"], meta["vec_col"])
+        touched = delta.select("cell").distinct().count()
+        added = _land(delta, path, "append")
+        d = _mean_assign_dist(
+            new_vectors, meta["centroids"], meta["dim"], meta["vec_col"]
+        )
+        meta["appended_n"] += n
+        meta["appended_dist_sum"] += (d or 0.0) * n
+        meta["n_appends"] += 1
+        meta_file = _land_meta(path, meta)
+        try:
+            # THE commit point: files become visible, the batch id
+            # becomes applied, and the drift counters advance in one
+            # atomic rename
+            txlog.commit(
+                _data_path(path),
+                add_files=added,
+                batch_id=batch_id,
+                lineage=lineage,
+                meta_file=meta_file,
+                expect_meta_file=pointer,
+            )
+        except txlog.MetaConflict:
+            continue  # parameters moved under us — redo on the winner's
+        base = meta["build_mean_dist"]
+        return {
+            "appended": n,
+            "touched_cells": touched,
+            "mean_dist": d,
+            "drift_ratio": (None if not base or d is None else d / base),
+        }
+    raise txlog.CommitConflict(
+        f"append lost the parameter race {_META_RETRIES} times at {path!r}"
     )
-    meta["appended_n"] += n
-    meta["appended_dist_sum"] += (d or 0.0) * n
-    meta["n_appends"] += 1
-    meta_file = _land_meta(path, meta)
-    # THE commit point: files become visible, the batch id becomes
-    # applied, and the drift counters advance in one atomic rename
-    txlog.commit(
-        _data_path(path),
-        add_files=added,
-        batch_id=batch_id,
-        lineage=lineage,
-        meta_file=meta_file,
-    )
-    base = meta["build_mean_dist"]
-    return {
-        "appended": n,
-        "touched_cells": touched,
-        "mean_dist": d,
-        "drift_ratio": (None if not base or d is None else d / base),
-    }
 
 
 def rebuild_index(
@@ -672,18 +735,51 @@ def split_cell(
     FUTURE assignments of every branch (semantically a finer shared
     dictionary — the same bounded-misplacement class as (a)).
 
-    Returns ``{"cell", "new_cell_ids", "rows", "n_centroids"}``."""
+    Returns ``{"cell", "new_cell_ids", "rows", "n_centroids"}``.
+
+    Concurrency scope (round 13): split tolerates RACING APPENDS — its
+    commit carries ``expect_meta_file``, so an append that flipped the
+    drift counters in between surfaces as txlog.MetaConflict and the
+    split redoes itself on the fresh state (the appended rows in the
+    hot cell simply join the re-cluster). Maintenance verbs
+    (compact/split/rebuild) stay SERIALIZED per index — one maintainer
+    at a time, the Delta OPTIMIZE deployment shape — because two
+    cell-rewriting verbs racing can re-add each other's retired rows."""
+    for _ in range(_META_RETRIES):
+        meta, pointer = _load_meta_pointed(path)
+        if meta.get("per_branch"):
+            raise NotImplementedError(
+                "split_cell supports the flat and shared-IMI geometries; "
+                "the per-branch variant is the measured honest loser — "
+                "rebuild"
+            )
+        try:
+            if meta.get("quantizer") == "imi":
+                return _split_imi_cell(
+                    spark, path, meta, pointer, cell_id, n_subcells, n_iter
+                )
+            return _split_flat_cell(
+                spark, path, meta, pointer, cell_id, n_subcells, n_iter
+            )
+        except txlog.MetaConflict:
+            continue  # an append flipped the counters — redo on its state
+    raise txlog.CommitConflict(
+        f"split lost the parameter race {_META_RETRIES} times at {path!r}"
+    )
+
+
+def _split_flat_cell(
+    spark: SparkSession,
+    path: str,
+    meta: dict,
+    pointer: str | None,
+    cell_id: int,
+    n_subcells: int,
+    n_iter: int,
+) -> dict:
     from .quantization import pq_reconstruct_joined
     from .similarity import cell_assign, kmeans_centroids, norm
 
-    meta = load_index_meta(path)
-    if meta.get("per_branch"):
-        raise NotImplementedError(
-            "split_cell supports the flat and shared-IMI geometries; the "
-            "per-branch variant is the measured honest loser — rebuild"
-        )
-    if meta.get("quantizer") == "imi":
-        return _split_imi_cell(spark, path, meta, cell_id, n_subcells, n_iter)
     root = _data_path(path)
     old_files = [
         f for f in txlog.read_manifest(root)["files"] if _cell_of(f) == cell_id
@@ -732,9 +828,14 @@ def split_cell(
     meta["n_centroids"] = len(new_cents)
     meta_file = _land_meta(path, meta)
     # THE commit: refined rows in, superseded hot files out, refined
-    # centroid table current — one atomic publish
+    # centroid table current — one atomic publish; expect_meta_file
+    # surfaces an interleaved parameter change as MetaConflict
     txlog.commit(
-        root, add_files=added, remove_files=old_files, meta_file=meta_file
+        root,
+        add_files=added,
+        remove_files=old_files,
+        meta_file=meta_file,
+        expect_meta_file=pointer,
     )
     txlog.vacuum(root)
     return {
@@ -749,6 +850,7 @@ def _split_imi_cell(
     spark: SparkSession,
     path: str,
     meta: dict,
+    pointer: str | None,
     cell_id: int,
     n_subcells: int,
     n_iter: int,
@@ -829,7 +931,11 @@ def _split_imi_cell(
     meta["n_centroids"] = meta["imi_k1"] * len(cents2)
     meta_file = _land_meta(path, meta)
     txlog.commit(
-        root, add_files=added, remove_files=old_files, meta_file=meta_file
+        root,
+        add_files=added,
+        remove_files=old_files,
+        meta_file=meta_file,
+        expect_meta_file=pointer,
     )
     txlog.vacuum(root)
     return {

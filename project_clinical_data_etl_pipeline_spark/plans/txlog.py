@@ -30,10 +30,42 @@ winner's state and retries its commit on top (bounded retries, then
 ``CommitConflict``). Readers resolve the highest version present —
 always a complete file, never torn. The version files double as the
 log's history; ``vacuum`` retains the trailing window. The former
-single-writer caveat is CLOSED (multi-writer lost-update test-pinned);
-what remains vs Delta is conflict SEMANTICS (blind retry re-applies
-the same add/remove sets rather than checking logical conflicts —
-fine for the disjoint-file writers this repo composes).
+single-writer caveat is CLOSED (multi-writer lost-update test-pinned).
+
+Conflict SEMANTICS (round 13): file-level retries stay blind — a
+loser re-applies its add/remove sets on the winner's state, which is
+correct for the disjoint-file writers this repo composes. The ONE
+logical conflict the log now detects is the sidecar pointer: a writer
+that derived its new ``meta_file`` from the pointer it READ passes
+that origin as ``expect_meta_file``; if any interleaved commit moved
+the pointer, the commit raises :class:`MetaConflict` instead of
+blindly reverting the winner's (possibly structurally different —
+e.g. a split's longer centroid table) parameters. The caller
+re-derives from the winner's sidecar and retries — the optimistic-
+concurrency recipe one level up. Writers with richer intents
+(non-disjoint file sets, schema changes) would hook the same seam:
+compare the intent's read-base against the winner's state inside the
+retry loop and raise a typed conflict — that seam is this module's
+extension point, deliberately not built until a non-disjoint writer
+exists.
+
+PLATFORM boundary, stated: the CAS primitive is ``os.link`` —
+POSIX hard-link create-if-absent atomicity. Local/NFS/POSIX
+filesystems (this repo's target) have it; object stores do NOT — an
+S3/GCS port must swap in the store's conditional put
+(If-None-Match / x-goog-if-generation-match: 0), which has the same
+exactly-one-winner semantics. Nothing else in the protocol changes.
+
+VACUUM under concurrency: files referenced by a RETAINED manifest
+version but not the current one are superseded — no writer will
+commit them again, so they delete immediately. Files referenced by NO
+retained version are either crash orphans or another writer's
+landed-but-not-yet-committed output; the two are indistinguishable by
+name, so vacuum only removes them past ``orphan_grace_s`` (default
+10 min — the Iceberg remove_orphan_files recipe, which defaults to
+3 days for the same reason). Keep the grace above the longest
+land→commit window, or run grace-0 vacuums only while no writer is
+mid-landing.
 
 Deliberate simplifications vs a real table format, stated:
 - the manifest is rewritten whole per commit — MEASURED (round 12):
@@ -68,6 +100,8 @@ import glob
 import json
 import os
 import re
+import shutil
+import time
 import uuid
 
 _LEGACY_MANIFEST = "_commits.json"
@@ -76,11 +110,31 @@ _BATCH_ID_HORIZON = 1000
 _DEFAULT_LINEAGE = "default"
 _COMMIT_RETRIES = 64
 _MANIFEST_HISTORY = 10  # versions vacuum retains
+_ORPHAN_GRACE_S = 600.0  # never-referenced files younger than this survive vacuum
+_UNSET = object()  # expect_meta_file sentinel: "no expectation" ≠ "expect None"
 
 
 class CommitConflict(RuntimeError):
     """Raised when a commit loses the version race _COMMIT_RETRIES
     times in a row — pathological contention, not a normal outcome."""
+
+
+class MetaConflict(RuntimeError):
+    """Raised when a commit's ``expect_meta_file`` no longer matches
+    the manifest: an interleaved commit moved the sidecar pointer, so
+    the caller's landed sidecar was derived from STALE parameters.
+    Blindly winning would revert the interleaved writer's (possibly
+    structural — a split's grown centroid table) change while its data
+    stays committed; the caller must re-derive from the winner's
+    sidecar and retry. Carries the current pointer as ``.current``."""
+
+    def __init__(self, expected, current):
+        super().__init__(
+            f"sidecar pointer moved: expected {expected!r}, "
+            f"manifest now points at {current!r} — re-derive and retry"
+        )
+        self.expected = expected
+        self.current = current
 
 
 def _manifest_versions(root: str) -> list[tuple[int, str]]:
@@ -159,6 +213,7 @@ def commit(
     meta_file: str | None = None,
     lineage: str = _DEFAULT_LINEAGE,
     carry_lineages: dict | None = None,
+    expect_meta_file: str | None = _UNSET,
 ) -> dict:
     """Publish a new version: files in ``add_files`` become visible,
     ``remove_files`` stop being visible, ``batch_id`` /``batch_ids``
@@ -180,10 +235,23 @@ def commit(
     ``_commits.v{N+1}.json``; a loser re-reads and retries on top of
     the winner (up to ``_COMMIT_RETRIES``, then
     :class:`CommitConflict`). Returns the new state. Paths are
-    relative to ``root``."""
+    relative to ``root``.
+
+    ``expect_meta_file`` (round 13 — the sidecar-pointer conflict
+    check): pass the pointer value the caller READ when it derived the
+    ``meta_file`` it is now committing. If the manifest's pointer no
+    longer equals it — an interleaved commit changed the parameters —
+    the commit raises :class:`MetaConflict` instead of reverting the
+    winner's sidecar; the caller re-derives and retries. Leave unset
+    for pointer-blind commits (pure file add/remove) and for resets
+    that replace the whole generation."""
     os.makedirs(root, exist_ok=True)
     for _ in range(_COMMIT_RETRIES):
         state = read_manifest(root)
+        if expect_meta_file is not _UNSET and (
+            state["meta_file"] != expect_meta_file
+        ):
+            raise MetaConflict(expect_meta_file, state["meta_file"])
         prev_files = [] if reset else state["files"]
         files = [f for f in prev_files if f not in set(remove_files)]
         files += [f for f in add_files if f not in set(files)]
@@ -244,8 +312,15 @@ def commit(
             return new
         except FileExistsError:
             continue  # lost the race — retry on the winner's state
+        except FileNotFoundError:
+            # a concurrent grace-0 vacuum unlinked our temp between
+            # write and link — the loop rewrites it fresh next pass
+            continue
         finally:
-            os.unlink(tmp)
+            try:
+                os.unlink(tmp)
+            except FileNotFoundError:
+                pass  # already reclaimed by that same vacuum
     raise CommitConflict(
         f"lost the commit race {_COMMIT_RETRIES} times at {root!r}"
     )
@@ -291,25 +366,71 @@ def list_data_files(root: str, pattern: str = "**/part-*") -> list[str]:
     return sorted(out)
 
 
-def vacuum(root: str) -> list[str]:
-    """Delete physical data files not referenced by the manifest — the
-    leftovers of crashed (uncommitted) writes and of compactions' /
-    rebuilds' superseded inputs — plus superseded versioned sidecars
-    (``_meta.v*.json`` other than the committed pointer), manifest
-    history past the retained window (``_MANIFEST_HISTORY`` versions,
-    and the legacy single-file manifest once versioned ones exist),
-    and crashed commit temp files. Returns the removed relative
+def _referenced_ever(root: str) -> tuple[set[str], set[str]]:
+    """(data files, sidecar pointers) referenced by ANY retained
+    manifest version (plus the legacy manifest) — the superseded-vs-
+    never-referenced split vacuum's safety rests on. Cost: ≤
+    ``_MANIFEST_HISTORY`` + 1 small JSON reads."""
+    files: set[str] = set()
+    metas: set[str] = set()
+    paths = [f for _, f in _manifest_versions(root)]
+    legacy = os.path.join(root, _LEGACY_MANIFEST)
+    if os.path.exists(legacy):
+        paths.append(legacy)
+    for p in paths:
+        try:
+            with open(p) as fh:
+                st = json.load(fh)
+        except FileNotFoundError:
+            continue  # pruned by a concurrent vacuum — fine
+        files.update(st.get("files", []))
+        if st.get("meta_file"):
+            metas.add(st["meta_file"])
+    return files, metas
+
+
+def vacuum(root: str, orphan_grace_s: float = _ORPHAN_GRACE_S) -> list[str]:
+    """Delete dead physical state. Two classes, treated differently
+    (round 13 — the multi-writer hazard the round-12 advice named):
+
+    - **Superseded** files — referenced by a RETAINED manifest version
+      but not the current one (compactions'/rebuilds'/splits' retired
+      inputs, stale sidecars). No writer will ever commit these again,
+      so they delete IMMEDIATELY.
+    - **Never-referenced** files — crash orphans, or another writer's
+      landed-but-not-yet-committed output; indistinguishable by name.
+      Deleted only when older than ``orphan_grace_s`` (mtime), so a
+      concurrent writer's in-flight landing survives. Crash-cleanup
+      callers that KNOW no writer is active pass ``orphan_grace_s=0``.
+
+    Also prunes manifest history past ``_MANIFEST_HISTORY`` versions,
+    the legacy single-file manifest once versioned ones exist, and
+    commit temp files older than the grace. Returns removed relative
     paths."""
     state = read_manifest(root)
     visible = set(state["files"])
+    ever_files, ever_metas = _referenced_ever(root)
+    now = time.time()
+
+    def _expired(path: str) -> bool:
+        try:
+            return now - os.path.getmtime(path) > orphan_grace_s
+        except FileNotFoundError:
+            return False  # already gone (concurrent vacuum)
+
     removed = []
     for rel in list_data_files(root):
-        if rel not in visible:
-            os.remove(os.path.join(root, rel))
+        if rel in visible:
+            continue
+        p = os.path.join(root, rel)
+        if rel in ever_files or _expired(p):
+            os.remove(p)
             removed.append(rel)
     for f in glob.glob(os.path.join(root, "_meta.v*.json")):
         rel = os.path.relpath(f, root)
-        if rel != state["meta_file"]:
+        if rel == state["meta_file"]:
+            continue
+        if rel in ever_metas or _expired(f):
             os.remove(f)
             removed.append(rel)
     versions = _manifest_versions(root)
@@ -318,9 +439,50 @@ def vacuum(root: str) -> list[str]:
         removed.append(os.path.relpath(f, root))
     legacy = os.path.join(root, _LEGACY_MANIFEST)
     if versions and os.path.exists(legacy):
+        # the legacy manifest (and its pre-versioned `_meta.json`
+        # sidecar, if a versioned pointer has superseded it) retire
+        # once the versioned log exists
         os.remove(legacy)
         removed.append(_LEGACY_MANIFEST)
+    legacy_meta = os.path.join(root, "_meta.json")
+    if (
+        versions
+        and state["meta_file"] is not None
+        and os.path.exists(legacy_meta)
+    ):
+        os.remove(legacy_meta)
+        removed.append("_meta.json")
     for f in glob.glob(os.path.join(root, ".commit-*.tmp")):
-        os.remove(f)
-        removed.append(os.path.relpath(f, root))
+        if _expired(f):
+            os.remove(f)
+            removed.append(os.path.relpath(f, root))
     return sorted(removed)
+
+
+def land(root: str, write_fn) -> list[str]:
+    """Stage-and-move landing with EXACT file attribution (round 13 —
+    replaces the before/after directory-listing diff, which both
+    mis-attributed concurrent writers' files and cost O(total files)
+    per landing): ``write_fn(staging_dir)`` writes its output under a
+    fresh hidden staging directory; every data file is then moved into
+    ``root`` preserving its relative (partition) path and the moved
+    relative paths — exactly this landing's files, whatever any other
+    writer is doing — are returned, still INVISIBLE until a commit
+    lists them. The staging dir is dot-prefixed so ``list_data_files``
+    / ``vacuum`` (non-hidden ``**`` glob) never see half-written
+    output; moves are same-filesystem renames (atomic, no copy).
+    Spark part filenames embed a per-write uuid, so moves cannot
+    collide with committed files."""
+    staging = os.path.join(root, f".staging-{uuid.uuid4().hex}")
+    os.makedirs(staging, exist_ok=True)
+    try:
+        write_fn(staging)
+        moved = []
+        for rel in list_data_files(staging):
+            dest = os.path.join(root, rel)
+            os.makedirs(os.path.dirname(dest), exist_ok=True)
+            os.replace(os.path.join(staging, rel), dest)
+            moved.append(rel)
+        return sorted(moved)
+    finally:
+        shutil.rmtree(staging, ignore_errors=True)

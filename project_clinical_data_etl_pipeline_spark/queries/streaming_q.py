@@ -128,6 +128,27 @@ _BLOOMW_CELLS_SQL = "\nUNION ALL\n".join(
     for i in range(_BLOOM_K)
 )
 
+# Sidecar-read twin (round 13): the per-day HLL profile the upsert
+# maintains over the target's event_type column. Registers depend only
+# on the SET of values per day, and the leg's two-batch upsert drives
+# the target to exactly the batch hourly aggregate — so the oracle
+# re-derives the same registers straight from events (every (day,
+# event_type) pair in the final target appears in events and vice
+# versa), p=8 = upsert_partitioned's sketch_p.
+_HLLUP_ORACLE = hll_oracle_sql(
+    "event_type",
+    "(SELECT * FROM events WHERE ts IS NOT NULL) tn",
+    (("window_start", "strftime(date_trunc('day', ts), '%Y-%m-%d')"),),
+)
+
+_HOURLY_SUITE_SQL += f"""
+    UNION ALL
+    SELECT 'hllup' AS part, window_start,
+           CAST(NULL AS VARCHAR) AS event_type,
+           s_int AS n_events, est_raw AS total_value
+    FROM ({_HLLUP_ORACLE})
+"""
+
 _HOURLY_SUITE_SQL += f"""
     UNION ALL
     SELECT 'bloomw' AS part, window_start, key AS event_type,
@@ -213,7 +234,19 @@ _HOURLY_SUITE_SQL += f"""
     "state ≤ m bit rows per window at any cardinality, and IDEMPOTENT "
     "like the HLL registers so at-least-once replays are harmless); "
     "the per-window no-false-negative guarantee grades cross-engine "
-    "(streamed bits ≡ batch bits per window, hash-match).",
+    "(streamed bits ≡ batch bits per window, hash-match). 'hllup' leg "
+    "(round 13): the upsert target's PER-DAY PROFILE SIDECAR read "
+    "path — two deterministic upsert batches (first-half aggregates, "
+    "then full-day replacements for every day the second half "
+    "touches) drive the day-partitioned target to exactly the batch "
+    "hourly aggregate while the per-day HLL sidecar over event_type "
+    "rides each commit (streaming/incremental.py upsert_partitioned); "
+    "the leg then answers distinct-event_type-per-day FROM THE "
+    "SIDECAR ALONE (read_upsert_sketch — profile-without-rescan) and "
+    "the oracle re-derives the identical registers from the raw "
+    "events. Grades the round-12 write-side invariant (sidecar ≡ "
+    "fresh sketch of each day's current rows, through replacements) "
+    "end-to-end cross-engine.",
     tags=("streaming",),
 )
 def op41_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,6 +300,91 @@ def op41_streaming_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(_dedupwm_leg(spark, sf_dir))
         .unionByName(_cmsw_leg(spark, sf_dir))
         .unionByName(_bloomw_leg(spark, sf_dir))
+        .unionByName(_hllup_leg(spark, sf_dir))
+    )
+
+
+def _hllup_leg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sidecar-READ leg (round 13): exercise the upsert's maintained
+    per-day HLL profile END TO END — write side (two batches, the
+    second REPLACING every key of the days it touches, so the
+    recompute-per-touched-day law does real work) and read side
+    (read_upsert_sketch → estimate per day, no rescan of the data).
+
+    Determinism: batch 1 is the hourly aggregate of the first half of
+    the event-time range (its rows for days that also have second-half
+    events are PARTIAL); batch 2 is the hourly aggregate of ALL events
+    on every day the second half touches — a superset of batch 1's
+    keys for those days, so the replace-merge drives the final target
+    to exactly the full batch hourly aggregate, whatever the halves
+    were. The sidecar then equals a fresh per-day sketch of the final
+    rows (the round-12 pinned invariant), which the oracle re-derives
+    from raw events (registers see sets, not multiplicities)."""
+    import os
+
+    from ..operators.sketch import hll_core_from_registers
+    from ..scratch import scratch_dir
+    from ..streaming.incremental import (
+        read_upsert_sketch,
+        upsert_partitioned,
+    )
+
+    empty = spark.createDataFrame(
+        [],
+        "part string, window_start string, event_type string, "
+        "n_events bigint, total_value double",
+    )
+    e = load(spark, sf_dir, "events").filter(F.col("ts").isNotNull())
+    ux = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = e.agg(
+        F.min(ux).alias("mn"), F.max(ux).alias("mx")
+    ).collect()[0]
+    if bounds["mn"] is None:
+        return empty  # the oracle's empty-events register set is empty too
+
+    def hourly(df: DataFrame) -> DataFrame:
+        return (
+            df.groupBy(F.date_trunc("hour", "ts").alias("h"), "event_type")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.sum(F.col("value").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("total_value"),
+            )
+            .select(
+                F.date_format("h", "yyyy-MM-dd HH:mm:ss").alias(
+                    "window_start"
+                ),
+                "event_type",
+                "n_events",
+                "total_value",
+            )
+        )
+
+    mid = (int(bounds["mn"]) + int(bounds["mx"])) // 2
+    batch1 = hourly(e.filter(ux <= mid))
+    touched_days = (
+        e.filter(ux > mid)
+        .select(F.to_date(F.date_trunc("day", "ts")).alias("__d"))
+        .distinct()
+    )
+    batch2 = hourly(
+        e.withColumn("__d", F.to_date(F.date_trunc("day", "ts"))).join(
+            F.broadcast(touched_days), on="__d"
+        )
+    )
+    target = os.path.join(scratch_dir("spark_graft_hllup_"), "target")
+    upsert_partitioned(batch1, target, sketch_col="event_type")
+    upsert_partitioned(batch2, target, sketch_col="event_type")
+    regs = read_upsert_sketch(spark, target, kind="hll").withColumnRenamed(
+        "part", "day"
+    )
+    return hll_core_from_registers(regs, 8, "day").select(
+        F.lit("hllup").alias("part"),
+        F.col("day").alias("window_start"),
+        F.lit(None).cast("string").alias("event_type"),
+        F.col("s_int").alias("n_events"),
+        F.col("est_raw").alias("total_value"),
     )
 
 

@@ -319,7 +319,7 @@ def test_split_cell_crash_before_commit_changes_nothing(
     assert txlog.read_manifest(root) == before_manifest
     assert _rows(AI.read_index(spark, path)) == before_rows
     assert len(AI.load_index_meta(path)["centroids"]) == before_k
-    txlog.vacuum(root)  # reclaims the crashed generation's orphans
+    txlog.vacuum(root, orphan_grace_s=0)  # reclaims the crashed orphans
     assert _rows(AI.read_index(spark, path)) == before_rows
 
 

@@ -130,7 +130,7 @@ def test_upsert_rewrites_only_touched_partitions(spark, tmp_path):
         for r in I.read_upsert_target(spark, target).collect()
     }
     assert still == got, "uncommitted file leaked into the read"
-    assert any("CRASHED" in r for r in txlog.vacuum(target))
+    assert any("CRASHED" in r for r in txlog.vacuum(target, orphan_grace_s=0))
     assert not os.path.exists(orphan)
 
 
@@ -870,7 +870,7 @@ def test_upsert_sketch_sidecar_maintained_in_same_commit(spark, tmp_path):
         map(tuple, I.read_upsert_target(spark, target).collect())
     ) == before_data
     assert sidecar_rows() == before_sketch
-    txlog.vacuum(target)
+    txlog.vacuum(target, orphan_grace_s=0)
     assert sidecar_rows() == before_sketch
 
 
@@ -951,3 +951,74 @@ def test_upsert_sketch_sidecar_all_kinds(spark, tmp_path):
             .collect()
         }
         assert parts == {"2024-05-01", "2024-05-02"}
+
+
+def test_upsert_drops_stale_sidecar_kinds_on_touched_days(spark, tmp_path):
+    """Round-12 advice (low #4): a later batch maintaining FEWER kinds
+    than the target's history must not leave a replaced day's other
+    kinds committed with stale pre-merge content. Touched days retire
+    their sidecar files for EVERY kind; only the requested kinds are
+    recomputed — a missing day is detectable, a stale one silently
+    violates the sidecar-≡-fresh-sketch invariant."""
+    target = str(tmp_path / "sketch_kinds_target")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows,
+            "window_start string, event_type string, "
+            "n_events bigint, total_value double",
+        )
+
+    I.upsert_partitioned(
+        mk(
+            [
+                ("2024-05-01 10:00:00", "click", 3, 11.0),
+                ("2024-05-02 09:00:00", "click", 2, 5.0),
+            ]
+        ),
+        target,
+        sketch_col="event_type",
+        sketches=("hll", "cms", "bloom"),
+    )
+    # later batch replaces day 2 but only maintains the default 'hll'
+    I.upsert_partitioned(
+        mk([("2024-05-02 09:00:00", "purchase", 1, 2.0)]),
+        target,
+        keys=["window_start"],
+        sketch_col="event_type",
+    )
+    # day 2: hll recomputed (fresh sketch of the current rows)...
+    from project_clinical_data_etl_pipeline_spark.operators.sketch import (
+        hll_registers,
+    )
+
+    day2 = I.read_upsert_target(spark, target, drop_part=False).filter(
+        F.col("p_date") == "2024-05-02"
+    )
+    got = sorted(
+        (r["bucket"], r["rho"])
+        for r in I.read_upsert_sketch(
+            spark, target, parts=["2024-05-02"], kind="hll"
+        ).collect()
+    )
+    want = sorted(
+        (r["bucket"], r["rho"])
+        for r in hll_registers(day2, F.col("event_type")).collect()
+    )
+    assert got == want
+    # ...while its cms/bloom are GONE (not stale 'click' counters)
+    for kind in ("cms", "bloom"):
+        parts = {
+            r["part"]
+            for r in I.read_upsert_sketch(spark, target, kind=kind)
+            .select("part")
+            .distinct()
+            .collect()
+        }
+        assert parts == {"2024-05-01"}, f"{kind} kept a stale day-2 sidecar"
+    # untouched day 1 keeps all three kinds
+    for kind in ("hll", "cms", "bloom"):
+        day1 = I.read_upsert_sketch(
+            spark, target, parts=["2024-05-01"], kind=kind
+        )
+        assert day1.count() > 0

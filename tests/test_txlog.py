@@ -148,9 +148,145 @@ def test_vacuum_removes_only_unreferenced(tmp_path):
     _touch(root, "cell=0/part-keep.parquet")
     _touch(root, "cell=0/part-orphan.parquet")
     txlog.commit(root, add_files=["cell=0/part-keep.parquet"])
-    removed = txlog.vacuum(root)
+    removed = txlog.vacuum(root, orphan_grace_s=0)
     assert removed == ["cell=0/part-orphan.parquet"]
     assert os.path.exists(os.path.join(root, "cell=0/part-keep.parquet"))
+
+
+def test_vacuum_grace_protects_inflight_landings(tmp_path):
+    """The round-12 advice hazard: a vacuum racing another writer's
+    land→commit window must not delete its landed-but-uncommitted
+    files. Never-referenced files survive inside the grace window
+    (they are indistinguishable from a concurrent landing), while
+    SUPERSEDED files — referenced by a retained prior version — are
+    reclaimed immediately regardless of age."""
+    root = str(tmp_path)
+    _touch(root, "cell=0/part-old.parquet")
+    txlog.commit(root, add_files=["cell=0/part-old.parquet"])
+    # superseded seconds later: still deleted immediately
+    _touch(root, "cell=0/part-new.parquet")
+    txlog.commit(
+        root,
+        add_files=["cell=0/part-new.parquet"],
+        remove_files=["cell=0/part-old.parquet"],
+    )
+    # a concurrent writer's fresh landing (never referenced)
+    _touch(root, "cell=1/part-pending.parquet")
+    removed = txlog.vacuum(root)  # default grace
+    assert "cell=0/part-old.parquet" in removed, "superseded waits for no one"
+    assert "cell=1/part-pending.parquet" not in removed
+    assert os.path.exists(os.path.join(root, "cell=1/part-pending.parquet"))
+    # same for an in-flight commit temp file
+    _touch(root, ".commit-abc.tmp")
+    assert ".commit-abc.tmp" not in txlog.vacuum(root)
+    # past the grace the orphan and the temp are reclaimed
+    removed = txlog.vacuum(root, orphan_grace_s=0)
+    assert "cell=1/part-pending.parquet" in removed
+    assert ".commit-abc.tmp" in removed
+
+
+def test_vacuum_retires_legacy_meta_after_versioned_pointer(tmp_path):
+    """A pre-round-12 index's unversioned `_meta.json` is readable
+    until a versioned pointer is committed, then vacuum retires it
+    (round-12 advice, low #3)."""
+    root = str(tmp_path)
+    _touch(root, "_meta.json")
+    txlog.commit(root, add_files=["f1"])  # no pointer yet
+    assert "_meta.json" not in txlog.vacuum(root)
+    assert os.path.exists(os.path.join(root, "_meta.json"))
+    _touch(root, "_meta.v1.json")
+    txlog.commit(root, meta_file="_meta.v1.json")
+    assert "_meta.json" in txlog.vacuum(root)
+    assert not os.path.exists(os.path.join(root, "_meta.json"))
+
+
+def test_commit_meta_conflict_detection(tmp_path):
+    """The one logical conflict the log detects (round 13): a commit
+    whose sidecar pointer was derived from a base another commit has
+    since moved raises MetaConflict instead of silently reverting the
+    winner's parameters. Pointer-blind commits and matching
+    expectations are unaffected."""
+    import pytest
+
+    root = str(tmp_path)
+    _touch(root, "_meta.v0.json")
+    _touch(root, "_meta.v1.json")
+    _touch(root, "_meta.v2.json")
+    txlog.commit(root, add_files=["a"], meta_file="_meta.v0.json")
+    # expectation matches → commit lands and flips the pointer
+    txlog.commit(
+        root, meta_file="_meta.v1.json", expect_meta_file="_meta.v0.json"
+    )
+    assert txlog.read_manifest(root)["meta_file"] == "_meta.v1.json"
+    # stale expectation (still v0) → MetaConflict carrying the winner
+    with pytest.raises(txlog.MetaConflict) as exc:
+        txlog.commit(
+            root, meta_file="_meta.v2.json", expect_meta_file="_meta.v0.json"
+        )
+    assert exc.value.current == "_meta.v1.json"
+    assert txlog.read_manifest(root)["meta_file"] == "_meta.v1.json"
+    # expecting None means "I read a legacy/unpointed manifest"
+    with pytest.raises(txlog.MetaConflict):
+        txlog.commit(root, meta_file="_meta.v2.json", expect_meta_file=None)
+    # pointer-blind commits never conflict
+    txlog.commit(root, add_files=["b"])
+
+
+def test_commit_survives_concurrent_vacuum_unlink(tmp_path, monkeypatch):
+    """A grace-0 vacuum racing a commit can unlink the commit's temp
+    file between write and link — the retry loop must treat the
+    resulting FileNotFoundError as a lost round, not an error, and the
+    cleanup unlink must not mask it (round-12 advice, medium #2)."""
+    root = str(tmp_path)
+    real_link = os.link
+    calls = {"n": 0}
+
+    def flaky_link(src, dst):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            os.unlink(src)  # the racing vacuum reclaims the temp
+            raise FileNotFoundError(src)
+        return real_link(src, dst)
+
+    monkeypatch.setattr(os, "link", flaky_link)
+    state = txlog.commit(root, add_files=["f1"])
+    assert state["files"] == ["f1"] and calls["n"] == 2
+
+
+def test_land_stages_and_attributes_exactly(tmp_path):
+    """txlog.land: the writer gets back exactly the files IT wrote
+    (moved from a hidden staging dir, partition paths preserved),
+    invisible to list_data_files until committed; a failing write
+    leaves no staging residue."""
+    import pytest
+
+    root = str(tmp_path)
+    _touch(root, "cell=0/part-existing.parquet")
+
+    def write(staging):
+        _touch(staging, "cell=0/part-mine.parquet")
+        _touch(staging, "cell=3/part-mine2.parquet")
+
+    added = txlog.land(root, write)
+    assert added == ["cell=0/part-mine.parquet", "cell=3/part-mine2.parquet"]
+    for rel in added:
+        assert os.path.exists(os.path.join(root, rel))
+    assert not [d for d in os.listdir(root) if d.startswith(".staging-")]
+    # a hidden staging dir mid-write is invisible to the data listing
+    staged = txlog.land(
+        root, lambda s: _touch(s, "cell=1/part-later.parquet")
+    )
+    assert set(txlog.list_data_files(root)) == {
+        "cell=0/part-existing.parquet",
+        "cell=0/part-mine.parquet",
+        "cell=1/part-later.parquet",
+        "cell=3/part-mine2.parquet",
+    }
+    assert staged == ["cell=1/part-later.parquet"]
+
+    with pytest.raises(RuntimeError, match="boom"):
+        txlog.land(root, lambda s: (_ for _ in ()).throw(RuntimeError("boom")))
+    assert not [d for d in os.listdir(root) if d.startswith(".staging-")]
 
 
 def test_list_data_files_skips_non_part(tmp_path):
