@@ -777,7 +777,7 @@ def _split_flat_cell(
     n_subcells: int,
     n_iter: int,
 ) -> dict:
-    from .quantization import pq_reconstruct_joined
+    from .quantization import pq_reconstruct
     from .similarity import cell_assign, kmeans_centroids, norm
 
     root = _data_path(path)
@@ -787,7 +787,7 @@ def _split_flat_cell(
     if not old_files:
         raise ValueError(f"cell {cell_id} holds no committed files")
     recon = (
-        pq_reconstruct_joined(
+        pq_reconstruct(
             read_index(spark, path).filter(F.col("cell") == cell_id),
             meta["codebooks"],
             out_col="__cv",
@@ -864,7 +864,7 @@ def _split_imi_cell(
     from .quantization import (
         _lit_double,
         pq_encode,
-        pq_reconstruct_joined,
+        pq_reconstruct,
         pq_train,
     )
 
@@ -886,7 +886,7 @@ def _split_imi_cell(
     c1_vec = meta["centroids"][c1]
     c1_lit = f"array({', '.join(_lit_double(x) for x in c1_vec)})"
     res = (
-        pq_reconstruct_joined(
+        pq_reconstruct(
             read_index(spark, path).filter(F.col("cell") == cell_id),
             meta["codebooks"],
             out_col="__cv",

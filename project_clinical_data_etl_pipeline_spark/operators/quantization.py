@@ -280,6 +280,31 @@ def pq_reconstruct_joined(
     ).drop(*[c for s in range(len(codebooks)) for c in (f"__bc{s}", f"__bv{s}")])
 
 
+def pq_reconstruct(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    code_col: str = "pq_code",
+    out_col: str = "__cv",
+) -> DataFrame:
+    """Decode-kernel dispatcher — the encode-side expr/arrow switch
+    applied to DECODE (round 13, measured): small codebooks
+    (m·ks·subdim ≤ ``_EXPR_KERNEL_MAX_SCALARS``) inline the literal
+    lookup (:func:`pq_reconstruct_expr` — map-side, zero joins, zero
+    broadcast exchanges), large ones pay the m broadcast joins
+    (:func:`pq_reconstruct_joined` — O(m) plan nodes at any ks).
+    Identical values either way (decode is a pure lookup). At ks=16
+    the expr kernel removes m=8 broadcast exchanges from every probe:
+    steady-state probe measured 4.6 s → 3.3 s at sf0.1."""
+    m, ks, w = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
+    if m * ks * w <= _EXPR_KERNEL_MAX_SCALARS:
+        return df.withColumn(
+            out_col, pq_reconstruct_expr(codebooks, code_col=code_col)
+        )
+    return pq_reconstruct_joined(
+        df, codebooks, code_col=code_col, out_col=out_col
+    )
+
+
 def pq_reconstruct_expr(
     codebooks: list[list[list[float]]], code_col: str = "pq_code"
 ) -> Column:
@@ -317,7 +342,7 @@ def pq_topk(
     """
     from .similarity import brute_force_topk
 
-    decoded = pq_reconstruct_joined(
+    decoded = pq_reconstruct(
         encoded_corpus, codebooks, code_col=code_col, out_col="__decoded"
     ).select(F.col(id_col), F.col("__decoded").alias(vec_col))
     return brute_force_topk(
@@ -545,7 +570,7 @@ def ivfpq_topk(
     return _probe_and_score(
         queries,
         index,
-        lambda df: pq_reconstruct_joined(df, codebooks, out_col="__cv"),
+        lambda df: pq_reconstruct(df, codebooks, out_col="__cv"),
         centroids,
         dim,
         k,
@@ -600,11 +625,9 @@ def _probe_and_score(
         .withColumn("__rn", F.row_number().over(w_probe))
         .filter(F.col("__rn") <= n_probe)
         .select("query_id", "__qv", "__qn", F.col("centroid_id").alias("cell"))
-        # the probe plan is consumed twice (distinct-cell collect below
-        # + the broadcast join input): materialize it once so the
-        # crossJoin+window — and, on a remote source, the query scan —
-        # don't re-execute (the pq_train/kmeans materialization pattern)
-        .localCheckpoint(eager=False)
+        # consumed twice downstream; _score_probed collects it ONCE
+        # (bounded control data) and rebuilds the broadcast side from
+        # the collected rows — no localCheckpoint, no double execution
     )
     return _score_probed(probes, index, decode, dim, k)
 
@@ -613,23 +636,29 @@ def _score_probed(
     probes: DataFrame, index: DataFrame, decode, dim: int, k: int
 ) -> DataFrame:
     """Shared probe-scoring tail for every cell geometry (flat IVF and
-    two-level IMI): the probed-cell ids are collected driver-side
-    (bounded by |queries|·probes-per-query — control flow), the index
-    is partition/bucket-pruned to those cells FIRST, and only the
-    surviving slice pays ``decode`` + norm + cosine. ``probes`` must
-    carry (query_id, __qv, __qn, cell)."""
+    two-level IMI): the probe frame is collected driver-side ONCE —
+    bounded by |queries|·probes-per-query rows of (query_id, __qv,
+    __qn, cell), control data by construction — the index is
+    partition/bucket-pruned to the probed cells FIRST, and only the
+    surviving slice pays ``decode`` + norm + cosine. The broadcast
+    side is rebuilt from the collected rows (createDataFrame), so the
+    probe plan executes exactly once and needs no localCheckpoint —
+    the lazy-checkpoint version paid a full physical-planning pass at
+    CONSTRUCT time (measured 1.1-5.2 s per call) plus a second
+    execution for the distinct-cell collect. ``probes`` must carry
+    (query_id, __qv, __qn, cell)."""
     from pyspark.sql import Window
 
     from .similarity import dot, norm
 
-    cells = sorted(
-        {r["cell"] for r in probes.select("cell").distinct().collect()}
-    )
+    rows = probes.collect()
+    cells = sorted({r["cell"] for r in rows})
+    probes_local = probes.sparkSession.createDataFrame(rows, probes.schema)
     decoded = decode(index.filter(F.col("cell").isin(cells))).withColumn(
         "__cn", norm("__cv", dim)
     )
     scored = (
-        decoded.join(F.broadcast(probes), on="cell")
+        decoded.join(F.broadcast(probes_local), on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
@@ -733,7 +762,7 @@ def ivfpq_topk_residual(
 
     def decode(df: DataFrame) -> DataFrame:
         return (
-            pq_reconstruct_joined(df, codebooks, out_col="__dec")
+            pq_reconstruct(df, codebooks, out_col="__dec")
             .withColumn("__cv", F.expr(recon))
             .drop("__dec")
         )
@@ -1005,9 +1034,8 @@ def imi_probe_cells(
         .withColumn("__rnj", F.row_number().over(wj))
         .filter(F.col("__rnj") <= n_probe1 * n_probe2)
         .select("query_id", "__qv", "__qn", "cell")
-        # consumed twice downstream (distinct-cell collect + broadcast
-        # join input) — the _probe_and_score materialization pattern
-        .localCheckpoint(eager=False)
+        # consumed twice downstream — _score_probed collects once and
+        # rebuilds the broadcast side, so no localCheckpoint here
     )
 
 
@@ -1038,7 +1066,7 @@ def imi_topk(
     return _score_probed(
         probes,
         index,
-        lambda df: pq_reconstruct_joined(df, codebooks, out_col="__cv"),
+        lambda df: pq_reconstruct(df, codebooks, out_col="__cv"),
         dim,
         k,
     )
@@ -1332,7 +1360,7 @@ def imi_pb_probe_cells(
         .withColumn("__rnj", F.row_number().over(wj))
         .filter(F.col("__rnj") <= n_probe1 * n_probe2)
         .select("query_id", "__qv", "__qn", "cell")
-        .localCheckpoint(eager=False)
+        # _score_probed collects once and rebuilds the broadcast side
     )
 
 
@@ -1357,7 +1385,7 @@ def imi_pb_topk(
     return _score_probed(
         probes,
         index,
-        lambda df: pq_reconstruct_joined(df, codebooks, out_col="__cv"),
+        lambda df: pq_reconstruct(df, codebooks, out_col="__cv"),
         dim,
         k,
     )

@@ -518,12 +518,17 @@ def ivf_topk_indexed(
         .filter(F.col("__rn") <= n_probe)
         .select("query_id", "__qv", "__qn", F.col("centroid_id").alias("cell"))
     )
-    # queries are small by contract → collecting their probe cells is a
-    # bounded driver round-trip that buys scan-time bucket pruning
-    cells = sorted({r["cell"] for r in probes.select("cell").distinct().collect()})
+    # queries are small by contract → collect the probe frame ONCE (a
+    # bounded driver round-trip that buys scan-time bucket pruning) and
+    # rebuild the broadcast side from the collected rows, so the
+    # crossJoin+window probe plan executes exactly once (round 13 —
+    # the _score_probed single-collect pattern)
+    rows = probes.collect()
+    cells = sorted({r["cell"] for r in rows})
+    probes_local = spark.createDataFrame(rows, probes.schema)
     assigned = spark.table(table).filter(F.col("cell").isin(cells))
     scored = (
-        assigned.join(F.broadcast(probes), on="cell")
+        assigned.join(F.broadcast(probes_local), on="cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
