@@ -225,7 +225,7 @@ def _encode(
     return enc.withColumn("cell", F.col("cell").cast("int"))
 
 
-def _land(delta: DataFrame, path: str, mode: str = "append") -> list[str]:
+def _land(delta: DataFrame, path: str) -> list[str]:
     """Write (one file per cell): every cell's rows hash to exactly one
     of the ``n_cells`` write tasks, so each ``cell=`` directory receives
     exactly one file per landing — the bucketed layout's one-file
@@ -357,7 +357,7 @@ def _publish_build(
         }
     )
     added = _land(
-        _encode(corpus, meta, meta["id_col"], meta["vec_col"]), path, "append"
+        _encode(corpus, meta, meta["id_col"], meta["vec_col"]), path
     )
     meta_file = _land_meta(path, meta)
     # THE commit: a build REPLACES every prior file, flips the
@@ -535,7 +535,7 @@ def append_ivfpq_index(
             }
         delta = _encode(new_vectors, meta, meta["id_col"], meta["vec_col"])
         touched = delta.select("cell").distinct().count()
-        added = _land(delta, path, "append")
+        added = _land(delta, path)
         d = _mean_assign_dist(
             new_vectors, meta["centroids"], meta["dim"], meta["vec_col"]
         )
@@ -677,7 +677,7 @@ def compact_index(
     )
     # one task per compacted cell -> back to one file per cell
     # (_land repartitions by the distinct-cell count itself)
-    added = _land(data, path, "append")
+    added = _land(data, path)
     txlog.commit(root, add_files=added, remove_files=old_files)
     txlog.vacuum(root)
     return hot
@@ -823,7 +823,7 @@ def _split_flat_cell(
             "pq_code",
         )
     )
-    added = _land(reassigned, path, "append")
+    added = _land(reassigned, path)
     meta["centroids"] = new_cents
     meta["n_centroids"] = len(new_cents)
     meta_file = _land_meta(path, meta)
@@ -925,7 +925,7 @@ def _split_imi_cell(
         .alias("cell"),
         "pq_code",
     )
-    added = _land(reassigned, path, "append")
+    added = _land(reassigned, path)
     meta["centroids2"] = cents2
     meta["imi_k2"] = len(cents2)
     meta["n_centroids"] = meta["imi_k1"] * len(cents2)

@@ -17,8 +17,19 @@ broadcastable.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+#: Broadcast caps for the iterative operators (rows). Both loops know the
+#: exact row count of the frame in question (it is the fixpoint/driver
+#: scalar they already compute), so "broadcast the side that fits" is a
+#: deliberate decision from a measured size, not an estimate. Local
+#: defaults suit the bench SFs; production raises/lowers via env without
+#: touching code. Past the cap the loops keep the shuffle-join shape.
+_CLOSURE_BC_ROWS = int(os.environ.get("SPARK_GRAFT_CLOSURE_BC_ROWS", "2000000"))
+_PAGERANK_BC_NODES = int(os.environ.get("SPARK_GRAFT_PAGERANK_BC_NODES", "5000000"))
 
 
 def parents_of(edges: DataFrame, codes: DataFrame, code_col: str = "code") -> DataFrame:
@@ -43,18 +54,50 @@ def transitive_closure(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
     iteration is checkpointed via ``localCheckpoint`` to truncate
     lineage (otherwise the plan doubles every round). This is a
     build-time materialization, not a per-query operator.
+
+    Round-14 shape (guide §2/§3 — one exchange per doubling round, one
+    round fewer):
+
+    - The doubling join BROADCASTS one side while the materialized
+      closure is provably small (the loop knows its exact row count —
+      ``_CLOSURE_BC_ROWS``, env-tunable; SNOMED-sized closures fit):
+      the per-round plan is then broadcast-join → partial-agg → ONE
+      Exchange for the min-depth merge, instead of two join exchanges
+      plus the aggregate's. Past the cap the join stays a shuffle join.
+    - Fixpoint witness is ``(count, max(min_depth))`` in ONE aggregate
+      over the lazily-checkpointed round output (one job materializes
+      + measures). After round k the closure holds exactly the pairs
+      with min_depth ≤ 2^k; every prefix of a SHORTEST path is itself
+      shortest, so a pair at min_depth D implies pairs at every depth
+      1..D — hence ``max(min_depth) < 2^k`` proves no deeper pair
+      exists and the loop stops WITHOUT paying the classic extra
+      no-change round (the widest join of the run, ~25% of the loop's
+      wall time at bench SF).
     """
     closure = edges.select(
         F.col("child_id").alias("descendant_id"),
         F.col("parent_id").alias("ancestor_id"),
         F.lit(1).alias("min_depth"),
-    ).localCheckpoint()
-    prev_count = closure.count()
+    ).localCheckpoint(eager=False)
+
+    def _witness(df: DataFrame) -> tuple[int, int]:
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"), F.max("min_depth").alias("d")
+        ).first()
+        return (row["n"], row["d"] or 0)
+
+    prev_count, max_depth = _witness(closure)
+    reach = 1  # closure currently holds all pairs with min_depth <= reach
     for _ in range(max_iterations):
+        if max_depth < reach:
+            break  # no pair at depth == reach ⟹ none deeper ⟹ fixpoint
+        build = (
+            F.broadcast(closure) if prev_count <= _CLOSURE_BC_ROWS else closure
+        )
         hops = (
             closure.alias("a")
             .join(
-                closure.alias("b"),
+                build.alias("b"),
                 on=F.col("a.ancestor_id") == F.col("b.descendant_id"),
             )
             .select(
@@ -67,9 +110,10 @@ def transitive_closure(edges: DataFrame, max_iterations: int = 20) -> DataFrame:
             closure.unionByName(hops)
             .groupBy("descendant_id", "ancestor_id")
             .agg(F.min("min_depth").alias("min_depth"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        count = closure.count()
+        count, max_depth = _witness(closure)
+        reach *= 2
         if count == prev_count:
             break
         prev_count = count
@@ -223,14 +267,22 @@ def pagerank(
     unreachable.) The only FP op is the final display division, one
     IEEE divide per row on identical inputs.
 
-    Plan shape at scale: per iteration, one equi-join of the edge list
-    with the N-row rank frame (partial-combined groupBy on dst) + one
-    left join back to the node set — both shuffle on node id; AQE
-    broadcasts the rank frame when small. ``iterations`` is fixed (no
-    driver-side convergence loop), so the whole run is
-    ``iterations × 2`` shuffles. Lineage is cut per iteration with a
-    lazy localCheckpoint: five chained join/agg rounds would otherwise
-    re-derive every prior iteration at each action.
+    Plan shape at scale (round 14, guide §2.3/§2.4/§3.1 — ONE exchange
+    per iteration): the out-degree is folded into the edge list ONCE
+    before the loop (``(src, dst, outdeg)``, checkpointed — it was a
+    per-iteration join), the rank frame is explicitly broadcast while
+    the node count (already a driver scalar) is under
+    ``_PAGERANK_BC_NODES`` (env-tunable; past it the join reverts to a
+    shuffle join), and the per-iteration left-join back to the node
+    set is GONE: nodes with no in-edge are a STATIC set whose rank
+    after any iteration is exactly ``base_int`` (no contribution can
+    reach them), so they are computed once and unioned onto the
+    aggregated contributions each round — a zero-shuffle concat
+    replacing a full shuffle join of the node set. Per iteration the
+    only Exchange left is the partial-combined groupBy on ``dst``.
+    Lineage is cut per iteration with a lazy localCheckpoint: five
+    chained join/agg rounds would otherwise re-derive every prior
+    iteration at each action.
     """
     one = 10 ** PAGERANK_SCALE_DP
     e = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
@@ -242,25 +294,41 @@ def pagerank(
     )
     n = nodes.count()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    # out-degree folded into the edge list once — was a join in the loop
+    ew = e.join(deg, on="src").localCheckpoint(eager=False)
     base_int = ((100 - damping_pct) * one) // (100 * n)
+    # Nodes no contribution can reach (never a dst): their rank is the
+    # damping base from iteration 1 onward — constant across the loop.
+    no_inbound = (
+        nodes.join(
+            e.select(F.col("dst").alias("node")).distinct(),
+            on="node",
+            how="left_anti",
+        )
+        .select("node", F.lit(base_int).cast("bigint").alias("r_int"))
+        .localCheckpoint(eager=False)
+    )
 
     ranks = nodes.select("node", F.lit(one // n).cast("bigint").alias("r_int"))
     for _ in range(iterations):
+        rank_side = F.broadcast(ranks) if n <= _PAGERANK_BC_NODES else ranks
         contribs = (
-            e.join(ranks, e.src == ranks.node)
-            .join(deg, on="src")
+            ew.join(rank_side, ew.src == rank_side.node)
             .groupBy("dst")
             .agg(F.sum(F.expr("r_int DIV outdeg")).alias("acc"))
         )
+        # every dst has a contribution row (its srcs always carry ranks),
+        # so coalesce is only needed for the no-inbound complement —
+        # handled exactly by the static union leg (acc there is 0)
         ranks = (
-            nodes.join(contribs, nodes.node == contribs.dst, "left")
-            .select(
-                "node",
+            contribs.select(
+                F.col("dst").alias("node"),
                 (
                     F.lit(base_int)
-                    + F.expr(f"({damping_pct} * coalesce(acc, 0L)) DIV 100")
+                    + F.expr(f"({damping_pct} * acc) DIV 100")
                 ).cast("bigint").alias("r_int"),
             )
+            .unionByName(no_inbound)
             .localCheckpoint(eager=False)
         )
     return ranks.select(

@@ -522,10 +522,12 @@ def ivf_topk_indexed(
     # bounded driver round-trip that buys scan-time bucket pruning) and
     # rebuild the broadcast side from the collected rows, so the
     # crossJoin+window probe plan executes exactly once (round 13 —
-    # the _score_probed single-collect pattern)
-    rows = probes.collect()
-    cells = sorted({r["cell"] for r in rows})
-    probes_local = spark.createDataFrame(rows, probes.schema)
+    # the _score_probed single-collect pattern). Round 14: budgeted —
+    # past _PROBE_COLLECT_SCALARS the probe degrades to the
+    # lazy-checkpoint plan instead of OOMing the driver.
+    from .quantization import _collect_probes
+
+    cells, probes_local = _collect_probes(probes, dim)
     assigned = spark.table(table).filter(F.col("cell").isin(cells))
     scored = (
         assigned.join(F.broadcast(probes_local), on="cell")

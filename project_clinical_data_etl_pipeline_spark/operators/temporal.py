@@ -461,6 +461,211 @@ def interval_overlap_join(
     )
 
 
+def interval_overlap_stats(
+    intervals: DataFrame,
+    on: str | list[str],
+    start: str,
+    end: str,
+    id_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-key overlapping-PAIR statistics over one interval set —
+    ``(keys…, n_overlapping, max_overlap_us)`` — computed by a sweep
+    line instead of pair enumeration (round 14, guide §1.2 step 1: fix
+    the algorithm before the plan).
+
+    Equivalent by construction to counting/maxing the self-overlap-join
+    (``interval_overlap_join(df, df, …)`` with self and mirror pairs
+    removed), but NEVER materializes a candidate pair: the bucketed
+    equi-join generates Σ_b |bucket|² candidates (~10⁸ rows at bench
+    SF — measured 5.2 s, almost all of it evaluating the overlap filter
+    on non-pairs), while the sweep is O(n log n) with exactly ONE
+    full-data exchange (the per-key window sort; the second window and
+    the final groupBy reuse its partitioning).
+
+    Derivation (all intervals CLOSED, per key, any total order
+    consistent with ascending start):
+
+    - Pair (i, j), j before i in start order, overlaps iff e_j ≥ s_i
+      (s_j ≤ s_i ≤ e_i makes the other condition free). So the pair
+      count is Σ_i active_i with active_i = #{j before i: e_j ≥ s_i}
+      = (#starts before i) − (#ends strictly below s_i) — each
+      unordered pair counted exactly once, at its later start.
+    - For fixed i the overlap with an active j is min(e_i, e_j) − s_i,
+      maximal at the largest prior end M_i (prefix max of e, which is
+      attainable: M_i ≥ s_i ⟺ active_i > 0). Hence
+      max-overlap = max_i (min(e_i, M_i) − s_i) over active rows.
+    - Both Σ active_i and the max are invariant to the order chosen
+      among equal starts (the within-tie rank sum is always C(m, 2),
+      and the candidate max at ties evaluates to the same value either
+      way), so ties need no canonical tiebreak.
+
+    ``id_cols`` reproduces canonical-pair-order semantics under
+    DUPLICATE row identities: a SQL twin that dedupes mirror pairs with
+    ``(a.id…) < (b.id…)`` silently excludes pairs of rows SHARING an
+    id tuple (neither direction of a strict tuple compare holds), and
+    rows with a NULL id component pair with nothing (the comparison is
+    NULL). With ``id_cols`` set the sweep matches that exactly:
+
+    - NULL-id rows are dropped with the well-formed filter;
+    - the pair count subtracts the same-id pairs via a SECOND window
+      over (keys, id) — same partitioning (hash on keys satisfies the
+      finer clustering), so it costs a sort, not an exchange;
+    - the prefix-max candidate is only trusted where it provably
+      involves a different id (global prefix max > same-id prefix max,
+      or no same-id interval is active). The residual POLLUTED rows —
+      duplicate-id rows whose own sibling may hold the prefix max, a
+      degenerate-data sliver — get their exact best partner from a
+      fallback join against their key's rows (distinct id + overlap;
+      order-free, since the max may observe a pair twice). With no
+      duplicate ids in the data the fallback side is empty.
+
+    Keys with no qualifying pair emit NO row (matching the inner pair
+    join). Rows with NULL keys/endpoints or end < start are dropped
+    like the join's well-formed filter. At warehouse scale one key =
+    one window partition: a pathologically hot key serializes — for
+    hot-key workloads fall back to the pair join, which splits on
+    (key, bucket); for per-entity clinical/supplier keys the per-key
+    volume is bounded and the sweep wins outright.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    ids = list(id_cols or [])
+    cond = F.col(start).isNotNull() & F.col(end).isNotNull()
+    for k in (*keys, *ids):
+        cond = cond & F.col(k).isNotNull()
+    s_us, e_us = _micros(F.col(start)), _micros(F.col(end))
+    rows = intervals.filter(cond & (e_us >= s_us)).select(
+        *[F.col(k) for k in keys],
+        *[F.col(i) for i in ids],
+        s_us.alias("__s"),
+        e_us.alias("__e"),
+    )
+    # one scan → two events per row: (t, is_end, payload s/e on starts);
+    # end events keep their row's id so the same-id window sees them
+    events = rows.select(
+        *keys,
+        *ids,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("__s").alias("t"),
+                    F.lit(0).alias("is_end"),
+                    F.col("__s").alias("s"),
+                    F.col("__e").alias("e"),
+                ),
+                F.struct(
+                    F.col("__e").alias("t"),
+                    F.lit(1).alias("is_end"),
+                    F.lit(None).cast("long").alias("s"),
+                    F.lit(None).cast("long").alias("e"),
+                ),
+            )
+        ).alias("__ev"),
+    ).select(*keys, *ids, "__ev.t", "__ev.is_end", "__ev.s", "__ev.e")
+
+    # starts sort before ends at equal t ⟹ running end-count at a start
+    # row counts exactly the ends STRICTLY below its s
+    def _w(part_cols, upper):
+        return (
+            Window.partitionBy(*part_cols)
+            .orderBy("t", "is_end")
+            .rowsBetween(Window.unboundedPreceding, upper)
+        )
+
+    w = _w(keys, Window.currentRow)
+    w_prev = _w(keys, -1)
+    swept = (
+        events.withColumn("__n_start", F.sum(1 - F.col("is_end")).over(w))
+        .withColumn("__n_end", F.sum("is_end").over(w))
+        .withColumn("__m", F.max("e").over(w_prev))
+    )
+    if ids:
+        w_id = _w([*keys, *ids], Window.currentRow)
+        w_id_prev = _w([*keys, *ids], -1)
+        swept = (
+            swept.withColumn(
+                "__id_n_start", F.sum(1 - F.col("is_end")).over(w_id)
+            )
+            .withColumn("__id_n_end", F.sum("is_end").over(w_id))
+            .withColumn("__d", F.max("e").over(w_id_prev))
+        )
+    else:
+        swept = (
+            swept.withColumn("__id_n_start", F.lit(1))
+            .withColumn("__id_n_end", F.lit(0))
+            .withColumn("__d", F.lit(None).cast("long"))
+        )
+    starts = (
+        swept.filter(F.col("is_end") == 0)
+        .withColumn(
+            "__active",
+            (F.col("__n_start") - 1 - F.col("__n_end"))
+            - (F.col("__id_n_start") - 1 - F.col("__id_n_end")),
+        )
+        .withColumn(
+            # prefix max provably from a different id: no same-id prior
+            # is active (__d < s, incl. __d null) or a strictly larger
+            # different-id end exists (__m > __d)
+            "__polluted",
+            F.coalesce(
+                (F.col("__d") >= F.col("s")) & (F.col("__m") <= F.col("__d")),
+                F.lit(False),
+            ),
+        )
+        .withColumn(
+            "__ov",
+            F.when(
+                (~F.col("__polluted")) & (F.col("__m") >= F.col("s")),
+                F.least(F.col("e"), F.col("__m")) - F.col("s"),
+            ),
+        )
+    )
+    agg = starts.groupBy(*keys).agg(
+        F.sum("__active").cast("bigint").alias("n_overlapping"),
+        F.max("__ov").alias("__max_a"),
+        F.sum(F.col("__polluted").cast("int")).alias("__n_polluted"),
+    )
+    if ids:
+        polluted = starts.filter(F.col("__polluted")).select(
+            *keys,
+            *[F.col(i).alias(f"__p_{i}") for i in ids],
+            F.col("s").alias("__ps"),
+            F.col("e").alias("__pe"),
+        )
+        distinct_id = F.lit(False)
+        for i in ids:
+            distinct_id = distinct_id | (F.col(f"__p_{i}") != F.col(i))
+        fallback = (
+            polluted.join(
+                rows.withColumnRenamed("__s", "s").withColumnRenamed(
+                    "__e", "e"
+                ),
+                on=keys,
+            )
+            .filter(
+                distinct_id
+                & (F.col("__ps") <= F.col("e"))
+                & (F.col("s") <= F.col("__pe"))
+            )
+            .groupBy(*keys)
+            .agg(
+                F.max(
+                    F.least(F.col("__pe"), F.col("e"))
+                    - F.greatest(F.col("__ps"), F.col("s"))
+                ).alias("__max_b")
+            )
+        )
+        agg = agg.join(fallback, on=keys, how="left")
+    else:
+        agg = agg.withColumn("__max_b", F.lit(None).cast("long"))
+    return agg.filter(F.col("n_overlapping") > 0).select(
+        *keys,
+        "n_overlapping",
+        F.greatest(F.col("__max_a"), F.col("__max_b"))
+        .cast("bigint")
+        .alias("max_overlap_us"),
+    )
+
+
 def range_join_binned(
     left: DataFrame,
     right: DataFrame,

@@ -294,22 +294,26 @@ def range_clicks_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
          AND (a.l_orderkey, a.l_linenumber) < (b.l_orderkey, b.l_linenumber)
         GROUP BY a.l_suppkey
     """,
-    doc="Interval × interval overlap join (operators.temporal."
-    "interval_overlap_join) — the clinical concurrency primitive "
+    doc="Interval × interval overlap statistics (operators.temporal."
+    "interval_overlap_stats) — the clinical concurrency primitive "
     "(overlapping encounters / medication windows, reference care-"
     "quality domain): per supplier, count pairs of shipments whose "
     "handling windows [l_shipdate, l_shipdate + l_quantity days] "
-    "overlap, plus the longest overlap. The scale plan buckets both "
-    "sides at the longest-interval width and equi-joins on "
-    "(key, bucket) with first-common-bucket dedupe — candidate volume "
-    "≤ 4x fan-in, never the per-key nested loop the oracle's theta "
-    "self-join runs. Canonical pair order (orderkey, linenumber) "
-    "struct-compare excludes self and mirror pairs identically in "
-    "both engines.",
+    "overlap, plus the longest overlap. Round 14: computed by the "
+    "O(n log n) sweep-line aggregate (one window exchange, groupBy "
+    "reuses its partitioning) instead of enumerating candidate pairs "
+    "through the bucketed self-join — the join's Σ|bucket|² candidate "
+    "volume (~10⁸ rows at sf0.1, 5.2 s measured) is never built. "
+    "Pair-set equivalence (each unordered overlapping pair counted "
+    "once; max over the same pair set) is derived in the operator "
+    "docstring, pinned against the enumeration in tests/"
+    "test_temporal.py, and graded against the oracle's theta "
+    "self-join. interval_overlap_join remains the pair-ENUMERATION "
+    "operator for callers that need the pairs themselves.",
     tags=("temporal",),
 )
 def interval_overlap_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.temporal import interval_overlap_join
+    from ..operators.temporal import interval_overlap_stats
 
     li = load(spark, sf_dir, "lineitem").select(
         "l_suppkey",
@@ -320,25 +324,11 @@ def interval_overlap_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
             "DAY", F.col("l_quantity").cast("int"), F.col("l_shipdate")
         ).alias("w_end"),
     )
-    pairs = interval_overlap_join(
-        li, li, on="l_suppkey",
-        left_start="w_start", left_end="w_end",
-        right_start="w_start", right_end="w_end",
-        # bucket_s=None exercises the AUTO span probe: W = the longest
-        # interval across both sides, derived by one partial-combine
-        # max aggregate + a 1-row driver pull (deterministic scalar
-        # control flow) — so the operator is self-tuning at any scale
-        # instead of relying on a data invariant pinned in code. Any W
-        # is CORRECT (the sequence fan-out covers arbitrary spans); W =
-        # max span keeps every row in <= 2 buckets, bounding candidate
-        # fan-in at 4x (tests/test_temporal.py pins the bound).
-        bucket_s=None,
-    )
-    canonical = pairs.filter(
-        F.struct(F.col("l_orderkey"), F.col("l_linenumber"))
-        < F.struct(F.col("right_l_orderkey"), F.col("right_l_linenumber"))
-    )
-    return canonical.groupBy("l_suppkey").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_overlapping"),
-        F.max("overlap_us").cast("bigint").alias("max_overlap_us"),
+    # id_cols: the oracle dedupes mirror pairs by strict tuple order on
+    # (orderkey, linenumber) — which also excludes pairs of rows SHARING
+    # that tuple (the synthetic data contains ~175 duplicate-id groups);
+    # the sweep reproduces exactly that semantics
+    return interval_overlap_stats(
+        li, on="l_suppkey", start="w_start", end="w_end",
+        id_cols=["l_orderkey", "l_linenumber"],
     )

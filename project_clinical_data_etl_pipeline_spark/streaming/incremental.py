@@ -514,9 +514,13 @@ def start_index_append_stream(
         ):
             try:
                 split_cell(s, index_path, int(crit["hot_cell"]))
-            except ValueError:
-                # level-2 headroom exhausted (IMI) — the middle rung is
-                # spent; the criterion keeps recommending the rebuild
+            except (ValueError, NotImplementedError):
+                # ValueError: level-2 headroom exhausted (IMI) — the
+                # middle rung is spent; the criterion keeps recommending
+                # the rebuild. NotImplementedError: a geometry split_cell
+                # doesn't support — surfacing it out of foreachBatch
+                # would kill the stream over an optional maintenance
+                # rung, so skip the rung and keep ingesting.
                 pass
         # compact LAST: it sweeps both the append's per-cell file growth
         # and the split's spillover landings (reassigned rows that moved

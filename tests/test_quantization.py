@@ -403,3 +403,33 @@ def test_ivfpq_rerank_tracks_ivf_recall(spark, corpus, codebooks):
     recall_raw = len(raw & brute) / len(brute)
     assert recall_rer >= recall_raw
     assert recall_rer >= 0.4
+
+
+def test_probe_collect_budget_fallback_matches_fast_path(
+    spark, corpus, codebooks, monkeypatch
+):
+    """Round-14 probe-collect guard: shrinking _PROBE_COLLECT_SCALARS
+    below the probe frame's size must flip _collect_probes to the
+    lazy-checkpoint fallback (no query vectors on the driver) with
+    IDENTICAL top-k results."""
+    from project_clinical_data_etl_pipeline_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+
+    cents = kmeans_centroids(corpus, dim=DIM, n_centroids=8, n_iter=2,
+                             round_dp=6)
+    index = Q.ivfpq_index(corpus, cents, codebooks, dim=DIM)
+    q = corpus.filter(F.col("vec_id") < 8)
+
+    def run():
+        return {
+            (r["query_id"], r["neighbor_id"], r["rank"])
+            for r in Q.ivfpq_topk(
+                q, index, cents, codebooks, dim=DIM, k=5, n_probe=4
+            ).collect()
+        }
+
+    fast = run()
+    # 8 queries x 4 probes x dim floats >> 1 scalar → fallback fires
+    monkeypatch.setattr(Q, "_PROBE_COLLECT_SCALARS", 1)
+    assert run() == fast and len(fast) > 0

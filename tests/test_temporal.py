@@ -783,3 +783,111 @@ def test_interval_overlap_probe_pruned_matches_shared(spark):
 
     with _pytest.raises(ValueError, match="probe"):
         interval_overlap_join(lf, rf, probe="fast", **kw)
+
+
+def test_interval_overlap_stats_matches_pair_enumeration(spark):
+    """Round-14 sweep aggregate: per-key (pair count, max overlap) from
+    interval_overlap_stats equals brute-force pair enumeration — on
+    random data WITH duplicate id tuples (the canonical-order SQL twin
+    excludes same-id pairs, and a duplicate whose sibling holds the
+    prefix max forces the polluted-row fallback join) and NULL ids
+    (pair with nothing)."""
+    import random
+
+    from project_clinical_data_etl_pipeline_spark.operators.temporal import (
+        interval_overlap_stats,
+    )
+
+    m = 1_000_000
+    rng = random.Random(14)
+    rows = []
+    for i in range(400):
+        start = rng.randint(0, 3000)
+        rows.append((rng.randint(1, 4), i // 3, i % 7, start * m,
+                     (start + rng.randint(0, 400)) * m))
+    # duplicate-id groups with DIFFERING intervals: the long sibling is
+    # the prefix max for the short one → polluted → fallback path
+    rows += [
+        (9, 100, 1, 0 * m, 5000 * m),
+        (9, 100, 1, 10 * m, 20 * m),
+        (9, 200, 2, 12 * m, 15 * m),
+    ]
+    # NULL id component → pairs with nothing
+    rows += [(9, None, 3, 0 * m, 5000 * m)]
+    df = spark.createDataFrame(
+        rows, ["k", "ok", "ln", "s_us", "e_us"]
+    ).select(
+        "k", "ok", "ln",
+        F.timestamp_micros(F.col("s_us")).alias("ws"),
+        F.timestamp_micros(F.col("e_us")).alias("we"),
+    )
+    got = {
+        r["k"]: (r["n_overlapping"], r["max_overlap_us"])
+        for r in interval_overlap_stats(
+            df, on="k", start="ws", end="we", id_cols=["ok", "ln"]
+        ).collect()
+    }
+    # brute force on the driver: unordered pairs, distinct non-null ids
+    data = [r for r in rows if r[1] is not None]
+    want: dict[int, list[int]] = {}
+    for a in range(len(data)):
+        for b in range(a + 1, len(data)):
+            ka, oka, lna, sa, ea = data[a]
+            kb, okb, lnb, sb, eb = data[b]
+            if ka != kb or (oka, lna) == (okb, lnb):
+                continue
+            if sa <= eb and sb <= ea:
+                want.setdefault(ka, []).append(min(ea, eb) - max(sa, sb))
+    assert got == {
+        k: (len(v), max(v)) for k, v in want.items()
+    }
+    # no-ids form: all distinct-row pairs count (same-id pairs included)
+    got_all = {
+        r["k"]: (r["n_overlapping"], r["max_overlap_us"])
+        for r in interval_overlap_stats(
+            df.fillna({"ok": -1}), on="k", start="ws", end="we"
+        ).collect()
+    }
+    data2 = rows
+    want2: dict[int, list[int]] = {}
+    for a in range(len(data2)):
+        for b in range(a + 1, len(data2)):
+            ka, _, _, sa, ea = data2[a]
+            kb, _, _, sb, eb = data2[b]
+            if ka == kb and sa <= eb and sb <= ea:
+                want2.setdefault(ka, []).append(min(ea, eb) - max(sa, sb))
+    assert got_all == {k: (len(v), max(v)) for k, v in want2.items()}
+
+
+def test_transitive_closure_early_stop_exact(spark):
+    """Round-14 fixpoint witness (count, max depth): path-doubling stops
+    one round earlier yet still yields the exact min-depth closure on a
+    diamond-with-chain graph (depth 5 — not a power of two)."""
+    from project_clinical_data_etl_pipeline_spark.operators import (
+        hierarchy as H,
+    )
+
+    edges = [(2, 1), (3, 2), (4, 2), (5, 3), (5, 4), (6, 5), (7, 6)]
+    df = spark.createDataFrame(edges, ["child_id", "parent_id"])
+    got = {
+        (r["descendant_id"], r["ancestor_id"]): r["min_depth"]
+        for r in H.transitive_closure(df).collect()
+    }
+    # brute force min-depth closure
+    import collections
+
+    adj = collections.defaultdict(list)
+    for c, p in edges:
+        adj[c].append(p)
+    want = {}
+    for start in {c for c, _ in edges}:
+        q = collections.deque([(start, 0)])
+        seen = {start}
+        while q:
+            node, d = q.popleft()
+            for p in adj[node]:
+                if p not in seen:
+                    seen.add(p)
+                    want[(start, p)] = d + 1
+                    q.append((p, d + 1))
+    assert got == want
