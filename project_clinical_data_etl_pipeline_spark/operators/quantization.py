@@ -312,28 +312,90 @@ def pq_reconstruct_joined(
     ).drop(*[c for s in range(len(codebooks)) for c in (f"__bc{s}", f"__bv{s}")])
 
 
+def pq_reconstruct_bcast(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    code_col: str = "pq_code",
+    out_col: str = "__cv",
+) -> DataFrame:
+    """Decoded vector via ONE broadcast of the whole codebook set
+    (round 14): the m codebooks travel as a single one-row
+    ``array<array<array<double>>>`` frame cross-joined broadcast onto
+    the code rows, and decode is m guarded ``element_at`` hops into
+    that value. Replaces the joined kernel's m BroadcastExchanges with
+    ONE (measured 2.9 s → ~1 s execute on the sf0.1 ks=256 probe) and
+    dodges the expr kernel's m·ks·subdim-literal Catalyst analysis
+    (~5 s per plan at ks=256) — O(m) plan nodes at any ks, one ~2 KB·ks
+    broadcast per plan. (A driver-side ``F.lit`` of the nested list
+    was tried first and is a trap: PySpark expands it to one py4j call
+    per scalar — ~23 s of pure driver time at 16,384 scalars.)
+    Corrupt codes (null / out of range) yield a NULL decoded vector
+    here and the dispatcher drops them — row-equivalent to the old
+    joined kernel's inner joins."""
+    spark = df.sparkSession
+    ks = len(codebooks[0])
+    books_df = spark.createDataFrame(
+        [([[ [float(x) for x in sub] for sub in book] for book in codebooks],)],
+        "__books array<array<array<double>>>",
+    )
+    del ks  # codes are pre-validated by _valid_codes in the dispatcher
+    parts = [
+        F.element_at(
+            F.element_at(F.col("__books"), s + 1),
+            (F.element_at(F.col(code_col), s + 1) + 1).cast("int"),
+        )
+        for s in range(len(codebooks))
+    ]
+    return (
+        df.crossJoin(F.broadcast(books_df))
+        .withColumn(out_col, F.flatten(F.array(*parts)))
+        .drop("__books")
+    )
+
+
 def pq_reconstruct(
     df: DataFrame,
     codebooks: list[list[list[float]]],
     code_col: str = "pq_code",
     out_col: str = "__cv",
 ) -> DataFrame:
-    """Decode-kernel dispatcher — the encode-side expr/arrow switch
-    applied to DECODE (round 13, measured): small codebooks
-    (m·ks·subdim ≤ ``_EXPR_KERNEL_MAX_SCALARS``) inline the literal
-    lookup (:func:`pq_reconstruct_expr` — map-side, zero joins, zero
-    broadcast exchanges), large ones pay the m broadcast joins
-    (:func:`pq_reconstruct_joined` — O(m) plan nodes at any ks).
-    Identical values either way (decode is a pure lookup). At ks=16
-    the expr kernel removes m=8 broadcast exchanges from every probe:
-    steady-state probe measured 4.6 s → 3.3 s at sf0.1."""
+    """Decode-kernel dispatcher. Small codebooks (m·ks·subdim ≤
+    ``_EXPR_KERNEL_MAX_SCALARS``) inline the literal lookup
+    (:func:`pq_reconstruct_expr` — map-side, zero joins, zero
+    broadcast exchanges); large ones ship the codebook set as ONE
+    one-row broadcast (:func:`pq_reconstruct_bcast` — round 14,
+    superseding the m-broadcast-join kernel: one BroadcastExchange
+    instead of m, O(m) plan nodes at any ks). Values are bit-identical
+    across kernels (decode is a pure lookup; pinned in
+    tests/test_quantization_kernels.py). The defensive code guard
+    (r13 ADVICE) makes all kernels row-equivalent under corrupt data:
+    a null / short / out-of-range code array drops its row — as the
+    old joined kernel's inner joins did — instead of flowing garbage
+    into downstream cosines/retraining (element_at with a NULL index
+    is NOT null-safe on this engine build: codegen feeds the null
+    slot's -1 through and silently returns the LAST entry; an
+    out-of-range index throws under ANSI). The guard is a cheap HOF
+    predicate on the CODE column — deliberately not a filter on the
+    decoded output, whose alias substitution under predicate pushdown
+    would inline a second copy of the decode tree into the plan
+    (measured: minutes of optimizer time at m=32). In-contract codes
+    always pass, so the guard drops nothing on real data."""
     m, ks, w = len(codebooks), len(codebooks[0]), len(codebooks[0][0])
+    valid = (
+        F.col(code_col).isNotNull()
+        & (F.size(F.col(code_col)) >= m)
+        & F.forall(
+            F.slice(F.col(code_col), 1, m),
+            lambda c: c.isNotNull() & (c >= 0) & (c < ks),
+        )
+    )
+    src = df.filter(valid)
     if m * ks * w <= _EXPR_KERNEL_MAX_SCALARS:
-        return df.withColumn(
+        return src.withColumn(
             out_col, pq_reconstruct_expr(codebooks, code_col=code_col)
         )
-    return pq_reconstruct_joined(
-        df, codebooks, code_col=code_col, out_col=out_col
+    return pq_reconstruct_bcast(
+        src, codebooks, code_col=code_col, out_col=out_col
     )
 
 

@@ -1,10 +1,13 @@
 #!/usr/bin/env python
 """Capture .explain("formatted") for declared queries (and the bench's
-direct-only paths) into plans/r13/<name>_<tag>.txt.
+direct-only paths) into plans/<round>/<name>_<tag>.txt.
 
 Usage:
     python scripts/explain_all.py before [name ...]
     python scripts/explain_all.py after  [name ...]
+
+The output round directory is plans/$SPARK_GRAFT_PLAN_ROUND (default
+r14).
 
 With no names, captures every REGISTRY entry plus the bench _DIRECT
 paths. Plan capture constructs each query's DataFrame (some operators
@@ -25,11 +28,17 @@ from contextlib import redirect_stdout
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT_DIR = os.path.join(REPO, "plans", "r13")
+OUT_DIR = os.path.join(
+    REPO, "plans", os.environ.get("SPARK_GRAFT_PLAN_ROUND", "r14")
+)
 
 
 def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
+    # r13 ADVICE: validate the CLI — a forgotten tag (e.g. a query name
+    # in position 1) must not silently write plans under a bogus tag
+    if tag not in ("before", "after"):
+        sys.exit(f"tag must be 'before' or 'after', got {tag!r}")
     only = set(sys.argv[2:])
     os.makedirs(OUT_DIR, exist_ok=True)
 
@@ -42,6 +51,10 @@ def main() -> None:
 
     names = list(REGISTRY) + [n for n in _DIRECT if n not in REGISTRY]
     if only:
+        # r13 ADVICE: a typo'd name must error, not produce no output
+        unknown = only - set(names)
+        if unknown:
+            sys.exit(f"unknown query names: {sorted(unknown)}")
         names = [n for n in names if n in only]
 
     for name in names:

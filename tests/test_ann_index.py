@@ -13,6 +13,12 @@ the thresholds cannot silently drift into always/never firing.
 from __future__ import annotations
 
 import pytest
+
+#: slow tier (round 14): IMI/IVF lifecycle, crash-recovery and
+#: multi-writer pins — minutes of index builds per test; operator
+#: correctness stays driver-gated via the fast kernel pins and
+#: tests/test_oracle_parity.py
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from project_clinical_data_etl_pipeline_spark.operators import ann_index as AI

@@ -77,6 +77,7 @@ def test_iteration_one_is_class_balance_step(spark):
     assert w[1] == 0.25
 
 
+@pytest.mark.slow  # round 14: model-quality pin (~50 s); train/score parity stays fast-tier
 def test_trained_model_separates_on_documents(spark, sf_dir):
     out = REGISTRY["quality_classifier_suite"].run(spark, sf_dir)
     agg = out.agg(

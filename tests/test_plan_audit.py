@@ -121,7 +121,22 @@ _ONE_ROW_CROSS = {"fhir_pipeline_suite", "fhir_conditional_create"}
 _SKIP = {"op41_streaming_hourly_counts", "op03_37_serde_suite"}
 
 
-@pytest.mark.parametrize("name", [n for n in REGISTRY if n not in _SKIP])
+#: slow tier (round 14): the two heaviest audit params — embed_topk_suite
+#: executes the full ANN stack (~2.3 min), hierarchy_graph_suite the two
+#: iterative loops. Their plan cleanliness is unchanged round-to-round
+#: unless their code moves, and the remaining ~45 params keep auditing
+#: every plan-construction primitive inside the driver tier.
+_SLOW_AUDIT = {"embed_topk_suite", "hierarchy_graph_suite"}
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_AUDIT else n
+        for n in REGISTRY
+        if n not in _SKIP
+    ],
+)
 def test_registered_query_plan_is_scale_clean(spark, sf_dir, name):
     df = REGISTRY[name].run(spark, sf_dir)
     df.count()  # finalize AQE so the audited plan is the executed one

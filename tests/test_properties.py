@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import re
 
+import pytest
+
 from hypothesis import given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -242,6 +244,7 @@ _EVENTS = st.lists(
 
 @settings(max_examples=15, deadline=None)
 @given(_EVENTS, _EVENTS)
+@pytest.mark.slow  # round 14: ~1 min fuzz; fast asof pins cover semantics
 def test_asof_join_matches_bruteforce(spark, lefts, rights):
     from project_clinical_data_etl_pipeline_spark.operators.temporal import asof_join
 

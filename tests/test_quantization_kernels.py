@@ -169,3 +169,43 @@ def test_ivfpq256_bench_serving_contract(spark, sf_dir):
     schema = seg[seg.index("ReadSchema: "):].split("\n")[0]
     assert "pq_code" in schema and "embedding" not in schema, schema
     assert "EvalPython" not in plan  # probe+decode stay all-JVM
+
+
+def test_bcast_reconstruct_matches_expr_and_drops_corrupt_codes(
+    spark, corpus, codebooks
+):
+    """Round-14 decode kernel: the one-row-broadcast lookup
+    (pq_reconstruct_bcast) is bit-identical to the literal-expression
+    kernel at graded ks AND at ks=256, and the dispatcher's defensive
+    filter drops rows with null/out-of-range codes exactly like the
+    old joined path did (row-equivalent kernels — the r13 ADVICE
+    item)."""
+    for books in (codebooks, _big_codebooks()):
+        enc = Q.pq_encode(corpus, books).select("vec_id", "pq_code")
+        via_expr = {
+            r["vec_id"]: r["dec"]
+            for r in enc.select(
+                "vec_id", Q.pq_reconstruct_expr(books).alias("dec")
+            ).collect()
+        }
+        via_bcast = {
+            r["vec_id"]: r["dec"]
+            for r in Q.pq_reconstruct_bcast(enc, books, out_col="dec")
+            .select("vec_id", "dec")
+            .collect()
+        }
+        assert via_bcast == via_expr and len(via_bcast) > 0
+
+    # corrupt codes: a NULL pq_code row must drop, like the inner
+    # broadcast join used to drop it — never a NULL decoded vector
+    enc = Q.pq_encode(corpus, codebooks).select("vec_id", "pq_code")
+    corrupt = enc.withColumn(
+        "pq_code",
+        F.when(F.col("vec_id") == 0, F.lit(None)).otherwise(
+            F.col("pq_code")
+        ),
+    )
+    out = Q.pq_reconstruct(corrupt, codebooks, out_col="dec")
+    assert out.filter(F.col("vec_id") == 0).count() == 0
+    assert out.filter(F.col("dec").isNull()).count() == 0
+    assert out.count() == enc.count() - 1

@@ -9,6 +9,8 @@ from __future__ import annotations
 import json
 import uuid
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from project_clinical_data_etl_pipeline_spark.operators.relational import scd2_history
@@ -66,6 +68,7 @@ def test_stream_equals_batch_under_watermark_cutoff(spark, sf_dir):
     assert g == b
 
 
+@pytest.mark.slow  # round 14: multi-trigger stream pin (~27 s)
 def test_multi_trigger_with_late_data(spark, tmp_path):
     """Three file drops = three triggers. A late row INSIDE the horizon
     must split history before its interval finalizes; versions close in

@@ -5,6 +5,7 @@ stateful sessionizer vs its batch twin.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from project_clinical_data_etl_pipeline_spark.streaming import incremental as I
@@ -37,6 +38,7 @@ def test_watermarked_append_emits_finalized_subset(spark, sf_dir):
     assert all(r[0] != last_window for r in app_rows)
 
 
+@pytest.mark.slow  # round 14: multi-batch stream pin (~38 s); upsert semantics stay fast-tier
 def test_foreach_batch_upsert_lands_finalized_windows(spark, sf_dir, tmp_path):
     target = str(tmp_path / "upsert_target")
     result = I.run_upsert_stream(spark, sf_dir, target, delay="1 hour")
@@ -247,6 +249,7 @@ def test_incremental_dedup_drops_resent_and_near_identical_docs(spark, tmp_path)
         q.stop()
 
 
+@pytest.mark.slow  # round 14: multi-batch stream pin (~21 s)
 def test_stream_sessions_correct_with_multichunk_groups(spark, tmp_path):
     """Regression for the multi-chunk ordering fix: with
     arrow.maxRecordsPerBatch=2 a 12-event user arrives at the stateful
@@ -498,6 +501,7 @@ def test_stream_asof_join_matches_batch_for_finalized_lefts(spark, sf_dir):
     assert len(streamed) >= len(batch) // 2
 
 
+@pytest.mark.slow  # round 14: multi-batch stream pin (~26 s)
 def test_stream_asof_pruned_right_state_serves_later_batches(spark, tmp_path):
     """A right event finalized below the watermark in batch 1 must still
     match a left that only arrives in batch 2 (the latest-right prune
