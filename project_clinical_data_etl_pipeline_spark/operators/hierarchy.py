@@ -268,40 +268,58 @@ def pagerank(
     IEEE divide per row on identical inputs.
 
     Plan shape at scale (round 14, guide §2.3/§2.4/§3.1 — ONE exchange
-    per iteration): the out-degree is folded into the edge list ONCE
-    before the loop (``(src, dst, outdeg)``, checkpointed — it was a
-    per-iteration join), the rank frame is explicitly broadcast while
-    the node count (already a driver scalar) is under
-    ``_PAGERANK_BC_NODES`` (env-tunable; past it the join reverts to a
-    shuffle join), and the per-iteration left-join back to the node
-    set is GONE: nodes with no in-edge are a STATIC set whose rank
-    after any iteration is exactly ``base_int`` (no contribution can
-    reach them), so they are computed once and unioned onto the
-    aggregated contributions each round — a zero-shuffle concat
-    replacing a full shuffle join of the node set. Per iteration the
-    only Exchange left is the partial-combined groupBy on ``dst``.
-    Lineage is cut per iteration with a lazy localCheckpoint: five
-    chained join/agg rounds would otherwise re-derive every prior
-    iteration at each action.
+    per iteration, one materialized frame, one job chain):
+
+    - The out-degree rides the edge list from the start: ``ew = (src,
+      dst, outdeg)`` is built with a window count over the deduped
+      edges in the SAME pass that materializes them — the only
+      checkpointed 4-column frame (the previous shape materialized the
+      edge list twice: once bare, once re-joined with the degree
+      aggregate). Nodes and the no-inbound set derive from ``ew``.
+    - The rank frame is explicitly broadcast while the node count
+      (already a driver scalar) is under ``_PAGERANK_BC_NODES``
+      (env-tunable; past it the join reverts to a shuffle join).
+    - The per-iteration left-join back to the node set is GONE: nodes
+      with no in-edge are a STATIC set whose rank after any iteration
+      is exactly ``base_int`` (no contribution can reach them),
+      computed once and unioned onto the aggregated contributions —
+      a zero-shuffle concat. Per iteration the only Exchange is the
+      partial-combined groupBy on ``dst``.
+    - NO per-iteration localCheckpoint: under AQE a "lazy" checkpoint's
+      ``toRdd`` pays a full planning pass and materializes the plan's
+      query stages at CONSTRUCT time (measured 0.7-1.7 s per
+      iteration at sf1), and ``iterations`` is a small fixed constant,
+      so the five rounds chain into ONE plan executed by the terminal
+      action — AQE materializes the stages bottom-up with broadcasts
+      reused in place (measured min-of-3 at sf1: 18.0 s → 14.4 s).
+      The returned frame re-derives the whole chain if a caller runs
+      MULTIPLE actions on it — checkpoint or persist at the call site
+      in that case.
     """
+    from pyspark.sql import Window
+
     one = 10 ** PAGERANK_SCALE_DP
-    e = edges.select("src", "dst").distinct().localCheckpoint(eager=False)
+    ew = (
+        edges.select("src", "dst")
+        .distinct()
+        .withColumn(
+            "outdeg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+        )
+        .localCheckpoint(eager=False)
+    )
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .unionByName(e.select(F.col("dst").alias("node")))
+        ew.select(F.col("src").alias("node"))
+        .unionByName(ew.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint(eager=False)
     )
     n = nodes.count()
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # out-degree folded into the edge list once — was a join in the loop
-    ew = e.join(deg, on="src").localCheckpoint(eager=False)
     base_int = ((100 - damping_pct) * one) // (100 * n)
     # Nodes no contribution can reach (never a dst): their rank is the
     # damping base from iteration 1 onward — constant across the loop.
     no_inbound = (
         nodes.join(
-            e.select(F.col("dst").alias("node")).distinct(),
+            ew.select(F.col("dst").alias("node")).distinct(),
             on="node",
             how="left_anti",
         )
@@ -320,17 +338,13 @@ def pagerank(
         # every dst has a contribution row (its srcs always carry ranks),
         # so coalesce is only needed for the no-inbound complement —
         # handled exactly by the static union leg (acc there is 0)
-        ranks = (
-            contribs.select(
-                F.col("dst").alias("node"),
-                (
-                    F.lit(base_int)
-                    + F.expr(f"({damping_pct} * acc) DIV 100")
-                ).cast("bigint").alias("r_int"),
-            )
-            .unionByName(no_inbound)
-            .localCheckpoint(eager=False)
-        )
+        ranks = contribs.select(
+            F.col("dst").alias("node"),
+            (
+                F.lit(base_int)
+                + F.expr(f"({damping_pct} * acc) DIV 100")
+            ).cast("bigint").alias("r_int"),
+        ).unionByName(no_inbound)
     return ranks.select(
         "node",
         (F.col("r_int").cast("double") / F.lit(float(one))).alias("rank"),
