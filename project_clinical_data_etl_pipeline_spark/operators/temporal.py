@@ -510,14 +510,17 @@ def interval_overlap_stats(
     - the pair count subtracts the same-id pairs via a SECOND window
       over (keys, id) — same partitioning (hash on keys satisfies the
       finer clustering), so it costs a sort, not an exchange;
-    - the prefix-max candidate is only trusted where it provably
-      involves a different id (global prefix max > same-id prefix max,
-      or no same-id interval is active). The residual POLLUTED rows —
-      duplicate-id rows whose own sibling may hold the prefix max, a
-      degenerate-data sliver — get their exact best partner from a
-      fallback join against their key's rows (distinct id + overlap;
-      order-free, since the max may observe a pair twice). With no
-      duplicate ids in the data the fallback side is empty.
+    - the prefix-max candidate is kept only for rows with NO same-id
+      prior (``D`` null): any pair whose later row has a same-id prior
+      involves a duplicate-id row, and every pair touching a
+      duplicate-id row is re-derived EXACTLY by a fallback join of the
+      duplicate rows (found with one cheap window over (keys, id) on
+      the raw rows — a degenerate-data sliver, empty when ids are
+      unique) against their key's rows (distinct id + overlap;
+      order-free, since a max may observe a pair twice). Keeping the
+      main sweep's candidates id-blind-safe this way avoids re-running
+      the event sweep to identify "polluted" rows — the first cut did,
+      and the duplicated window pipeline showed up whole in the plan.
 
     Keys with no qualifying pair emit NO row (matching the inner pair
     join). Rows with NULL keys/endpoints or end < start are dropped
@@ -602,19 +605,14 @@ def interval_overlap_stats(
             - (F.col("__id_n_start") - 1 - F.col("__id_n_end")),
         )
         .withColumn(
-            # prefix max provably from a different id: no same-id prior
-            # is active (__d < s, incl. __d null) or a strictly larger
-            # different-id end exists (__m > __d)
-            "__polluted",
-            F.coalesce(
-                (F.col("__d") >= F.col("s")) & (F.col("__m") <= F.col("__d")),
-                F.lit(False),
-            ),
-        )
-        .withColumn(
+            # candidate kept only when NO same-id prior exists: then
+            # every prior has a different id, so min(e, M) - s is a
+            # true pair value and the per-row maximum over valid pairs.
+            # Rows WITH a same-id prior are duplicate-id rows — every
+            # pair touching those is re-derived by the fallback join.
             "__ov",
             F.when(
-                (~F.col("__polluted")) & (F.col("__m") >= F.col("s")),
+                F.col("__d").isNull() & (F.col("__m") >= F.col("s")),
                 F.least(F.col("e"), F.col("__m")) - F.col("s"),
             ),
         )
@@ -622,20 +620,26 @@ def interval_overlap_stats(
     agg = starts.groupBy(*keys).agg(
         F.sum("__active").cast("bigint").alias("n_overlapping"),
         F.max("__ov").alias("__max_a"),
-        F.sum(F.col("__polluted").cast("int")).alias("__n_polluted"),
     )
     if ids:
-        polluted = starts.filter(F.col("__polluted")).select(
-            *keys,
-            *[F.col(i).alias(f"__p_{i}") for i in ids],
-            F.col("s").alias("__ps"),
-            F.col("e").alias("__pe"),
+        # duplicate-id rows from ONE window over the raw rows (no event
+        # explode, no re-sweep); empty when ids are unique
+        w_dup = Window.partitionBy(*keys, *ids)
+        dup = (
+            rows.withColumn("__gn", F.count(F.lit(1)).over(w_dup))
+            .filter(F.col("__gn") >= 2)
+            .select(
+                *keys,
+                *[F.col(i).alias(f"__p_{i}") for i in ids],
+                F.col("__s").alias("__ps"),
+                F.col("__e").alias("__pe"),
+            )
         )
         distinct_id = F.lit(False)
         for i in ids:
             distinct_id = distinct_id | (F.col(f"__p_{i}") != F.col(i))
         fallback = (
-            polluted.join(
+            dup.join(
                 rows.withColumnRenamed("__s", "s").withColumnRenamed(
                     "__e", "e"
                 ),
